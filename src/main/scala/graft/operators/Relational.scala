@@ -1,0 +1,301 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.7) expressed
+  * over the driver's TPC-H-ish tables.
+  *
+  * Design for 100 TB: every query is a declarative DataFrame chain —
+  * filters/projections reach the parquet scan (pushdown + pruning),
+  * aggregations get map-side partial HashAggregate (the reference's
+  * `reduceByKey` shape, `FeatureSelectionCloud.scala:387`, for free),
+  * small dimension tables are broadcast so the fact-table join never
+  * shuffles the big side, and top-K compiles to
+  * `TakeOrderedAndProject` (reference `takeOrdered`,
+  * `FeatureSelectionCloud.scala:438`) — partial top-K on executors,
+  * merge on driver, no total sort.
+  *
+  * Money arithmetic is done in DECIMAL(18,2) (cast *before*
+  * multiplying) and only cast back to double at the end: decimal
+  * aggregation is exact, so the result is bit-identical to the DuckDB
+  * oracle regardless of accumulation order — a double sum would
+  * depend on partitioning.
+  */
+object Relational {
+
+  /** Exact, order-independent revenue term: extprice * (1 - discount)
+    * in decimal. */
+  private def revenueTerm =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,2)")
+
+  private val revenueTermSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q01: pricing summary — scan → filter → partial+final hash agg
+    // (A2 shape). Mirrors reference doc-freq counting
+    // (`FeatureSelectionCloud.scala:376-390`) as a grouped aggregate.
+    "q01_pricing_summary" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(revenueTerm).cast("double").as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // q02: filter + projection — predicate pushdown / column pruning
+    // demo (P1/P2 analog; scan reads 5 of 11 columns).
+    "q02_filter_project" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-02-01").cast("timestamp") &&
+                col("l_returnflag") === "R")
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          revenueTerm.cast("double").as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // q03: multi-way join + agg — broadcast dims (region/nation),
+    // shuffle only on the fact side keys (J1 family).
+    "q03_revenue_by_nation" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenueTerm).cast("double").as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // q04: top-K without total sort → TakeOrderedAndProject
+    // (reference O1 `takeOrdered`, `FeatureSelectionCloud.scala:438`).
+    "q04_topk_parts" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(col("total_qty").desc, col("l_partkey").asc)
+        .limit(10)),
+
+    // q05: window functions — row_number + running sum per partition
+    // (replaces reference's per-sample zipWithIndex, O3,
+    // `FeatureSelectionCloud.scala:505`).
+    "q05_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      lineitem(s, d)
+        .filter(col("l_suppkey") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity"), col("l_shipdate"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("l_shipdate")
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // q06: left-semi join — the reference's feature-membership test J2
+    // (`doesFeatureExist`, `FeatureSelectionCloud.scala:494-519`) is
+    // semantically this.
+    "q06_semijoin" -> ((s, d) =>
+      part(s, d)
+        .join(lineitem(s, d).filter(col("l_quantity") >= 49)
+                .select(col("l_partkey")),
+              col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")),
+
+    // q07: left-anti join (NOT EXISTS).
+    "q07_antijoin" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F")
+                .select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // q08: union of per-class labeled projections (U2 + P4 label
+    // constant, `FeatureSelectionCloud.scala:452-456,172`).
+    "q08_union_label" -> ((s, d) => {
+      val o = orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), lit(1.0).as("label"))
+      val b = o.filter(col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"), lit(0.0).as("label"))
+      a.union(b).groupBy("label")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"),
+             max("o_orderkey").as("max_key"))
+        .orderBy("label")
+    }),
+
+    // q09: dedup before counting (A1 — `.distinct` before the count,
+    // `FeatureSelectionCloud.scala:337` — shrinks the shuffle; this
+    // ordering is an optimization Catalyst will not invent).
+    "q09_distinct_pairs" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_returnflag", "l_orderkey", "l_partkey")
+        .dropDuplicates("l_returnflag", "l_orderkey", "l_partkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_distinct_pairs"))
+        .orderBy("l_returnflag")),
+
+    // q10: rollup (engine extension beyond the reference, SURVEY §2.4
+    // note — free built-in).
+    // Expressed as SQL: the DataFrame `rollup` resolution path trips a
+    // false-positive ambiguous-self-join check in Spark 4 when the
+    // grouping columns come through a join; the SQL front-end builds
+    // the identical Aggregate(Expand(...)) plan without it.
+    "q10_rollup" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("g_customer")
+      nation(s, d).createOrReplaceTempView("g_nation")
+      region(s, d).createOrReplaceTempView("g_region")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_customers,
+          |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+          |FROM g_customer
+          |JOIN g_nation ON c_nationkey = n_nationkey
+          |JOIN g_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    }),
+
+    // q11: event-time windowed aggregation (batch twin of the
+    // streaming module; hour buckets).
+    "q11_events_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // q12: JSON extraction from the events props column
+    // (`get_json_object` ↔ DuckDB `json_extract_string`).
+    "q12_events_json" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
+             min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($revenueTermSql) AS DOUBLE) AS sum_disc_price,
+         |  avg(l_quantity) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity,
+         |  CAST($revenueTermSql AS DOUBLE) AS net_price
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-02-01'
+         |  AND l_returnflag = 'R'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum($revenueTermSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_topk_parts" ->
+      """SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |ORDER BY total_qty DESC, l_partkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q05_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER w AS rn,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q06_semijoin" ->
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q07_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_union_label" ->
+      """SELECT label, count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT o_orderkey, 1.0 AS label FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, 0.0 AS label FROM orders WHERE o_orderstatus <> 'F'
+        |)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin,
+
+    "q09_distinct_pairs" ->
+      """SELECT l_returnflag, count(*) AS n_distinct_pairs
+        |FROM (SELECT DISTINCT l_returnflag, l_orderkey, l_partkey FROM lineitem)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q11_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q12_events_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}
