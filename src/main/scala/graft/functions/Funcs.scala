@@ -44,11 +44,25 @@ object Funcs {
 
   /** Binary Shannon entropy of a p/t split, base 2 — reference
     * `entropy(x,y)` at `FeatureSelectionCloud.scala:350-353`. NaN when
-    * x=0 or x=y, exactly like the reference (callers nanvl it, P10). */
+    * x<=0 or x>=y, exactly like the reference's `0 * Math.log(0)`
+    * (callers nanvl it, P10). The guard is explicit because Spark's
+    * `log2` returns NULL for non-positive input where `java.lang.Math`
+    * returns -Infinity — NULL would silently break NaN propagation. */
   def entropy2(x: Column, y: Column): Column = {
-    val p = x / y
-    val q = (y - x) / y
-    -(p * log2(p)) - (q * log2(q))
+    val xd = x.cast("double"); val yd = y.cast("double")
+    val p = xd / yd
+    val q = (yd - xd) / yd
+    when(xd > 0 && xd < yd, -(p * log2(p)) - (q * log2(q)))
+      .otherwise(lit(Double.NaN))
+  }
+
+  /** DuckDB SQL text of [[entropy2]] — same guard, same shape. */
+  def entropy2Sql(x: String, y: String): String = {
+    val p = s"(CAST($x AS DOUBLE) / CAST($y AS DOUBLE))"
+    val q = s"(CAST(($y) - ($x) AS DOUBLE) / CAST($y AS DOUBLE))"
+    s"""CASE WHEN ($x) > 0 AND ($x) < ($y)
+       | THEN -($p * log2($p)) - ($q * log2($q))
+       | ELSE 'NaN'::DOUBLE END""".stripMargin.replace("\n", "")
   }
 
   /** Information gain of a feature for the binary class split —
@@ -78,12 +92,16 @@ object Funcs {
 
   /** Rolling polynomial fingerprint over the characters of `s`:
     * h = (h*31 + codepoint) mod 2147483647, reduced left-to-right.
-    * Pure int64 arithmetic → bit-identical in any engine. */
+    * Pure int64 arithmetic → bit-identical in any engine. Uses
+    * sequence+substring rather than `split(s, "")` so the char walk
+    * has identical boundary behavior to the oracle's generate_series. */
   def fingerprint(s: Column): Column =
-    aggregate(
-      split(s, ""),
-      lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % 2147483647L)
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)),
+          i => ascii(substring(s, i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 2147483647L))
 
   /** Character shingles of width `n` (reference P3 sliding-window
     * n-grams, `FeatureSelectionCloud.scala:306,314`): positions

@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.Tables._
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, stopword-profile language ID,
+  * rolling-hash document fingerprinting, and character shingling
+  * (the reference's P3 sliding-window n-grams,
+  * `FeatureSelectionCloud.scala:306,314`, generalized).
+  *
+  * All of it is per-row columnar arithmetic — no shuffle at all except
+  * the final presentation sort — so it scales linearly with input
+  * splits and stays inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "de"))
+
+  private def countIn(toks: org.apache.spark.sql.Column, words: Seq[String]) =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ta01: token counting (whitespace tokenizer; total + distinct).
+    "ta01_token_stats" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_tokens"),
+          size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"))
+        .orderBy("doc_id")),
+
+    // ta02: quality scoring — length/stopword/word-length heuristics.
+    // Ratios are exact int/int divisions → bit-identical across
+    // engines; the blended score is rounded anyway.
+    "ta02_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nTok
+      val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
+      val score = round(
+        lit(0.5) * stopRatio +
+          lit(0.3) * least(meanLen / 8.0, lit(1.0)) +
+          lit(0.2) * least(nTok / 100.0, lit(1.0)), 6)
+      documents(s, d)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          round(meanLen, 6).as("mean_token_len"),
+          round(stopRatio, 6).as("stopword_ratio"),
+          score.as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // ta03: language ID by stopword-profile hit counts; argmax with a
+    // fixed tie-break order (profile declaration order).
+    "ta03_langid" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scores = Profiles.map { case (l, ws) => l -> countIn(toks, ws) }
+      val Seq(en, de, es) = scores.map(_._2)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          en.as("s_en"), de.as("s_de"), es.as("s_es"),
+          when(en >= de && en >= es, "en")
+            .when(de >= es, "de").otherwise("es").as("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ta04: document fingerprint — rolling polynomial hash over the
+    // characters (content-defined, engine-independent int arithmetic).
+    "ta04_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ta05: 14-char sliding-window shingles (P3) — total + distinct
+    // per document.
+    "ta05_shingles" -> ((s, d) => {
+      val sh = charShingles(col("text"), 14)
+      documents(s, d)
+        .select(col("doc_id"), size(sh).as("n_shingles"),
+          size(array_distinct(sh)).as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+  private def countInSql(words: Seq[String]) =
+    s"len(list_filter($toksSql, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "ta01_token_stats" ->
+      s"""SELECT doc_id, len($toksSql) AS n_tokens,
+         |  len(list_distinct($toksSql)) AS n_distinct_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta02_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len($toksSql) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($toksSql, t -> length(t)::BIGINT)), (a, b) -> a + b) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS mean_len,
+         |    CAST(${countInSql(Stopwords)} AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(mean_len, 6) AS mean_token_len,
+         |  round(stop_ratio, 6) AS stopword_ratio,
+         |  round(0.5 * stop_ratio + 0.3 * least(mean_len / 8.0, 1.0)
+         |        + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "ta03_langid" ->
+      s"""SELECT doc_id, lang,
+         |  ${countInSql(Profiles(0)._2)} AS s_en,
+         |  ${countInSql(Profiles(1)._2)} AS s_de,
+         |  ${countInSql(Profiles(2)._2)} AS s_es,
+         |  CASE WHEN ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(1)._2)}
+         |        AND ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'en'
+         |       WHEN ${countInSql(Profiles(1)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'de'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta04_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, length(text)),
+        |      i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta05_shingles" ->
+      """SELECT doc_id,
+        |  len(list_transform(generate_series(1, greatest(length(text) - 13, 1)),
+        |    i -> substr(text, i, 14))) AS n_shingles,
+        |  len(list_distinct(list_transform(generate_series(1, greatest(length(text) - 13, 1)),
+        |    i -> substr(text, i, 14)))) AS n_distinct_shingles
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
