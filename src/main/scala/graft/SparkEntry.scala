@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
 import graft.operators.{Relational, TextAnalysis, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries
+    Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries ++
+      Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles
+    Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles
 }

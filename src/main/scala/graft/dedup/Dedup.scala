@@ -1,0 +1,245 @@
+package graft.dedup
+
+import graft.Tables._
+import graft.functions.Funcs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-groupBy), MinHash signatures + LSH banding, SimHash,
+  * exact n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *   - exact dedup is one hash aggregate on a content digest — the
+  *     only shuffle is on the digest, never the payload;
+  *   - MinHash signatures are computed per-row with array expressions
+  *     (zero shuffle); LSH candidate generation shuffles only
+  *     (band, band-key) pairs — never compares all pairs;
+  *   - SimHash is per-row bit arithmetic (zero shuffle);
+  *   - exact Jaccard is the verify step you run on LSH candidates; the
+  *     all-pairs form here is deliberately bounded to a sampled subset
+  *     (`doc_id % 5 = 0`) because an unrestricted all-pairs join can
+  *     never scale — at 100 TB you'd only ever run it per-bucket.
+  *
+  * Hashing is content-defined via md5 (identical in Spark and DuckDB)
+  * reduced to fixed-width hex prefixes, so every value below is
+  * reproducible by the SQL oracle bit-for-bit.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** 16 affine minhash functions (a*h + b) mod P; literals derived
+    * deterministically so the SQL oracle regenerates the same table. */
+  private val MinhashParams: Seq[(Int, Long, Long)] =
+    (0 until 16).map { j =>
+      (j, (1000003L * (2 * j + 3)) % P, (998244353L * (j + 7)) % P)
+    }
+
+  private val NumBands = 4
+  private val RowsPerBand = 4
+
+  /** 14-char shingles of the leading 64 chars — "leading-content"
+    * near-dup signature base (P3 shingling applied to a prefix). */
+  private def prefixShingles: Column =
+    array_distinct(charShingles(substring(col("text"), 1, 64), 14))
+
+  private def minhashSigs: Seq[Column] = {
+    val hs = transform(prefixShingles, s => md5Long(s, 7))
+    MinhashParams.map { case (_, a, b) =>
+      array_min(transform(hs, h => (h * a + b) % P))
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dd01: exact dedup by content digest (here: of the 64-char prefix,
+    // where the corpus genuinely has duplicate groups). Keeper = min id.
+    "dd01_exact_dedup" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(substring(col("text"), 1, 64)).as("content_key"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("content_key")),
+
+    // dd02: MinHash signatures (16 hashes), long form — per-row array
+    // math, no shuffle.
+    "dd02_minhash_sig" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(array(minhashSigs: _*)))
+        .withColumnsRenamed(Map("pos" -> "j", "col" -> "minhash"))
+        .orderBy("doc_id", "j")),
+
+    // dd03: LSH banding — docs sharing any (band, band-key) bucket are
+    // candidate near-dup pairs. Shuffles band keys only.
+    "dd03_lsh_pairs" -> ((s, d) => {
+      val sigs = minhashSigs
+      val bandCols = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+            .map(_.cast("string")): _*).as("bkey"))
+      }
+      val bands = documents(s, d)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd04: 32-bit SimHash over distinct word tokens — per-row bit
+    // arithmetic, zero shuffle.
+    "dd04_simhash" -> ((s, d) => {
+      val hs = transform(array_distinct(tokens(col("text"))), t => md5Long(t, 8))
+      val bits = (0 until 32).map { b =>
+        val vote = aggregate(hs, lit(0L),
+          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      documents(s, d)
+        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // dd05: exact word-bigram Jaccard on a sampled subset — the
+    // verify-stage of near-dup detection (run per-LSH-bucket at scale).
+    "dd05_ngram_jaccard" -> ((s, d) => {
+      val sub = documents(s, d).filter(col("doc_id") % 5 === 0)
+      val sh = sub.select(col("doc_id"),
+        explode(array_distinct(wordBigrams(tokens(col("text"))))).as("s"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"), 6))
+        .filter(col("jaccard") >= 0.06)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd06: embedding-cosine near-dup pairs on a sampled subset
+    // (in-order double fold → bit-identical to the oracle).
+    "dd06_embedding_dup" -> ((s, d) => {
+      val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+        .filter(col("cos") >= 0.2)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  // ---- oracles ------------------------------------------------------
+
+  private val prefixShinglesSql =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(length(substr(text, 1, 64)) - 13, 1)),
+      |  i -> substr(substr(text, 1, 64), i, 14)))""".stripMargin
+
+  private val paramsValues = MinhashParams
+    .map { case (j, a, b) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+    .mkString(", ")
+
+  private val sigCte =
+    s"""hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM (
+       |    SELECT doc_id, unnest($prefixShinglesSql) AS s FROM documents)
+       |), params(j, a, b) AS (VALUES $paramsValues),
+       |sig AS (
+       |  SELECT doc_id, j, min((h * a + b) % ${P}) AS minhash
+       |  FROM hs CROSS JOIN params GROUP BY doc_id, j
+       |)""".stripMargin
+
+  private val simhashBitsSql = (0 until 32).map { b =>
+    s"""(CASE WHEN list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)),
+       |  (acc, v) -> acc + v) > 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END)"""
+      .stripMargin.replace("\n", "")
+  }.mkString(" + ")
+
+  private def dotSql(x: String, y: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($x)),
+       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact_dedup" ->
+      """SELECT md5(substr(text, 1, 64)) AS content_key, count(*) AS n_docs,
+        |  min(doc_id) AS keeper_doc_id
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY content_key""".stripMargin,
+
+    "dd02_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT doc_id, j, minhash FROM sig ORDER BY doc_id, j""".stripMargin,
+
+    "dd03_lsh_pairs" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd04_simhash" ->
+      s"""SELECT doc_id, $simhashBitsSql AS simhash FROM (
+         |  SELECT doc_id, list_transform(
+         |    list_distinct(list_filter(string_split(text, ' '), t -> length(t) > 0)),
+         |    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd05_ngram_jaccard" ->
+      """WITH sub AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1])))) AS s
+        |  FROM sub
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.06
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd06_embedding_dup" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos
+         |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, cos FROM pairs
+         |WHERE cos >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
