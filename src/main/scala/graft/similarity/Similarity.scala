@@ -1,0 +1,146 @@
+package graft.similarity
+
+import graft.Tables._
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: ARRAY<FLOAT>`, 64-dim).
+  *
+  * Two paths:
+  *   - brute-force cosine top-k — the exactness baseline. The query
+  *     set is broadcast, so the big side streams once with no shuffle
+  *     of the corpus; only (query, score) pairs move.
+  *   - random-hyperplane LSH — the scale path. Every vector gets a
+  *     small bucket id (per-row arithmetic against a broadcast plane
+  *     set); search touches only the query's bucket instead of the
+  *     corpus. At 100 TB you'd additionally bucket-partition the
+  *     stored table so a query reads one partition (partition
+  *     pruning), which this layout makes trivial.
+  *
+  * Hyperplanes are the embeddings of `vec_id 0..3` — data-derived and
+  * deterministic, so the DuckDB oracle reproduces bucket assignment
+  * exactly. Cosines are in-order double folds rounded to 6 decimals
+  * before ranking; rank ties break on neighbor id.
+  */
+object Similarity {
+
+  private val NumQueries = 5
+  private val NumPlanes = 4
+  private val TopK = 10
+
+  /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0]. */
+  private def buckets(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val planes = e.filter(col("vec_id") < NumPlanes)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        (when(dotProduct(col("embedding"), col("plane")) >= 0, 1L).otherwise(0L)
+          * expr("shiftleft(1L, cast(plane_id AS INT))")).as("bit"))
+      .groupBy("vec_id")
+      .agg(sum("bit").as("bucket"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ss01: brute-force cosine top-k — exact baseline.
+    "ss01_knn_brute" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      val scored = cand.crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("qe"), col("ne")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ss02: LSH-bucketed ANN — search only the query's bucket.
+    "ss02_knn_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val bk = buckets(s, d)
+      val withB = e.join(bk, Seq("vec_id"))
+      val q = withB.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+                col("bucket"))
+      val cand = withB
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+                col("bucket"))
+      val scored = cand.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(cosine(col("qe"), col("ne")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "bucket", "cos")
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  private def dotSql(x: String, y: String) =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($x)),
+       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+
+  private def cosSql(x: String, y: String) =
+    s"round(${dotSql(x, y)} / (sqrt(${dotSql(x, x)}) * sqrt(${dotSql(y, y)})), 6)"
+
+  private val bucketsCte =
+    s"""planes AS (
+       |  SELECT vec_id AS plane_id, embedding AS plane FROM embeddings
+       |  WHERE vec_id < $NumPlanes
+       |), buckets AS (
+       |  SELECT vec_id, sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+       |    THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+       |  FROM embeddings CROSS JOIN planes
+       |  GROUP BY vec_id
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ss01_knn_brute" ->
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss02_knn_lsh" ->
+      s"""WITH $bucketsCte, scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    qb.bucket AS bucket,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos
+         |  FROM embeddings q
+         |  JOIN buckets qb ON q.vec_id = qb.vec_id
+         |  JOIN buckets cb ON cb.bucket = qb.bucket
+         |  JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, bucket, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, bucket, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}
