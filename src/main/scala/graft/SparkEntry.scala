@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
+import graft.ml.MlPipeline
 import graft.operators.{Relational, TextAnalysis, TextPipeline}
 import graft.similarity.Similarity
 
@@ -22,11 +23,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ MlPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ MlPipeline.oracles
 }

@@ -1,0 +1,125 @@
+package graft.ml
+
+import graft.Tables._
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, LinearSVC, LogisticRegression}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ML stages (SURVEY.md §2.8, L1-L8) on `spark.ml`,
+  * bound to the `embeddings` table.
+  *
+  * Differences from the reference, by necessity (SURVEY §6 caveats):
+  * `KMeans.setRuns` is gone in Spark 2+ (single seeded run);
+  * `SVMWithSGD` is gone (LinearSVC/OWLQN is the same model family);
+  * every stochastic step is seeded (the reference seeded nothing, so
+  * its published AUCs are one unreproducible draw).
+  *
+  * These queries have no DuckDB oracle (iterative ML is not
+  * SQL-expressible) — the driver records a rows-only check.
+  *
+  * Scale notes: k-means/DT/SVC in spark.ml are already
+  * data-distributed (per-iteration map + treeAggregate); feature
+  * assembly here is one per-row `array_to_vector`, no shuffle. The
+  * hyperparameter sweeps fit sequentially like the reference's
+  * (`SVMDT.scala:151,189`) — at cluster scale you would dispatch the
+  * grid points concurrently from the driver, but each fit is itself
+  * distributed so the shape stays valid.
+  */
+object MlPipeline {
+
+  private val Seed = 42L
+
+  /** (label, features) — binary label: embeddings.label < 5, mirroring
+    * the reference's virus/clean 1.0/0.0 (P4). */
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      when(col("label") < 5, 1.0).otherwise(0.0).as("label"),
+      array_to_vector(col("embedding")).as("features"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ml01: L1+L2 — k-means k=10, tol=1e-6 (reference config,
+    // `KmeansVirus.scala:183-186`), seeded; cluster sizes.
+    "ml01_kmeans_sizes" -> ((s, d) => {
+      val data = embeddings(s, d)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(10).setTol(1e-6).setSeed(Seed)
+        .fit(data)
+      model.transform(data)
+        .groupBy(col("prediction").as("cluster"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cluster")
+    }),
+
+    // ml02: A4+A5+A6+M3 — cluster-quality scoring by weighted label
+    // entropy over real k-means clusters (ref
+    // `costlyWeightedAveEntropyScore`, `SVMDT.scala:264-284`).
+    "ml02_kmeans_entropy" -> ((s, d) => {
+      val data = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                array_to_vector(col("embedding")).as("features"))
+      val model = new KMeans().setK(10).setTol(1e-6).setSeed(Seed)
+        .fit(data)
+      val counts = model.transform(data)
+        .groupBy(col("prediction").as("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cluster")
+      counts.withColumn("tot", sum("n").over(w))
+        .withColumn("term",
+          -(col("n").cast("double") / col("tot")) *
+            log(col("n").cast("double") / col("tot")))
+        .groupBy("cluster")
+        .agg(sum("n").as("n_vectors"), round(sum("term"), 6).as("entropy"))
+        .orderBy("cluster")
+    }),
+
+    // ml03: L4+L6+L7+L8 — decision-tree sweep, impurity × depth,
+    // scored by AUC-ROC on the cv split (50/25/25, ref
+    // `SVMDT.scala:92-95,147-164`).
+    "ml03_dt_auc" -> ((s, d) => {
+      val Array(train, cv, _) =
+        labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
+      train.cache(); cv.cache()
+      val evalr = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+      val rows =
+        for (imp <- Seq("entropy", "gini"); depth <- Seq(1, 2, 3, 4, 5, 10, 20))
+        yield {
+          val m = new DecisionTreeClassifier()
+            .setImpurity(imp).setMaxDepth(depth).setSeed(Seed).fit(train)
+          (imp, depth, math.round(evalr.evaluate(m.transform(cv)) * 1e4) / 1e4)
+        }
+      import s.implicits._
+      rows.toDF("impurity", "max_depth", "auc").orderBy("impurity", "max_depth")
+    }),
+
+    // ml04: L5+L7+L8 — linear classifier sweep over L2 regularization
+    // (LinearSVC + LogisticRegression, the reference's two selector
+    // branches, `SVMDT.scala:204-214`), AUC on the test split.
+    "ml04_linear_auc" -> ((s, d) => {
+      val Array(train, _, test) =
+        labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
+      train.cache(); test.cache()
+      val evalr = new BinaryClassificationEvaluator()
+        .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+      val regs = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
+      val svc = regs.map { r =>
+        val m = new LinearSVC().setRegParam(r).setMaxIter(10).fit(train)
+        ("svc", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
+      }
+      val lr = regs.map { r =>
+        val m = new LogisticRegression().setRegParam(r).setMaxIter(10).fit(train)
+        ("lr", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
+      }
+      import s.implicits._
+      (svc ++ lr).toDF("model", "reg_param", "auc").orderBy("model", "reg_param")
+    })
+  )
+
+  /** Iterative ML is not SQL-expressible — no oracles (driver records
+    * rows-only checks for these). */
+  val oracles: Map[String, String] = Map.empty
+}
