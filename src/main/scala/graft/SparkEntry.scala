@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.MlPipeline
+import graft.multimodal.Multimodal
 import graft.operators.{Relational, TextAnalysis, TextPipeline}
 import graft.similarity.Similarity
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,11 +25,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ MlPipeline.queries
+      Dedup.queries ++ Similarity.queries ++ MlPipeline.queries ++
+      Multimodal.queries ++ EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ MlPipeline.oracles
+      Dedup.oracles ++ Similarity.oracles ++ MlPipeline.oracles ++
+      Multimodal.oracles ++ EventStream.oracles
 }

@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `BINARY` payloads with typed
+  * metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic FAKE of the decode step — but the
+  * Spark-side plumbing is real and tested: binary column construction,
+  * schema, batch-at-a-time `mapPartitions` over a typed Dataset (the
+  * Scala twin of a Pandas-UDF `mapInPandas` pipeline), and arithmetic
+  * features the SQL oracle reproduces.
+  *
+  * Scale: payloads never shuffle — both queries are per-row/partition
+  * map work; at 100 TB the binary column rides in parquet and only
+  * small extracted features flow downstream.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      fake_width: Int, fake_height: Int, checksum16: Long)
+
+  /** STUB decode — deterministic fake standing in for a real image
+    * decoder (no codec libraries in this environment). Geometry is
+    * derived from payload length, the checksum from the first 16
+    * bytes, so results are content-defined and oracle-checkable. */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val n = r.payload.length
+    MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480,
+      r.payload.take(16).map(b => (b & 0xff).toLong).sum)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mm01: binary metadata extraction — byte length + content digest
+    // straight over the binary column.
+    "mm01_binary_meta" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha256"))
+        .orderBy("doc_id")),
+
+    // mm02: typed-Dataset mapPartitions decode (stubbed) — the real
+    // plumbing a media feature-extraction pipeline needs.
+    "mm02_decode_features" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+        .mapPartitions(_.map(decodeStub))
+        .toDF()
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm01_binary_meta" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm02_decode_features" ->
+      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
+        |  octet_length(text::BLOB) % 640 AS fake_width,
+        |  (octet_length(text::BLOB) * 7) % 480 AS fake_height,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, least(16, length(text))),
+        |      i -> ascii(substr(text, i, 1))::BIGINT)),
+        |    (a, b) -> a + b) AS checksum16
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
