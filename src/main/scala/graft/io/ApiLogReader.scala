@@ -28,7 +28,9 @@ object ApiLogReader {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.textFile(s"$dir/*_LOGS_CONVERTED/*.txt").toDF("line")
       .select(
-        regexp_extract(input_file_name(), "([^/]+)$", 1).as("sample_id"),
+        // sample_id keeps the class directory: the same basename exists
+        // in BOTH class dirs, so basename alone would merge two samples
+        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("sample_id"),
         when(input_file_name().contains("virus_LOGS_CONVERTED"), "virus")
           .otherwise("clean").as("cls"),
         normalizeToken(col("line")).as("token"))

@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
 object FeatureSelection {
 
   /** A1: per-sample distinct token sets (set semantics for document
-    * frequency). Ref `FeatureSelectionCloud.scala:337`. */
+    * frequency). Ref `FeatureSelectionCloud.scala:337`. The class is
+    * part of the key defensively — a sample_id must never straddle
+    * classes, and if an upstream reader lets one, collapsing across
+    * classes would silently undercount document frequencies. */
   def distinctCalls(calls: DataFrame): DataFrame =
-    calls.dropDuplicates("sample_id", "token")
+    calls.dropDuplicates("sample_id", "cls", "token")
 
   /** A2+A3: document frequency per (token, cls).
     * Ref `countFeatures`, `FeatureSelectionCloud.scala:376-390`. */
