@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted physical plan of the
+  * named queries (or a default set of scale-critical ones) so
+  * pushdown / pruning / broadcast / codegen claims can be checked.
+  * Usage: runMain graft.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q02_filter_project",
+        "q03_revenue_by_nation", "q04_topk_parts", "vp04_vectorize",
+        "dd03_lsh_pairs")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-explain")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -44,12 +44,20 @@ object Dedup {
   private def prefixShingles: Column =
     array_distinct(charShingles(substring(col("text"), 1, 64), 14))
 
-  private def minhashSigs: Seq[Column] = {
-    val hs = transform(prefixShingles, s => md5Long(s, 7))
+  /** Signature columns over a pre-materialized `hs_` hash-array
+    * column. The shingle md5s MUST be computed in their own projection
+    * first: referencing the raw expression from all 16 signature
+    * columns would re-inline (and re-hash) it 16 times — Catalyst does
+    * not CSE non-cheap aliases across collapsed projects, and the
+    * measured cost was ~4x on the whole query. */
+  private def minhashSigs(hs: Column): Seq[Column] =
     MinhashParams.map { case (_, a, b) =>
       array_min(transform(hs, h => (h * a + b) % P))
     }
-  }
+
+  private def withShingleHashes(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // dd01: exact dedup by content digest (here: of the 64-char prefix,
@@ -64,21 +72,21 @@ object Dedup {
     // dd02: MinHash signatures (16 hashes), long form — per-row array
     // math, no shuffle.
     "dd02_minhash_sig" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), posexplode(array(minhashSigs: _*)))
+      withShingleHashes(documents(s, d))
+        .select(col("doc_id"), posexplode(array(minhashSigs(col("hs_")): _*)))
         .withColumnsRenamed(Map("pos" -> "j", "col" -> "minhash"))
         .orderBy("doc_id", "j")),
 
     // dd03: LSH banding — docs sharing any (band, band-key) bucket are
     // candidate near-dup pairs. Shuffles band keys only.
     "dd03_lsh_pairs" -> ((s, d) => {
-      val sigs = minhashSigs
+      val sigs = minhashSigs(col("hs_"))
       val bandCols = (0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
             .map(_.cast("string")): _*).as("bkey"))
       }
-      val bands = documents(s, d)
+      val bands = withShingleHashes(documents(s, d))
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
@@ -92,13 +100,16 @@ object Dedup {
     // dd04: 32-bit SimHash over distinct word tokens — per-row bit
     // arithmetic, zero shuffle.
     "dd04_simhash" -> ((s, d) => {
-      val hs = transform(array_distinct(tokens(col("text"))), t => md5Long(t, 8))
       val bits = (0 until 32).map { b =>
-        val vote = aggregate(hs, lit(0L),
+        val vote = aggregate(col("hs_"), lit(0L),
           (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
         when(vote > 0, lit(1L << b)).otherwise(lit(0L))
       }
       documents(s, d)
+        // materialize token hashes once (see minhashSigs note)
+        .select(col("doc_id"),
+          transform(array_distinct(tokens(col("text"))),
+            t => md5Long(t, 8)).as("hs_"))
         .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     }),
@@ -127,11 +138,19 @@ object Dedup {
     // dd06: embedding-cosine near-dup pairs on a sampled subset
     // (in-order double fold → bit-identical to the oracle).
     "dd06_embedding_dup" -> ((s, d) => {
+      // norms are precomputed per vector, not per pair — sqrt(dot(v,v))
+      // is a pure function of v, so the rounded cosine is unchanged
+      // while the pair join does 1 fold instead of 3
       val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
-      val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+      val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+        .withColumn("cos", round(
+          dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.2)
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")

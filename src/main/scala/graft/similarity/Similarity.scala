@@ -46,15 +46,21 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ss01: brute-force cosine top-k — exact baseline.
+    // ss01: brute-force cosine top-k — exact baseline. Norms are
+    // precomputed per vector (pure function of the vector → identical
+    // rounded cosines, one fold per pair instead of three).
     "ss01_knn_brute" -> ((s, d) => {
-      val e = embeddings(s, d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
       val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val cand = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
       val scored = cand.crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", round(cosine(col("qe"), col("ne")), 6))
+        .withColumn("cos", round(
+          dotProduct(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -65,18 +71,20 @@ object Similarity {
 
     // ss02: LSH-bucketed ANN — search only the query's bucket.
     "ss02_knn_lsh" -> ((s, d) => {
-      val e = embeddings(s, d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
       val bk = buckets(s, d)
       val withB = e.join(bk, Seq("vec_id"))
       val q = withB.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-                col("bucket"))
+                col("nrm").as("qn"), col("bucket"))
       val cand = withB
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-                col("bucket"))
+                col("nrm").as("nn"), col("bucket"))
       val scored = cand.join(broadcast(q), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", round(cosine(col("qe"), col("ne")), 6))
+        .withColumn("cos", round(
+          dotProduct(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
