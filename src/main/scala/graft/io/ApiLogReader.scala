@@ -29,8 +29,10 @@ object ApiLogReader {
     spark.read.textFile(s"$dir/*_LOGS_CONVERTED/*.txt").toDF("line")
       .select(
         // sample_id keeps the class directory: the same basename exists
-        // in BOTH class dirs, so basename alone would merge two samples
-        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("sample_id"),
+        // in BOTH class dirs, so basename alone would merge two samples.
+        // input_file_name() is URI-encoded → decode for readable ids.
+        url_decode(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+          .as("sample_id"),
         when(input_file_name().contains("virus_LOGS_CONVERTED"), "virus")
           .otherwise("clean").as("cls"),
         normalizeToken(col("line")).as("token"))
