@@ -76,6 +76,33 @@ object MlPipeline {
         .orderBy("cluster")
     }),
 
+    // ml05: L1 k-sweep — reference sweeps k over ranges to pick the
+    // cluster count (`KmeansVirus.scala:165-173`, `SVMDT.scala:240-247`),
+    // scored by training cost (WSSSE).
+    "ml05_kmeans_cost" -> ((s, d) => {
+      val data = embeddings(s, d)
+        .select(array_to_vector(col("embedding")).as("features")).cache()
+      val rows = Seq(2, 5, 10, 20).map { k =>
+        val m = new KMeans().setK(k).setTol(1e-6).setSeed(Seed).fit(data)
+        (k, math.round(m.summary.trainingCost * 1e4) / 1e4)
+      }
+      import s.implicits._
+      rows.toDF("k", "training_cost").orderBy("k")
+    }),
+
+    // ml06: L3 — cluster centers dump (`SVMDT.scala:316`), reported as
+    // per-center L2 norms.
+    "ml06_kmeans_centers" -> ((s, d) => {
+      val data = embeddings(s, d)
+        .select(array_to_vector(col("embedding")).as("features"))
+      val m = new KMeans().setK(10).setTol(1e-6).setSeed(Seed).fit(data)
+      val rows = m.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, math.round(math.sqrt(c.toArray.map(x => x * x).sum) * 1e6) / 1e6)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("cluster", "center_l2_norm").orderBy("cluster")
+    }),
+
     // ml03: L4+L6+L7+L8 — decision-tree sweep, impurity × depth,
     // scored by AUC-ROC on the cv split (50/25/25, ref
     // `SVMDT.scala:92-95,147-164`).

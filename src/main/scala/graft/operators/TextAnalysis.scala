@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import graft.functions.Funcs._
+import graft.functions.RollingFingerprint
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,10 +74,14 @@ object TextAnalysis {
 
     // ta04: document fingerprint — rolling polynomial hash over the
     // characters (content-defined, engine-independent int arithmetic).
-    "ta04_fingerprint" -> ((s, d) =>
+    // Uses the native codegen'd Catalyst expression; Funcs.fingerprint
+    // is the composable twin (equality is spec-tested).
+    "ta04_fingerprint" -> ((s, d) => {
+      RollingFingerprint.register(s)
       documents(s, d)
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("rolling_fingerprint(text)").as("fp"))
+        .orderBy("doc_id")
+    }),
 
     // ta05: 14-char sliding-window shingles (P3) — total + distinct
     // per document.

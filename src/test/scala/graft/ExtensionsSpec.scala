@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{EntropyAggregator, Funcs, RollingFingerprint}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom-extension layer: the codegen'd Catalyst expression equals
+  * its composable twin, and the entropy Aggregator equals the window
+  * formulation (and works from SQL via udaf registration). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("RollingFingerprint equals the composable Funcs.fingerprint") {
+    RollingFingerprint.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatches = docs
+      .select(expr("rolling_fingerprint(text)").as("native"),
+        Funcs.fingerprint(col("text")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatches == 0)
+    // unicode + empty edge cases
+    val edge = Seq("", "héllo", "好的 world", "a").toDF("s")
+      .select(expr("rolling_fingerprint(s)").as("n"),
+        Funcs.fingerprint(col("s")).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("RollingFingerprint interpreted eval matches codegen") {
+    // collect through a non-codegen path (local relation eval)
+    RollingFingerprint.register(spark)
+    val v = Seq("LoadLibrary").toDF("s")
+      .select(expr("rolling_fingerprint(s)")).collect()(0).getLong(0)
+    var h = 0L
+    "LoadLibrary".foreach(ch => h = (h * 31 + ch.toInt) % 2147483647L)
+    assert(v == h)
+  }
+
+  test("EntropyAggregator equals the window formulation and runs in SQL") {
+    spark.udf.register("label_entropy", udaf(new EntropyAggregator))
+    val counts = Seq((0, "a", 5L), (0, "b", 5L), (1, "a", 9L), (1, "b", 1L),
+      (2, "a", 7L)).toDF("cluster", "label", "n")
+    counts.createOrReplaceTempView("ext_counts")
+    val got = spark.sql(
+      """SELECT cluster, label_entropy(n) AS h FROM ext_counts
+        |GROUP BY cluster ORDER BY cluster""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(0) - math.log(2)) < 1e-12) // 50/50 → ln 2
+    val h1 = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert(math.abs(got(1) - h1) < 1e-12)
+    assert(got(2) == 0.0) // pure cluster
+  }
+}
