@@ -52,6 +52,23 @@ object Codecs {
         expr("transform(slice(split(line, ' '), 2, 100000)," +
           " p -> cast(split_part(p, ':', 1) AS INT))").as("indices"))
 
+  /** S4 + P8: parse `topFeatures.txt` tuple lines back to
+    * (feature_index, token, info_gain) — the reference reparses this
+    * file in stage 2 (`KmeansVirus.scala:94-99`, name cleanup at
+    * `:99`); rank order = line order, 1-based. */
+  def readTopFeatures(lines: Dataset[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lines.toDF("line")
+      .withColumn("ord", monotonically_increasing_id())
+      .select(col("ord"),
+        regexp_extract(col("line"), "^\\((.*),([^,]*)\\)$", 1).as("token"),
+        regexp_extract(col("line"), "^\\((.*),([^,]*)\\)$", 2)
+          .cast("double").as("info_gain"))
+      .withColumn("feature_index",
+        row_number().over(Window.orderBy("ord")).cast("int"))
+      .select("feature_index", "token", "info_gain")
+  }
+
   /** K3 + P9: `cluster;label;[{"name": "X", "size": N},…]` lines —
     * byte format of `output.txt` (`KmeansVirus.scala:107-111,135`),
     * including the reference's spaces after the JSON colons (it
