@@ -167,6 +167,23 @@ object Relational {
           |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
     }),
 
+    // q14: set operations — absent from the reference (SURVEY §2.7
+    // note), free engine extensions: customers ordering in both
+    // periods (intersect) minus a segment (except).
+    "q14_setops" -> ((s, d) => {
+      val o = orders(s, d)
+      val early = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val late = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      val both = early.intersect(late)
+      val auto = customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("o_custkey"))
+      both.except(auto)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
     // q11: event-time windowed aggregation (batch twin of the
     // streaming module; hour buckets).
     "q11_events_hourly" -> ((s, d) =>
@@ -280,6 +297,18 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q14_setops" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |)
+        |ORDER BY custkey""".stripMargin,
 
     "q11_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

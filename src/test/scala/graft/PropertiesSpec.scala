@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.Funcs
+import graft.operators.FeatureSelection
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5): pipeline invariants over randomly
+  * generated tiny corpora, including tokens with the characters the
+  * normalizer strips and duplicate lines. */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rawToken = Gen.oneOf(
+    "Load Library", "Sleep+", "Create-Thread", "Open", "bind",
+    "Exec WMI", "Get-Key", " - ", "Crypt")
+  private val sample = for {
+    cls <- Gen.oneOf("virus", "clean")
+    toks <- Gen.nonEmptyListOf(rawToken)
+  } yield (cls, toks.take(8))
+  private val corpus = Gen.nonEmptyListOf(sample).map(_.take(8).zipWithIndex
+    .map { case ((cls, toks), i) => (s"s$i", cls, toks) })
+
+  private def runProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pipeline invariants hold on random corpora") {
+    runProp(Prop.forAll(corpus) { cs =>
+      val calls = cs.flatMap { case (id, cls, toks) =>
+        toks.map(t => (id, cls, t))
+      }.toDF("sample_id", "cls", "raw")
+        .select(col("sample_id"), col("cls"),
+          Funcs.normalizeToken(col("raw")).as("token"))
+        .filter(length(col("token")) > 0)
+      val nPerClass = cs.groupBy(_._2).view.mapValues(_.size).toMap
+      val totals = Seq((nPerClass.getOrElse("virus", 0).toLong,
+        cs.size.toLong)).toDF("p", "t")
+
+      val df = FeatureSelection.docFreq(calls).collect()
+      val dfOk = df.forall(r =>
+        r.getLong(2) <= nPerClass.getOrElse(r.getString(1), 0).toLong)
+
+      val ranked = FeatureSelection
+        .infoGainRanked(calls, "virus", totals).collect()
+      val gainOk = ranked.forall { r =>
+        val g = r.getDouble(3); g >= 0.0 && g <= 1.0
+      }
+
+      val top = FeatureSelection.topFeatures(
+        FeatureSelection.infoGainRanked(calls, "virus", totals), 5)
+      val vec = FeatureSelection.vectorize(calls, top, "virus").collect()
+      val k = top.count()
+      val vecOk = vec.forall { r =>
+        val fi = r.getInt(2); fi >= 1 && fi <= k &&
+          (r.getDouble(1) == 0.0 || r.getDouble(1) == 1.0)
+      }
+
+      val rows = FeatureSelection.libsvmRows(
+        FeatureSelection.vectorize(calls, top, "virus")).collect()
+      val rowsOk = rows.length <= cs.size &&
+        rows.forall(_.getString(1).matches("[01]( \\d+:1)+"))
+
+      dfOk && gainOk && vecOk && rowsOk
+    })
+  }
+
+  test("normalizeToken is idempotent") {
+    runProp(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = Seq(s).toDF("x")
+        .select(Funcs.normalizeToken(col("x"))).as[String].collect()(0)
+      val twice = Seq(once).toDF("x")
+        .select(Funcs.normalizeToken(col("x"))).as[String].collect()(0)
+      once == twice
+    })
+  }
+}
