@@ -37,6 +37,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(v == h)
   }
 
+  test("CharShingleGenerator equals explode(charShingles) incl. edges") {
+    graft.functions.CharShingleGenerator.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaGen = docs.selectExpr("doc_id", "char_shingles(text, 14) AS s")
+      .groupBy("doc_id").count()
+    val viaExplode = docs.select(col("doc_id"),
+        explode(Funcs.charShingles(col("text"), 14)).as("s"))
+      .groupBy("doc_id").count()
+    assert(viaGen.exceptAll(viaExplode).count() == 0)
+    assert(viaExplode.exceptAll(viaGen).count() == 0)
+    // short-string edge: one truncated shingle
+    val edge = Seq("abc").toDF("t")
+      .selectExpr("char_shingles(t, 14) AS s").as[String].collect()
+    assert(edge.toSeq == Seq("abc"))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d).select("l_partkey", "l_quantity")
+    val p = Tables.part(spark, d).select(col("p_partkey").as("l_partkey"),
+      col("p_brand"))
+    val plain = li.join(p, Seq("l_partkey"))
+    val salted = graft.operators.SkewTools.saltedJoin(li, p, "l_partkey", 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("l_partkey", "p_brand")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = salted.groupBy("l_partkey", "p_brand")
+      .agg(sum("l_quantity").as("q")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
   test("EntropyAggregator equals the window formulation and runs in SQL") {
     spark.udf.register("label_entropy", udaf(new EntropyAggregator))
     val counts = Seq((0, "a", 5L), (0, "b", 5L), (1, "a", 9L), (1, "b", 1L),
