@@ -91,7 +91,35 @@ object TextAnalysis {
         .select(col("doc_id"), size(sh).as("n_shingles"),
           size(array_distinct(sh)).as("n_distinct_shingles"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ta06: TF-IDF (SURVEY §7.2 slice 5) — tf exploded per (doc,
+    // token), idf from distinct-doc frequency, natural log, rounded.
+    "ta06_tfidf" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = toks.dropDuplicates("doc_id", "token")
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(df, Seq("token")).crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .select("doc_id", "token", "tf", "tfidf")
+        .orderBy("doc_id", "token")
+    }),
+
+    // em01: per-dimension embedding statistics — columnar vector
+    // analytics (mean/min/max per dimension), rounded.
+    "em01_dim_stats" -> ((s, d) =>
+      embeddings(s, d)
+        .select(posexplode(col("embedding")))
+        .withColumnsRenamed(Map("pos" -> "dim", "col" -> "v"))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("dim")
+        .agg(round(avg("v"), 6).as("mean_v"),
+          round(min("v"), 6).as("min_v"), round(max("v"), 6).as("max_v"))
+        .orderBy("dim"))
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
@@ -146,6 +174,31 @@ object TextAnalysis {
         |    i -> substr(text, i, 14))) AS n_shingles,
         |  len(list_distinct(list_transform(generate_series(1, greatest(length(text) - 13, 1)),
         |    i -> substr(text, i, 14)))) AS n_distinct_shingles
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta06_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+         |), n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, token, tf,
+         |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+         |ORDER BY doc_id, token""".stripMargin,
+
+    "em01_dim_stats" ->
+      """WITH idx AS (
+        |  SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |)
+        |SELECT i - 1 AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+        |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+        |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
+        |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin
   )
 }
