@@ -184,6 +184,18 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // q15: exact grouped percentiles — interpolated (SQL-standard
+    // percentile_cont semantics in both engines, computed from exact
+    // 2-decimal values → identical interpolation arithmetic).
+    "q15_percentiles" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // q11: event-time windowed aggregation (batch twin of the
     // streaming module; hour buckets).
     "q11_events_hourly" -> ((s, d) =>
@@ -309,6 +321,16 @@ object Relational {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |)
         |ORDER BY custkey""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q11_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
