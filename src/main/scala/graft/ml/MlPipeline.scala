@@ -33,6 +33,18 @@ object MlPipeline {
 
   private val Seed = 42L
 
+  /** Runs independent sweep points concurrently: each fit is itself a
+    * distributed job, and Spark schedules concurrent jobs from one
+    * session fairly — on a cluster this is how a grid search keeps
+    * executors busy while individual fits are small. Results keep
+    * input order (each point is seeded → deterministic). */
+  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+  }
+
   /** (label, features) — binary label: embeddings.label < 5, mirroring
     * the reference's virus/clean 1.0/0.0 (P4). */
   private def labeled(s: SparkSession, d: String): DataFrame =
@@ -82,7 +94,7 @@ object MlPipeline {
     "ml05_kmeans_cost" -> ((s, d) => {
       val data = embeddings(s, d)
         .select(array_to_vector(col("embedding")).as("features")).cache()
-      val rows = Seq(2, 5, 10, 20).map { k =>
+      val rows = inParallel(Seq(2, 5, 10, 20)) { k =>
         val m = new KMeans().setK(k).setTol(1e-6).setSeed(Seed).fit(data)
         (k, math.round(m.summary.trainingCost * 1e4) / 1e4)
       }
@@ -110,15 +122,17 @@ object MlPipeline {
       val Array(train, cv, _) =
         labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
       train.cache(); cv.cache()
+      train.count(); cv.count() // materialize before concurrent fits
       val evalr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
-      val rows =
+      val grid =
         for (imp <- Seq("entropy", "gini"); depth <- Seq(1, 2, 3, 4, 5, 10, 20))
-        yield {
-          val m = new DecisionTreeClassifier()
-            .setImpurity(imp).setMaxDepth(depth).setSeed(Seed).fit(train)
-          (imp, depth, math.round(evalr.evaluate(m.transform(cv)) * 1e4) / 1e4)
-        }
+        yield (imp, depth)
+      val rows = inParallel(grid) { case (imp, depth) =>
+        val m = new DecisionTreeClassifier()
+          .setImpurity(imp).setMaxDepth(depth).setSeed(Seed).fit(train)
+        (imp, depth, math.round(evalr.evaluate(m.transform(cv)) * 1e4) / 1e4)
+      }
       import s.implicits._
       rows.toDF("impurity", "max_depth", "auc").orderBy("impurity", "max_depth")
     }),
@@ -130,14 +144,15 @@ object MlPipeline {
       val Array(train, _, test) =
         labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
       train.cache(); test.cache()
+      train.count(); test.count() // materialize before concurrent fits
       val evalr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
       val regs = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
-      val svc = regs.map { r =>
+      val svc = inParallel(regs) { r =>
         val m = new LinearSVC().setRegParam(r).setMaxIter(10).fit(train)
         ("svc", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
       }
-      val lr = regs.map { r =>
+      val lr = inParallel(regs) { r =>
         val m = new LogisticRegression().setRegParam(r).setMaxIter(10).fit(train)
         ("lr", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
       }

@@ -25,6 +25,12 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und"),
     "es" -> Seq("el", "la", "los", "de"))
 
+  /** Character-trigram profiles (incl. word-boundary spaces). */
+  private val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "the", "he ", " th", "ing", "and"),
+    "de" -> Seq("der", "ein", "sch", "ich", "nde", "die"),
+    "es" -> Seq("de ", "la ", "os ", "ent", "ció", "que"))
+
   private def countIn(toks: org.apache.spark.sql.Column, words: Seq[String]) =
     size(filter(toks, t => t.isin(words: _*)))
 
@@ -90,6 +96,30 @@ object TextAnalysis {
       documents(s, d)
         .select(col("doc_id"), size(sh).as("n_shingles"),
           size(array_distinct(sh)).as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // ta07: n-gram-profile language ID — character-trigram hit counts
+    // against per-language profiles (the classic heuristic; the
+    // stopword variant is ta03). Argmax with fixed tie-break order.
+    "ta07_langid_ngram" -> ((s, d) => {
+      // three projections: shingle array materialized once, scores
+      // computed from it once, argmax from the integer scores — the
+      // single-projection form re-inlined the array 9x (no CSE across
+      // aliases; measured 9.5s -> ~1s at sf0.1)
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(charShingles(col("text"), 3)).as("tris_"))
+        .select(col("doc_id"), col("lang"),
+          size(filter(col("tris_"),
+            t => t.isin(TrigramProfiles(0)._2: _*))).as("g_en"),
+          size(filter(col("tris_"),
+            t => t.isin(TrigramProfiles(1)._2: _*))).as("g_de"),
+          size(filter(col("tris_"),
+            t => t.isin(TrigramProfiles(2)._2: _*))).as("g_es"))
+      scored.withColumn("predicted_lang",
+          when(col("g_en") >= col("g_de") && col("g_en") >= col("g_es"), "en")
+            .when(col("g_de") >= col("g_es"), "de").otherwise("es"))
         .orderBy("doc_id")
     }),
 
@@ -175,6 +205,24 @@ object TextAnalysis {
         |  len(list_distinct(list_transform(generate_series(1, greatest(length(text) - 13, 1)),
         |    i -> substr(text, i, 14)))) AS n_distinct_shingles
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta07_langid_ngram" -> {
+      def triSql(gs: Seq[String]) =
+        s"""len(list_filter(list_distinct(list_transform(
+           |  generate_series(1, greatest(length(text) - 2, 1)),
+           |  i -> substr(text, i, 3))),
+           |  t -> t IN (${gs.map("'" + _ + "'").mkString(", ")})))"""
+          .stripMargin.replace("\n", "")
+      val en = triSql(TrigramProfiles(0)._2)
+      val de = triSql(TrigramProfiles(1)._2)
+      val es = triSql(TrigramProfiles(2)._2)
+      s"""SELECT doc_id, lang,
+         |  $en AS g_en, $de AS g_de, $es AS g_es,
+         |  CASE WHEN $en >= $de AND $en >= $es THEN 'en'
+         |       WHEN $de >= $es THEN 'de'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "ta06_tfidf" ->
       s"""WITH toks AS (
