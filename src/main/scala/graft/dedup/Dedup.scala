@@ -135,6 +135,52 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // dd07: duplicate-group resolution — connected components over the
+    // LSH candidate pairs (the step that turns pairs into dedup
+    // groups: keep min-id per group, drop the rest). Iterative
+    // min-label propagation, each round a shuffle join on doc_id;
+    // group diameter is tiny so a fixed round count converges (the
+    // scale pattern is iterate-until-fixpoint with a convergence
+    // check; 8 rounds ≫ any real near-dup cluster diameter here).
+    "dd07_dup_groups" -> ((s, d) => {
+      val sigs = minhashSigs(col("hs_"))
+      val bandCols = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+            .map(_.cast("string")): _*).as("bkey"))
+      }
+      val bands = withShingleHashes(documents(s, d))
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      val pairs = a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().cache()
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .cache()
+      var labels = edges.select(col("doc_a").as("doc_id"))
+        .distinct().withColumn("group_id", col("doc_id"))
+        .localCheckpoint()
+      for (_ <- 1 to 8) {
+        val neighborMin = edges
+          .join(labels, edges("doc_b") === labels("doc_id"))
+          .groupBy(edges("doc_a").as("doc_id"))
+          .agg(min("group_id").as("nmin"))
+        labels = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+              .as("group_id"))
+          // truncate lineage every round: the loop otherwise embeds the
+          // previous plan twice per iteration (2^rounds blowup — went
+          // 102 s at sf0.1 without this, ~2 s with it). On a cluster
+          // use reliable checkpointing instead of local.
+          .localCheckpoint()
+      }
+      labels.orderBy("doc_id")
+    }),
+
     // dd06: embedding-cosine near-dup pairs on a sampled subset
     // (in-order double fold → bit-identical to the oracle).
     "dd06_embedding_dup" -> ((s, d) => {
@@ -246,6 +292,30 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.06
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd07_dup_groups" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT doc_a, doc_a FROM edges
+         |    UNION
+         |    SELECT r.src, e.doc_b FROM r JOIN edges e ON r.dst = e.doc_a
+         |  ) SELECT src, dst FROM r
+         |)
+         |SELECT src AS doc_id, min(dst) AS group_id
+         |FROM reach GROUP BY src
+         |ORDER BY doc_id""".stripMargin,
 
     "dd06_embedding_dup" ->
       s"""WITH sub AS (
