@@ -93,13 +93,8 @@ object VirusPipeline {
   def entropyScore(assignments: DataFrame): Double = {
     val counts = assignments.groupBy("cluster", "label")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("cluster")
-    counts.withColumn("tot", sum("n").over(w))
-      .withColumn("term",
-        -(col("n").cast("double") / col("tot")) *
-          log(col("n").cast("double") / col("tot")))
-      .groupBy("cluster").agg(sum("n").as("cn"), sum("term").as("h"))
-      .agg(sum(col("cn") * col("h")) / sum(col("cn")))
+    graft.functions.Funcs.clusterEntropy(counts)
+      .agg(sum(col("n_total") * col("entropy_raw")) / sum(col("n_total")))
       .collect()(0).getDouble(0)
   }
 

@@ -59,6 +59,26 @@ object Dedup {
     df.select(col("doc_id"),
       transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
 
+  /** LSH candidate pairs (doc_a < doc_b): docs sharing any
+    * (band, band-key) bucket. Shared by dd03 (pair listing) and dd07
+    * (group resolution) so banding changes once. */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(col("hs_"))
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+          .map(_.cast("string")): _*).as("bkey"))
+    }
+    val bands = withShingleHashes(documents(s, d))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // dd01: exact dedup by content digest (here: of the 64-char prefix,
     // where the corpus genuinely has duplicate groups). Keeper = min id.
@@ -79,23 +99,8 @@ object Dedup {
 
     // dd03: LSH banding — docs sharing any (band, band-key) bucket are
     // candidate near-dup pairs. Shuffles band keys only.
-    "dd03_lsh_pairs" -> ((s, d) => {
-      val sigs = minhashSigs(col("hs_"))
-      val bandCols = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
-            .map(_.cast("string")): _*).as("bkey"))
-      }
-      val bands = withShingleHashes(documents(s, d))
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd03_lsh_pairs" -> ((s, d) =>
+      candidatePairs(s, d).orderBy("doc_a", "doc_b")),
 
     // dd04: 32-bit SimHash over distinct word tokens — per-row bit
     // arithmetic, zero shuffle.
@@ -143,20 +148,7 @@ object Dedup {
     // scale pattern is iterate-until-fixpoint with a convergence
     // check; 8 rounds ≫ any real near-dup cluster diameter here).
     "dd07_dup_groups" -> ((s, d) => {
-      val sigs = minhashSigs(col("hs_"))
-      val bandCols = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
-            .map(_.cast("string")): _*).as("bkey"))
-      }
-      val bands = withShingleHashes(documents(s, d))
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
-      val pairs = a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct().cache()
+      val pairs = candidatePairs(s, d).cache()
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .cache()
@@ -231,11 +223,7 @@ object Dedup {
       .stripMargin.replace("\n", "")
   }.mkString(" + ")
 
-  private def dotSql(x: String, y: String) =
-    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |  list_transform(generate_series(1, len($x)),
-       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+  private def dotSql(x: String, y: String) = dotProductSql(x, y)
 
   val oracles: Map[String, String] = Map(
     "dd01_exact_dedup" ->

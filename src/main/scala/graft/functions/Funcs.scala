@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Shared column-expression helpers.
@@ -74,6 +75,29 @@ object Funcs {
   def infoGain(p: Column, t: Column, tg: Column, pg: Column): Column =
     entropy2(p, t) - (tg / t) * entropy2(pg, tg) -
       ((t - tg) / t) * entropy2(p - pg, t - tg)
+
+  /** Per-cluster multiclass label entropy (natural log) from a
+    * `(cluster, label, n)` counts table — the reference's M3
+    * (`KmeansVirus.scala:199-206`) as one window + one aggregate.
+    * Returns `(cluster, n_total, entropy_raw)` unrounded; callers
+    * round / weight. Shared by vp06/vp07, ml02, and the pipeline
+    * app's score so the term math lives once. */
+  def clusterEntropy(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster")
+    val p = col("n").cast("double") / col("tot")
+    counts.withColumn("tot", sum("n").over(w))
+      .withColumn("term", -p * log(p))
+      .groupBy("cluster")
+      .agg(sum("n").as("n_total"), sum("term").as("entropy_raw"))
+  }
+
+  /** DuckDB SQL of the in-order dot product (shared by the dedup and
+    * similarity oracles — the Spark twin is [[dotProduct]]). */
+  def dotProductSql(x: String, y: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($x)),
+       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
 
   /** In-order dot product of two float-array columns (cast to double
     * element-wise first). Matches DuckDB

@@ -78,13 +78,9 @@ object MlPipeline {
       val counts = model.transform(data)
         .groupBy(col("prediction").as("cluster"), col("label"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("cluster")
-      counts.withColumn("tot", sum("n").over(w))
-        .withColumn("term",
-          -(col("n").cast("double") / col("tot")) *
-            log(col("n").cast("double") / col("tot")))
-        .groupBy("cluster")
-        .agg(sum("n").as("n_vectors"), round(sum("term"), 6).as("entropy"))
+      graft.functions.Funcs.clusterEntropy(counts)
+        .select(col("cluster"), col("n_total").as("n_vectors"),
+          round(col("entropy_raw"), 6).as("entropy"))
         .orderBy("cluster")
     }),
 
@@ -94,10 +90,12 @@ object MlPipeline {
     "ml05_kmeans_cost" -> ((s, d) => {
       val data = embeddings(s, d)
         .select(array_to_vector(col("embedding")).as("features")).cache()
+      data.count() // materialize before concurrent fits
       val rows = inParallel(Seq(2, 5, 10, 20)) { k =>
         val m = new KMeans().setK(k).setTol(1e-6).setSeed(Seed).fit(data)
         (k, math.round(m.summary.trainingCost * 1e4) / 1e4)
       }
+      data.unpersist(false)
       import s.implicits._
       rows.toDF("k", "training_cost").orderBy("k")
     }),
@@ -133,6 +131,7 @@ object MlPipeline {
           .setImpurity(imp).setMaxDepth(depth).setSeed(Seed).fit(train)
         (imp, depth, math.round(evalr.evaluate(m.transform(cv)) * 1e4) / 1e4)
       }
+      train.unpersist(false); cv.unpersist(false)
       import s.implicits._
       rows.toDF("impurity", "max_depth", "auc").orderBy("impurity", "max_depth")
     }),
@@ -156,6 +155,7 @@ object MlPipeline {
         val m = new LogisticRegression().setRegParam(r).setMaxIter(10).fit(train)
         ("lr", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
       }
+      train.unpersist(false); test.unpersist(false)
       import s.implicits._
       (svc ++ lr).toDF("model", "reg_param", "auc").orderBy("model", "reg_param")
     })

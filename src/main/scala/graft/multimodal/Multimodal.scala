@@ -26,12 +26,23 @@ object Multimodal {
 
   /** STUB decode — deterministic fake standing in for a real image
     * decoder (no codec libraries in this environment). Geometry is
-    * derived from payload length, the checksum from the first 16
-    * bytes, so results are content-defined and oracle-checkable. */
+    * derived from payload byte length, the checksum from the first 16
+    * CODE POINTS of the UTF-8 decode — matching the oracle's
+    * `ascii(substr(text,i,1))`, which is code-point-based; summing raw
+    * bytes would diverge on any non-ASCII payload. */
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
-    MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480,
-      r.payload.take(16).map(b => (b & 0xff).toLong).sum)
+    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    var sum = 0L
+    var i = 0
+    var taken = 0
+    while (i < s.length && taken < 16) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      sum += cp
+      taken += 1
+    }
+    MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480, sum)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -44,10 +44,13 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("l_quantity").as("sum_qty"),
+          // quantities are DOUBLE in the data: sum in decimal so the
+          // aggregate is exact and order-independent like the money terms
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(revenueTerm).cast("double").as("sum_disc_price"),
-          avg("l_quantity").as("avg_qty"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -81,7 +84,8 @@ object Relational {
     "q04_topk_parts" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_partkey")
-        .agg(sum("l_quantity").as("total_qty"), count(lit(1)).as("n_lines"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"), count(lit(1)).as("n_lines"))
         .orderBy(col("total_qty").desc, col("l_partkey").asc)
         .limit(10)),
 
@@ -220,10 +224,10 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          |  CAST(sum($revenueTermSql) AS DOUBLE) AS sum_disc_price,
-         |  avg(l_quantity) AS avg_qty,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -252,7 +256,9 @@ object Relational {
          |ORDER BY r_name, n_name""".stripMargin,
 
     "q04_topk_parts" ->
-      """SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+      """SELECT l_partkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  count(*) AS n_lines
         |FROM lineitem
         |GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey ASC

@@ -149,33 +149,23 @@ object TextPipeline {
     // entropy operator itself is oracle-checkable; the real k-means
     // variant lives in the ml module. Ref `KmeansVirus.scala:199-206`.
     "vp06_cluster_entropy" -> ((s, d) => {
-      val base = documents(s, d)
+      val counts = documents(s, d)
         .select((col("doc_id") % 10).as("cluster"), col("lang").as("label"))
-      val counts = base.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("cluster")
-      counts.withColumn("tot", sum("n").over(w))
-        .withColumn("term",
-          -(col("n").cast("double") / col("tot")) *
-            log(col("n").cast("double") / col("tot")))
-        .groupBy("cluster")
-        .agg(sum("n").as("n_docs"), round(sum("term"), 6).as("entropy"))
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      clusterEntropy(counts)
+        .select(col("cluster"), col("n_total").as("n_docs"),
+          round(col("entropy_raw"), 6).as("entropy"))
         .orderBy("cluster")
     }),
 
     // vp07: A6 weighted-average entropy score (global scalar), ref
     // `costlyWeightedAveEntropyScore`, `SVMDT.scala:264-284`.
     "vp07_entropy_score" -> ((s, d) => {
-      val base = documents(s, d)
+      val counts = documents(s, d)
         .select((col("doc_id") % 10).as("cluster"), col("lang").as("label"))
-      val counts = base.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("cluster")
-      counts.withColumn("tot", sum("n").over(w))
-        .withColumn("term",
-          -(col("n").cast("double") / col("tot")) *
-            log(col("n").cast("double") / col("tot")))
-        .groupBy("cluster")
-        .agg(sum("n").as("cn"), sum("term").as("h"))
-        .agg(round(sum(col("cn") * col("h")) / sum(col("cn")), 6)
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      clusterEntropy(counts)
+        .agg(round(sum(col("n_total") * col("entropy_raw")) / sum(col("n_total")), 6)
           .as("weighted_entropy"))
     })
   )

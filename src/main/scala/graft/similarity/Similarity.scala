@@ -94,11 +94,7 @@ object Similarity {
     })
   )
 
-  private def dotSql(x: String, y: String) =
-    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |  list_transform(generate_series(1, len($x)),
-       |    i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))),
-       |  (acc, v) -> acc + v)""".stripMargin.replace("\n", "")
+  private def dotSql(x: String, y: String) = dotProductSql(x, y)
 
   private def cosSql(x: String, y: String) =
     s"round(${dotSql(x, y)} / (sqrt(${dotSql(x, x)}) * sqrt(${dotSql(y, y)})), 6)"

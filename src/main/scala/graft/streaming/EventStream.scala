@@ -48,7 +48,11 @@ object EventStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val q = stream.writeStream.outputMode("complete")
       .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
     spark.table(sinkName)
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
