@@ -142,11 +142,13 @@ object Dedup {
 
     // dd07: duplicate-group resolution — connected components over the
     // LSH candidate pairs (the step that turns pairs into dedup
-    // groups: keep min-id per group, drop the rest). Iterative
-    // min-label propagation, each round a shuffle join on doc_id;
-    // group diameter is tiny so a fixed round count converges (the
-    // scale pattern is iterate-until-fixpoint with a convergence
-    // check; 8 rounds ≫ any real near-dup cluster diameter here).
+    // groups: keep min-id per group, drop the rest). Each round does
+    // min-label propagation over edges (hash-min) AND a pointer-jump
+    // (label := label of my label), so label depth halves per round —
+    // convergence in O(log diameter) rounds, not O(diameter). The loop
+    // exits at the observed fixpoint: the convergence probe is a cheap
+    // count on the round's already-materialized checkpoint, so it adds
+    // no extra pass over the data.
     "dd07_dup_groups" -> ((s, d) => {
       val pairs = candidatePairs(s, d).cache()
       val edges = pairs
@@ -155,20 +157,34 @@ object Dedup {
       var labels = edges.select(col("doc_a").as("doc_id"))
         .distinct().withColumn("group_id", col("doc_id"))
         .localCheckpoint()
-      for (_ <- 1 to 8) {
+      var converged = false
+      var round = 0
+      while (!converged && round < 8) {
+        round += 1
         val neighborMin = edges
           .join(labels, edges("doc_b") === labels("doc_id"))
           .groupBy(edges("doc_a").as("doc_id"))
           .agg(min("group_id").as("nmin"))
-        labels = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("group_id").as("old_group"),
             least(col("group_id"), coalesce(col("nmin"), col("group_id")))
               .as("group_id"))
+        // pointer jump: follow my label's label (labels form a
+        // min-rooted forest, so this halves chain depth every round)
+        val parent = propagated
+          .select(col("doc_id").as("p_id"), col("group_id").as("p_group"))
+        val jumped = propagated
+          .join(parent, propagated("group_id") === parent("p_id"), "left")
+          .select(col("doc_id"), col("old_group"),
+            coalesce(col("p_group"), col("group_id")).as("group_id"))
           // truncate lineage every round: the loop otherwise embeds the
           // previous plan twice per iteration (2^rounds blowup — went
           // 102 s at sf0.1 without this, ~2 s with it). On a cluster
           // use reliable checkpointing instead of local.
           .localCheckpoint()
+        converged = jumped.filter(col("group_id") =!= col("old_group"))
+          .isEmpty
+        labels = jumped.select("doc_id", "group_id")
       }
       labels.orderBy("doc_id")
     }),
