@@ -218,7 +218,74 @@ object Relational {
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
              min("k").as("min_k"), max("k").as("max_k"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // q16: as-of join — for each purchase, the most recent click of
+    // the same user at-or-before the purchase time (attribution).
+    // Implemented as union-tag + one window pass: a single shuffle on
+    // user_id, never a per-row range probe — the canonical scale shape
+    // for as-of (a theta-join formulation would be a nested-loop over
+    // every (purchase, click) pair). Ties: a click at exactly the
+    // purchase ts counts (kind orders clicks first), newer click wins,
+    // equal-ts clicks break on event_id.
+    "q16_asof_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+          col("event_id").as("c_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("c_id"),
+          lit(null).cast("timestamp").as("c_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_event_id", last("c_id", ignoreNulls = true).over(w))
+        .withColumn("click_ts", last("c_ts", ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+        .orderBy("event_id")
+    }),
+
+    // q17: range join — clicks of the same user in the 5 minutes
+    // before each error. The inequality is turned into an equi-join on
+    // (user_id, 5-minute bin): each error probes its own and the
+    // previous bin, the exact range filter runs after. A raw
+    // inequality join would plan as a nested loop; the binned form is
+    // a plain shuffle-hash join whose candidate set per row is bounded
+    // by the bin width, independent of total data size.
+    "q17_range_join" -> ((s, d) => {
+      val binUs = 300000000L // 5 minutes in microseconds
+      val ev = events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("e_us"))
+      val probes = errors.withColumn("bin",
+        explode(array(expr(s"e_us div $binUs") - 1, expr(s"e_us div $binUs"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+        .withColumn("bin", expr(s"c_us div $binUs"))
+      val counts = probes.join(clicks, Seq("user_id", "bin"))
+        .filter(col("c_us") >= col("e_us") - binUs && col("c_us") < col("e_us"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks_5m"))
+      errors.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("n_clicks_5m"), lit(0L)).as("n_clicks_5m"))
+        .orderBy("event_id")
+    }),
+
+    // q18: cube — grouping-sets aggregate over (returnflag,
+    // linestatus); the subtotal/grand-total rows come out of one
+    // pass with partial aggregation, not four separate scans.
+    "q18_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,6 +420,48 @@ object Relational {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Same union-tag + window formulation as the Spark side (rather
+    // than DuckDB's native ASOF JOIN) so equal-timestamp tie-breaking
+    // is identical by construction.
+    "q16_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS kind, event_id,
+        |    event_id AS c_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS kind, event_id,
+        |    NULL::BIGINT AS c_id, NULL::TIMESTAMP AS c_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), w AS (
+        |  SELECT user_id, ts, kind, event_id,
+        |    last_value(c_id IGNORE NULLS) OVER win AS click_event_id,
+        |    last_value(c_ts IGNORE NULLS) OVER win AS click_ts
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts, click_event_id, click_ts
+        |FROM w WHERE kind = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q17_range_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, count(c.user_id) AS n_clicks_5m
+        |FROM events e LEFT JOIN events c
+        |  ON c.user_id = e.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(e.ts) - 300000000
+        | AND epoch_us(c.ts) < epoch_us(e.ts)
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id, e.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }

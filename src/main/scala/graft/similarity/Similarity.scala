@@ -91,6 +91,58 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select("query_id", "rank", "neighbor_id", "bucket", "cos")
         .orderBy("query_id", "rank")
+    }),
+
+    // ss03: IVF ANN — inverted-file index with a coarse quantizer.
+    // Every vector is assigned to its nearest "centroid" (here the
+    // embeddings of vec_id 0..7 — data-derived and deterministic so
+    // the oracle reproduces the cells exactly; at scale the centroids
+    // come from a seeded k-means fit, which changes nothing below).
+    // A query probes its nprobe=2 nearest cells and scores only those
+    // cells' members. Cell assignment is one broadcast cross join +
+    // map-side-combined max_by per vector — no all-pairs work; with
+    // the table written partitioned by cell, a probe reads 2
+    // partitions (see BucketLayoutSpec for the pruning proof).
+    "ss03_knn_ivf" -> ((s, d) => {
+      val NumCents = 8
+      val NProbe = 2
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+      val cents = e.filter(col("vec_id") < NumCents)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+          col("nrm").as("cn"))
+      val centScores = e.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(
+          dotProduct(col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
+      // nearest centroid per vector: lexicographic max of
+      // (cos, -cent_id) — partial aggregation collapses the 8
+      // candidate rows map-side, so the shuffle carries one row/vector
+      val assigned = centScores
+        .groupBy("vec_id")
+        .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("best"))
+        .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"))
+        .join(e, Seq("vec_id"))
+      val probeW = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      val probes = centScores.filter(col("vec_id") < NumQueries)
+        .withColumn("rk", row_number().over(probeW))
+        .filter(col("rk") <= NProbe)
+        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("cos"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -144,6 +196,40 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, rank, neighbor_id, bucket, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss03_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         |  WHERE vec_id < 8
+         |), cent_scores AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    ${cosSql("e.embedding", "c.cent")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
+         |    FROM cent_scores) WHERE rk = 1
+         |), probes AS (
+         |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
+         |    FROM cent_scores WHERE vec_id < $NumQueries) WHERE rk <= 2
+         |), ranked AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC,
+         |        a.vec_id ASC) AS rank
+         |  FROM probes p
+         |  JOIN assigned a USING (cell)
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id
+         |)
+         |SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
   )
