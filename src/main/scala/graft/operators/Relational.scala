@@ -275,6 +275,21 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q19: approximate aggregates — HLL++ distinct counts and
+    // quantile sketches. No SQL oracle (sketch estimates are
+    // engine-specific; the driver records a rows-only check) — the
+    // exact twins q09/q15 are the correctness anchors. At 100 TB
+    // these are what replaces them when exactness isn't required:
+    // fixed-size sketch state instead of shuffling every distinct key.
+    "q19_approx" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+            .as("qty_pcts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // q18: cube — grouping-sets aggregate over (returnflag,
     // linestatus); the subtotal/grand-total rows come out of one
     // pass with partial aggregation, not four separate scans.

@@ -59,10 +59,66 @@ object EventStream {
       .orderBy("hour", "event_type")
   }
 
+  /** Stages `copies` symlinks to events.parquet in a temp dir, runs
+    * `build` on a parquet stream of it, drains to a memory sink, and
+    * returns the sink table. */
+  private def runStream(spark: SparkSession, dir: String, sinkName: String,
+      copies: Int, outputMode: String)
+      (build: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val links = (1 to copies).map { i =>
+      val l = srcDir.resolve(s"events_$i.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        l, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      l
+    }
+    val stream = build(
+      spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    val q = stream.writeStream.outputMode(outputMode)
+      .format("memory").queryName(sinkName).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      links.foreach(java.nio.file.Files.deleteIfExists)
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
+    spark.table(sinkName)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // st01: the streaming twin of q11 — executed through a real
     // StreamingQuery (memory sink), oracle-checked like any batch op.
-    "st01_stream_hourly" -> ((s, d) => hourlyTotals(s, d)))
+    "st01_stream_hourly" -> ((s, d) => hourlyTotals(s, d)),
+
+    // st02: streaming deduplication — the source is staged TWICE (two
+    // files with identical rows), and `dropDuplicatesWithinWatermark`
+    // on event_id collapses them back to one row each; the oracle is
+    // simply the original table. State is bounded by the watermark
+    // (an unbounded streaming dedup would accumulate every key ever
+    // seen); at scale this is the at-least-once-ingest → exactly-once
+    // -downstream repair step.
+    "st02_stream_dedup" -> ((s, d) =>
+      runStream(s, d, "st_events_dedup", copies = 2, outputMode = "append") {
+        df =>
+          df.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), col("event_type"), col("value"))
+      }.orderBy("event_id")),
+
+    // st03: stream–static join — the static side (per-user totals
+    // would be a dimension table in production) is broadcast into
+    // every micro-batch; the stream side never shuffles. Joining to
+    // `customer` on user_id ⊂ custkey enriches events with segment.
+    "st03_stream_static_join" -> ((s, d) =>
+      runStream(s, d, "st_events_enrich", copies = 1, outputMode = "append") {
+        df =>
+          val dim = broadcast(graft.Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment")))
+          df.join(dim, df("user_id") === dim("c_custkey"))
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("c_mktsegment"))
+      }.orderBy("event_id")))
 
   val oracles: Map[String, String] = Map(
     "st01_stream_hourly" ->
@@ -70,5 +126,14 @@ object EventStream {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY hour, event_type""".stripMargin)
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "st02_stream_dedup" ->
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "st03_stream_static_join" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)
 }

@@ -84,4 +84,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(got(1) - h1) < 1e-12)
     assert(got(2) == 0.0) // pure cluster
   }
+
+  test("GraftExtensions injects the native functions via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    // Build a second session over the shared SparkContext with the
+    // extensions injected — same GraftExtensions class the cluster
+    // path loads from the spark.sql.extensions static conf (a static
+    // conf can't change on an existing context, so the test uses the
+    // builder.withExtensions form of the same hook; no register()
+    // call anywhere). getOrCreate must not short-circuit to the test
+    // session, so active/default are cleared and restored.
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne prev)
+      val fp = s2.sql("SELECT rolling_fingerprint('LoadLibrary') AS fp")
+        .collect()(0).getLong(0)
+      var h = 0L
+      "LoadLibrary".foreach(ch => h = (h * 31 + ch.toInt) % 2147483647L)
+      assert(fp == h)
+      val sh = s2.sql("SELECT char_shingles('abcdef', 3) AS s")
+        .collect().map(_.getString(0)).toSeq
+      assert(sh == Seq("abc", "bcd", "cde", "def"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
 }
