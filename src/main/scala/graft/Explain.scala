@@ -13,7 +13,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q02_filter_project",
         "q03_revenue_by_nation", "q04_topk_parts", "vp04_vectorize",
-        "dd03_lsh_pairs")
+        "dd03_lsh_pairs", "q16_asof_join", "q17_range_join",
+        "ss03_knn_ivf")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")

@@ -275,6 +275,20 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q20: pivot — long→wide reshape with an explicit value list (an
+    // implicit list would add a distinct-scan job and make column
+    // order nondeterministic). One partial+final aggregate; each
+    // output cell is a conditional count, so the plan is identical to
+    // hand-written CASE WHEN aggregation.
+    "q20_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
     // q19: approximate aggregates — HLL++ distinct counts and
     // quantile sketches. No SQL oracle (sketch estimates are
     // engine-specific; the driver records a rows-only check) — the
@@ -470,6 +484,17 @@ object Relational {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q20_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q18_cube" ->
       """SELECT l_returnflag, l_linestatus,

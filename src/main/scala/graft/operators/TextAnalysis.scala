@@ -90,14 +90,16 @@ object TextAnalysis {
     }),
 
     // ta05: 14-char sliding-window shingles (P3) — total + distinct
-    // per document.
-    "ta05_shingles" -> ((s, d) => {
-      val sh = charShingles(col("text"), 14)
+    // per document. The total is pure arithmetic (greatest(len-13,1)
+    // by charShingles' definition) — only the distinct count pays for
+    // materializing the shingle array.
+    "ta05_shingles" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), size(sh).as("n_shingles"),
-          size(array_distinct(sh)).as("n_distinct_shingles"))
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"),
+          greatest(length(col("text")) - 13, lit(1)).as("n_shingles"),
+          size(array_distinct(charShingles(col("text"), 14)))
+            .as("n_distinct_shingles"))
+        .orderBy("doc_id")),
 
     // ta07: n-gram-profile language ID — character-trigram hit counts
     // against per-language profiles (the classic heuristic; the
