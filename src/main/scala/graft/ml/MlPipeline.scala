@@ -147,17 +147,22 @@ object MlPipeline {
       val evalr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
       val regs = Seq(0.001, 0.01, 0.1, 1.0, 10.0)
-      val svc = inParallel(regs) { r =>
-        val m = new LinearSVC().setRegParam(r).setMaxIter(10).fit(train)
-        ("svc", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
-      }
-      val lr = inParallel(regs) { r =>
-        val m = new LogisticRegression().setRegParam(r).setMaxIter(10).fit(train)
-        ("lr", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
+      // one concurrent batch across BOTH model families — two
+      // sequential batches would leave executors half-idle while the
+      // slowest fit of each batch drains
+      val grid = regs.map(("svc", _)) ++ regs.map(("lr", _))
+      val rows = inParallel(grid) {
+        case ("svc", r) =>
+          val m = new LinearSVC().setRegParam(r).setMaxIter(10).fit(train)
+          ("svc", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
+        case (_, r) =>
+          val m = new LogisticRegression().setRegParam(r).setMaxIter(10)
+            .fit(train)
+          ("lr", r, math.round(evalr.evaluate(m.transform(test)) * 1e4) / 1e4)
       }
       train.unpersist(false); test.unpersist(false)
       import s.implicits._
-      (svc ++ lr).toDF("model", "reg_param", "auc").orderBy("model", "reg_param")
+      rows.toDF("model", "reg_param", "auc").orderBy("model", "reg_param")
     })
   )
 

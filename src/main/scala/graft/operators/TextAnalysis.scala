@@ -125,6 +125,23 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta08: BPE-ish regex tokenization — alpha runs, digit runs, and
+    // punctuation runs as separate pieces (the pre-tokenization split
+    // a byte-pair encoder starts from; ta01 is the whitespace
+    // baseline). Disjoint character classes → identical leftmost
+    // matching in Java regex and the oracle's RE2.
+    "ta08_regex_tokens" -> ((s, d) => {
+      def pieces(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      documents(s, d)
+        .select(col("doc_id"),
+          pieces("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+").as("n_pieces"),
+          pieces("[A-Za-z]+").as("n_alpha"),
+          pieces("[0-9]+").as("n_num"),
+          pieces("[^A-Za-z0-9 ]+").as("n_other"))
+        .orderBy("doc_id")
+    }),
+
     // ta06: TF-IDF (SURVEY §7.2 slice 5) — tf exploded per (doc,
     // token), idf from distinct-doc frequency, natural log, rounded.
     "ta06_tfidf" -> ((s, d) => {
@@ -225,6 +242,14 @@ object TextAnalysis {
          |       ELSE 'es' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "ta08_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS n_pieces,
+        |  len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+        |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ta06_tfidf" ->
       s"""WITH toks AS (
