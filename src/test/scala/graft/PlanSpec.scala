@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale-critical plan properties
+  * claimed in SCALE.md are asserted here, so a refactor that silently
+  * loses a pushdown, a broadcast, or a top-K shortcut — or introduces
+  * a nested-loop join — fails the suite, not just the benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q02 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("IsNotNull(l_shipdate)"))
+    // pruned read schema: none of the unused lineitem columns
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"))
+  }
+
+  test("q03 broadcasts dimension tables, never the fact side") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q04 top-K compiles to TakeOrderedAndProject (no total sort)") {
+    val p = plan("q04_topk_parts")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q16 as-of join is one window pass, no join at all") {
+    val p = plan("q16_asof_join")
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+  }
+
+  test("q17 range join plans as an equi hash join, not a nested loop") {
+    val p = plan("q17_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("vp04 vectorize broadcasts the feature table into one corpus join") {
+    val p = plan("vp04_vectorize")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("ss01 brute-force ANN broadcasts the query set") {
+    val p = plan("ss01_knn_brute")
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q01 aggregate is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val firstFinal = p.indexOf("HashAggregate")
+    assert(firstFinal >= 0)
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+}
