@@ -189,6 +189,31 @@ object Dedup {
       labels.orderBy("doc_id")
     }),
 
+    // dd08: embedding near-dup at scale — the UNSAMPLED version of
+    // dd06: candidate pairs come only from within a random-hyperplane
+    // LSH bucket (same bucketing as ss02), so the join is an equi-join
+    // on bucket id over the full table, never an all-pairs cross. The
+    // per-bucket pair count is what the plane count controls; dd06's
+    // sampled all-pairs form remains as the recall reference.
+    "dd08_embedding_dup_lsh" -> ((s, d) => {
+      val bk = graft.similarity.Similarity.buckets(s, d)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+        .join(bk, Seq("vec_id"))
+      val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.2)
+        .select("vec_a", "vec_b", "bucket", "cos")
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // dd06: embedding-cosine near-dup pairs on a sampled subset
     // (in-order double fold → bit-identical to the oracle).
     "dd06_embedding_dup" -> ((s, d) => {
@@ -320,6 +345,29 @@ object Dedup {
          |SELECT src AS doc_id, min(dst) AS group_id
          |FROM reach GROUP BY src
          |ORDER BY doc_id""".stripMargin,
+
+    "dd08_embedding_dup_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS plane_id, embedding AS plane FROM embeddings
+         |  WHERE vec_id < 4
+         |), buckets AS (
+         |  SELECT vec_id, sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+         |    THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+         |  FROM embeddings CROSS JOIN planes
+         |  GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ab.bucket,
+         |    round(${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos
+         |  FROM buckets ab
+         |  JOIN buckets bb ON ab.bucket = bb.bucket AND ab.vec_id < bb.vec_id
+         |  JOIN embeddings a ON a.vec_id = ab.vec_id
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |)
+         |SELECT vec_a, vec_b, bucket, cos FROM pairs
+         |WHERE cos >= 0.2
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dd06_embedding_dup" ->
       s"""WITH sub AS (

@@ -31,8 +31,9 @@ object Similarity {
   private val NumPlanes = 4
   private val TopK = 10
 
-  /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0]. */
-  private def buckets(s: SparkSession, d: String): DataFrame = {
+  /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
+    * Shared with dedup.Dedup (dd08 pairs within a bucket). */
+  def buckets(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
     val planes = e.filter(col("vec_id") < NumPlanes)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
