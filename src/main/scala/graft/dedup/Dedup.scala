@@ -123,8 +123,13 @@ object Dedup {
     // verify-stage of near-dup detection (run per-LSH-bucket at scale).
     "dd05_ngram_jaccard" -> ((s, d) => {
       val sub = documents(s, d).filter(col("doc_id") % 5 === 0)
+      // materialize the exploded bigram set once — it feeds three
+      // consumers (sizes + both join sides), and Spark would otherwise
+      // re-tokenize and re-explode the corpus for each (on a cluster:
+      // a parquet checkpoint or .cache; locally localCheckpoint)
       val sh = sub.select(col("doc_id"),
         explode(array_distinct(wordBigrams(tokens(col("text"))))).as("s"))
+        .localCheckpoint()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))

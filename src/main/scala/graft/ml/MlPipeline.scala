@@ -117,9 +117,11 @@ object MlPipeline {
     // scored by AUC-ROC on the cv split (50/25/25, ref
     // `SVMDT.scala:92-95,147-164`).
     "ml03_dt_auc" -> ((s, d) => {
-      val Array(train, cv, _) =
+      // see ml04: small splits → few partitions, cheap per-fit jobs
+      val Array(train0, cv0, _) =
         labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
-      train.cache(); cv.cache()
+      val train = train0.coalesce(8).cache()
+      val cv = cv0.coalesce(8).cache()
       train.count(); cv.count() // materialize before concurrent fits
       val evalr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
@@ -140,9 +142,13 @@ object MlPipeline {
     // (LinearSVC + LogisticRegression, the reference's two selector
     // branches, `SVMDT.scala:204-214`), AUC on the test split.
     "ml04_linear_auc" -> ((s, d) => {
-      val Array(train, _, test) =
+      // the splits are small relative to the cluster: coalesce to a
+      // few partitions before caching so each of the ~100 tiny
+      // iteration/eval jobs schedules 8 tasks, not shuffle.partitions
+      val Array(train0, _, test0) =
         labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
-      train.cache(); test.cache()
+      val train = train0.coalesce(8).cache()
+      val test = test0.coalesce(8).cache()
       train.count(); test.count() // materialize before concurrent fits
       val evalr = new BinaryClassificationEvaluator()
         .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
