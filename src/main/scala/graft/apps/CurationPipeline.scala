@@ -1,0 +1,91 @@
+package graft.apps
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over the `documents` table — the
+  * operator families composed the way a 100 TB corpus pipeline runs
+  * them:
+  *
+  *   1. exact dedup — hash-agg on a content digest, keeper = min id;
+  *   2. near-dup removal — MinHash/LSH candidate pairs → connected
+  *      components → drop every non-minimum member of each group;
+  *   3. quality + language gate — heuristic score threshold and
+  *      stopword-profile language allowlist;
+  *   4. stats — per-stage survivor counts for audit.
+  *
+  * Everything is the same oracle-checked operator the query surface
+  * exposes (dd01/dd03/dd07/ta02/ta03) — this app only composes them.
+  * Each stage's survivors flow as (doc_id)-keyed frames; text payloads
+  * are re-joined once at the end, so the wide column never rides
+  * through the dedup shuffles (at 100 TB the payload stays in parquet
+  * until the final projection).
+  */
+object CurationPipeline {
+
+  final case class Result(curated: DataFrame, stats: DataFrame)
+
+  def run(spark: SparkSession, dir: String,
+          minQuality: Double = 0.3,
+          langs: Seq[String] = Seq("en", "de", "es")): Result = {
+    val docs = Tables.documents(spark, dir).cache()
+    val total = docs.count()
+
+    // 1. exact dedup on the full-text digest: keep min doc_id per key
+    val exactKeep = docs
+      .select(col("doc_id"), md5(col("text")).as("content_key"))
+      .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nExact = exactKeep.count()
+
+    // 2. near-dup removal: LSH pairs → CC groups → keep group minimum
+    // (docs in no group are their own keeper). Only ids shuffle here.
+    val groups = Dedup.connectedComponents(Dedup.candidatePairs(spark, dir))
+    val nearDupLosers = groups.filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    val nNear = nearKeep.count()
+
+    // 3. quality + language gate
+    val scored = TextAnalysis.qualityScored(docs)
+      .join(TextAnalysis.predictedLang(docs), Seq("doc_id"))
+    val gated = nearKeep.join(scored, Seq("doc_id"))
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang").isin(langs: _*))
+    val curated = gated
+      .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
+      .select("doc_id", "text", "lang", "source", "predicted_lang",
+        "quality_score", "n_tokens")
+    val nFinal = curated.count()
+
+    import spark.implicits._
+    val stats = Seq(
+      ("input", total),
+      ("after_exact_dedup", nExact),
+      ("after_near_dedup", nNear),
+      ("after_quality_lang_gate", nFinal))
+      .toDF("stage", "n_docs")
+    Result(curated, stats)
+  }
+
+  /** CLI: runMain graft.apps.CurationPipeline <sfDir> <outDir> */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir)
+    r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    r.stats.coalesce(1).write.mode("overwrite")
+      .json(s"$outDir/stats")
+    r.stats.show(false)
+    spark.stop()
+  }
+}

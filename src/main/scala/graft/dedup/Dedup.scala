@@ -60,9 +60,10 @@ object Dedup {
       transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
 
   /** LSH candidate pairs (doc_a < doc_b): docs sharing any
-    * (band, band-key) bucket. Shared by dd03 (pair listing) and dd07
-    * (group resolution) so banding changes once. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
+    * (group resolution) and apps.CurationPipeline so banding changes
+    * once. */
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigs(col("hs_"))
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
@@ -77,6 +78,55 @@ object Dedup {
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Connected components over undirected (doc_a, doc_b) pairs →
+    * (doc_id, group_id = min id in component). Each round does
+    * min-label propagation over edges (hash-min) AND a pointer-jump
+    * (label := label of my label), so label depth halves per round —
+    * convergence in O(log diameter) rounds, not O(diameter). The loop
+    * exits at the observed fixpoint: the convergence probe is a cheap
+    * scan of the round's already-materialized checkpoint, adding no
+    * extra pass over the data. Used by dd07 and the curation
+    * pipeline's near-dup-removal stage. */
+  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 8): DataFrame = {
+    val pairs = pairs0.cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct().withColumn("group_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("group_id").as("nmin"))
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("group_id").as("old_group"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+            .as("group_id"))
+      // pointer jump: follow my label's label (labels form a
+      // min-rooted forest, so this halves chain depth every round)
+      val parent = propagated
+        .select(col("doc_id").as("p_id"), col("group_id").as("p_group"))
+      val jumped = propagated
+        .join(parent, propagated("group_id") === parent("p_id"), "left")
+        .select(col("doc_id"), col("old_group"),
+          coalesce(col("p_group"), col("group_id")).as("group_id"))
+        // truncate lineage every round: the loop otherwise embeds the
+        // previous plan twice per iteration (2^rounds blowup — went
+        // 102 s at sf0.1 without this, ~2 s with it). On a cluster
+        // use reliable checkpointing instead of local.
+        .localCheckpoint()
+      converged = jumped.filter(col("group_id") =!= col("old_group"))
+        .isEmpty
+      labels = jumped.select("doc_id", "group_id")
+    }
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -154,45 +204,8 @@ object Dedup {
     // exits at the observed fixpoint: the convergence probe is a cheap
     // count on the round's already-materialized checkpoint, so it adds
     // no extra pass over the data.
-    "dd07_dup_groups" -> ((s, d) => {
-      val pairs = candidatePairs(s, d).cache()
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .cache()
-      var labels = edges.select(col("doc_a").as("doc_id"))
-        .distinct().withColumn("group_id", col("doc_id"))
-        .localCheckpoint()
-      var converged = false
-      var round = 0
-      while (!converged && round < 8) {
-        round += 1
-        val neighborMin = edges
-          .join(labels, edges("doc_b") === labels("doc_id"))
-          .groupBy(edges("doc_a").as("doc_id"))
-          .agg(min("group_id").as("nmin"))
-        val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("group_id").as("old_group"),
-            least(col("group_id"), coalesce(col("nmin"), col("group_id")))
-              .as("group_id"))
-        // pointer jump: follow my label's label (labels form a
-        // min-rooted forest, so this halves chain depth every round)
-        val parent = propagated
-          .select(col("doc_id").as("p_id"), col("group_id").as("p_group"))
-        val jumped = propagated
-          .join(parent, propagated("group_id") === parent("p_id"), "left")
-          .select(col("doc_id"), col("old_group"),
-            coalesce(col("p_group"), col("group_id")).as("group_id"))
-          // truncate lineage every round: the loop otherwise embeds the
-          // previous plan twice per iteration (2^rounds blowup — went
-          // 102 s at sf0.1 without this, ~2 s with it). On a cluster
-          // use reliable checkpointing instead of local.
-          .localCheckpoint()
-        converged = jumped.filter(col("group_id") =!= col("old_group"))
-          .isEmpty
-        labels = jumped.select("doc_id", "group_id")
-      }
-      labels.orderBy("doc_id")
-    }),
+    "dd07_dup_groups" -> ((s, d) =>
+      connectedComponents(candidatePairs(s, d)).orderBy("doc_id")),
 
     // dd08: embedding near-dup at scale — the UNSAMPLED version of
     // dd06: candidate pairs come only from within a random-hyperplane

@@ -34,6 +34,34 @@ object TextAnalysis {
   private def countIn(toks: org.apache.spark.sql.Column, words: Seq[String]) =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** (doc_id, n_tokens, mean_token_len, stopword_ratio, quality_score)
+    * — the ta02 scoring, reusable (curation pipeline filters on it). */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+      .cast("double") / nTok
+    val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
+    val score = round(
+      lit(0.5) * stopRatio +
+        lit(0.3) * least(meanLen / 8.0, lit(1.0)) +
+        lit(0.2) * least(nTok / 100.0, lit(1.0)), 6)
+    docs.select(col("doc_id"), size(toks).as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** (doc_id, predicted_lang) — the ta03 stopword-profile argmax with
+    * its fixed tie-break order, reusable. */
+  def predictedLang(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val Seq(en, de, es) = Profiles.map { case (_, ws) => countIn(toks, ws) }
+    docs.select(col("doc_id"),
+      when(en >= de && en >= es, "en")
+        .when(de >= es, "de").otherwise("es").as("predicted_lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ta01: token counting (whitespace tokenizer; total + distinct).
     "ta01_token_stats" -> ((s, d) =>
@@ -46,23 +74,8 @@ object TextAnalysis {
     // ta02: quality scoring — length/stopword/word-length heuristics.
     // Ratios are exact int/int divisions → bit-identical across
     // engines; the blended score is rounded anyway.
-    "ta02_quality" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
-        .cast("double") / nTok
-      val stopRatio = countIn(toks, Stopwords).cast("double") / nTok
-      val score = round(
-        lit(0.5) * stopRatio +
-          lit(0.3) * least(meanLen / 8.0, lit(1.0)) +
-          lit(0.2) * least(nTok / 100.0, lit(1.0)), 6)
-      documents(s, d)
-        .select(col("doc_id"), size(toks).as("n_tokens"),
-          round(meanLen, 6).as("mean_token_len"),
-          round(stopRatio, 6).as("stopword_ratio"),
-          score.as("quality_score"))
-        .orderBy("doc_id")
-    }),
+    "ta02_quality" -> ((s, d) =>
+      qualityScored(documents(s, d)).orderBy("doc_id")),
 
     // ta03: language ID by stopword-profile hit counts; argmax with a
     // fixed tie-break order (profile declaration order).

@@ -1,0 +1,50 @@
+package graft
+
+import graft.apps.CurationPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the composed curation pipeline at sf0.001. */
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  lazy val result = CurationPipeline.run(spark, d)
+
+  test("stage counts are monotone non-increasing and end positive") {
+    val m = result.stats.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("input") >= m("after_exact_dedup"))
+    assert(m("after_exact_dedup") >= m("after_near_dedup"))
+    assert(m("after_near_dedup") >= m("after_quality_lang_gate"))
+    assert(m("after_quality_lang_gate") > 0)
+  }
+
+  test("curated corpus has no exact duplicates and respects the gate") {
+    val c = result.curated.cache()
+    val dupKeys = c.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupKeys == 0)
+    assert(c.filter(col("quality_score") < 0.3).count() == 0)
+    assert(c.filter(!col("predicted_lang").isin("en", "de", "es"))
+      .count() == 0)
+  }
+
+  test("every dropped near-dup has a surviving group representative") {
+    val groups = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.candidatePairs(spark, d))
+    // group_id is the minimum member: it must never itself be dropped
+    // by the near-dup stage (it can still fall to the quality gate)
+    val reps = groups.select(col("group_id").as("doc_id")).distinct()
+    val dropped = groups.filter(col("doc_id") =!= col("group_id"))
+      .select("doc_id")
+    assert(reps.join(dropped, Seq("doc_id")).count() == 0)
+  }
+
+  test("deterministic across runs") {
+    val again = CurationPipeline.run(spark, d)
+    assert(result.curated.select("doc_id").exceptAll(
+      again.curated.select("doc_id")).count() == 0)
+    assert(again.curated.count() == result.curated.count())
+  }
+}
