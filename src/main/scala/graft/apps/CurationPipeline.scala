@@ -43,16 +43,22 @@ object CurationPipeline {
 
     // 2. near-dup removal: LSH pairs → CC groups → keep group minimum
     // (docs in no group are their own keeper). Only ids shuffle here.
-    val groups = Dedup.connectedComponents(Dedup.candidatePairs(spark, dir))
+    // Pairs are restricted to exact-dedup survivors first: an exact
+    // duplicate has identical signatures to its keeper, so the keeper
+    // carries the same connectivity and the group minimum is always a
+    // survivor — dropping the losers' pairs shrinks the CC input
+    // without changing any component.
+    val pairs = Dedup.candidatePairs(spark, dir)
+      .join(exactKeep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(exactKeep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val groups = Dedup.connectedComponents(pairs)
     val nearDupLosers = groups.filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
     val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
 
-    // 3. quality + language gate
-    val scored = TextAnalysis.qualityScored(docs)
-      .join(TextAnalysis.predictedLang(docs), Seq("doc_id"))
-    val gated = nearKeep.join(scored, Seq("doc_id"))
+    // 3. quality + language gate — one per-row scoring projection
+    val gated = nearKeep.join(TextAnalysis.scored(docs), Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs: _*))
     val curated = gated
@@ -60,6 +66,7 @@ object CurationPipeline {
       .select("doc_id", "text", "lang", "source", "predicted_lang",
         "quality_score", "n_tokens")
     val nFinal = curated.count()
+    docs.unpersist(false)
 
     import spark.implicits._
     val stats = Seq(

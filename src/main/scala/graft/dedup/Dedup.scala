@@ -126,6 +126,14 @@ object Dedup {
         .isEmpty
       labels = jumped.select("doc_id", "group_id")
     }
+    pairs.unpersist(false)
+    edges.unpersist(false)
+    if (!converged)
+      // fail loudly: labels that are not the component minimum would
+      // silently under-deduplicate everything downstream
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(pointer jumping covers diameter 2^rounds — raise maxRounds)")
     labels
   }
 

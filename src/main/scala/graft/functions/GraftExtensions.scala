@@ -32,7 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingleGenerator].getName,
         "char_shingles"),
-      (exprs: Seq[Expression]) => CharShingleGenerator(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        // arbitrary SQL reaches this builder on a shared cluster —
+        // reject bad arity/width with a named error, not a raw CCE
+        val width = exprs match {
+          case Seq(_, Literal(w: Int, _)) => w
+          case _ => throw new IllegalArgumentException(
+            "char_shingles(str, width) requires exactly two arguments " +
+              "with width an integer literal")
+        }
+        CharShingleGenerator(exprs.head, width)
+      }))
   }
 }

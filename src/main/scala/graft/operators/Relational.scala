@@ -286,7 +286,9 @@ object Relational {
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scope the fill to the pivoted cells — an unqualified fill
+        // would also rewrite a NULL user_id group key to 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
         .orderBy("user_id")),
 
     // q19: approximate aggregates — HLL++ distinct counts and

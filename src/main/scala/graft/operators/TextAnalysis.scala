@@ -34,9 +34,12 @@ object TextAnalysis {
   private def countIn(toks: org.apache.spark.sql.Column, words: Seq[String]) =
     size(filter(toks, t => t.isin(words: _*)))
 
-  /** (doc_id, n_tokens, mean_token_len, stopword_ratio, quality_score)
-    * — the ta02 scoring, reusable (curation pipeline filters on it). */
-  def qualityScored(docs: DataFrame): DataFrame = {
+  /** (doc_id, n_tokens, mean_token_len, stopword_ratio, quality_score,
+    * predicted_lang) in ONE per-row projection — the ta02 quality
+    * heuristics and the ta03 stopword-profile argmax (fixed tie-break
+    * order) share the tokenization pass; the curation pipeline filters
+    * on both without a self-join. */
+  def scored(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
@@ -46,21 +49,18 @@ object TextAnalysis {
       lit(0.5) * stopRatio +
         lit(0.3) * least(meanLen / 8.0, lit(1.0)) +
         lit(0.2) * least(nTok / 100.0, lit(1.0)), 6)
+    val Seq(en, de, es) = Profiles.map { case (_, ws) => countIn(toks, ws) }
     docs.select(col("doc_id"), size(toks).as("n_tokens"),
       round(meanLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
-      score.as("quality_score"))
-  }
-
-  /** (doc_id, predicted_lang) — the ta03 stopword-profile argmax with
-    * its fixed tie-break order, reusable. */
-  def predictedLang(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val Seq(en, de, es) = Profiles.map { case (_, ws) => countIn(toks, ws) }
-    docs.select(col("doc_id"),
+      score.as("quality_score"),
       when(en >= de && en >= es, "en")
         .when(de >= es, "de").otherwise("es").as("predicted_lang"))
   }
+
+  /** The ta02 view of `scored` (no language column). */
+  def qualityScored(docs: DataFrame): DataFrame =
+    scored(docs).drop("predicted_lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ta01: token counting (whitespace tokenizer; total + distinct).

@@ -30,38 +30,24 @@ object EventStream {
     * parquet (memory sink, complete mode) and returns the result —
     * real Structured Streaming execution, batch-shaped answer. */
   def hourlyTotals(spark: SparkSession, dir: String,
-                   sinkName: String = "st_events_hourly"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // FileStreamSource requires a directory; the testdata table is a
-    // single file → stage a symlink dir (a real deployment streams
-    // from an arriving-files directory anyway).
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(eventsSchema)
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      java.nio.file.Files.deleteIfExists(srcDir.resolve("events.parquet"))
-      java.nio.file.Files.deleteIfExists(srcDir)
+                   sinkName: String = "st_events_hourly"): DataFrame =
+    runStream(spark, dir, sinkName, copies = 1, outputMode = "complete") {
+      df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
     }
-    spark.table(sinkName)
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
-  }
 
-  /** Stages `copies` symlinks to events.parquet in a temp dir, runs
-    * `build` on a parquet stream of it, drains to a memory sink, and
-    * returns the sink table. */
+  /** Stages `copies` symlinks to events.parquet in a temp dir
+    * (FileStreamSource requires a directory; a real deployment streams
+    * from an arriving-files directory anyway), runs `build` on a
+    * parquet stream of it, drains to a memory sink, and returns the
+    * sink table. */
   private def runStream(spark: SparkSession, dir: String, sinkName: String,
       copies: Int, outputMode: String)
       (build: DataFrame => DataFrame): DataFrame = {
