@@ -155,6 +155,22 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta09: content-stable train/valid/test split — the document's
+    // content digest, not an RNG, decides its split (80/10/10), so
+    // assignment survives reshards, reruns, and engine changes (U3's
+    // seeded randomSplit is partition-order-dependent; this is what a
+    // 100 TB pipeline uses for held-out sets).
+    "ta09_hash_split" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), (md5Long(col("text"), 7) % 10).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") < 9, "valid").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"))
+        .orderBy("split")),
+
     // ta06: TF-IDF (SURVEY §7.2 slice 5) — tf exploded per (doc,
     // token), idf from distinct-doc frequency, natural log, rounded.
     "ta06_tfidf" -> ((s, d) => {
@@ -263,6 +279,19 @@ object TextAnalysis {
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_num,
         |  len(regexp_extract_all(text, '[^A-Za-z0-9 ]+')) AS n_other
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta09_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 7))::BIGINT % 10 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket < 9 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "ta06_tfidf" ->
       s"""WITH toks AS (
