@@ -51,7 +51,14 @@ object EventStream {
   private def runStream(spark: SparkSession, dir: String, sinkName: String,
       copies: Int, outputMode: String)
       (build: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // dedicated child session: every stateful operator keeps one state
+    // store PER shuffle partition, and this table's per-batch state is
+    // tiny — 8 stores instead of the batch session's partition count
+    // cuts stream startup/commit overhead without touching batch plans
+    // (on a real deployment the partition count follows state size)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
     val links = (1 to copies).map { i =>
       val l = srcDir.resolve(s"events_$i.parquet")
@@ -60,7 +67,7 @@ object EventStream {
       l
     }
     val stream = build(
-      spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
+      ss.readStream.schema(eventsSchema).parquet(srcDir.toString)
         .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     val q = stream.writeStream.outputMode(outputMode)
       .format("memory").queryName(sinkName).start()
@@ -69,7 +76,7 @@ object EventStream {
       links.foreach(java.nio.file.Files.deleteIfExists)
       java.nio.file.Files.deleteIfExists(srcDir)
     }
-    spark.table(sinkName)
+    ss.table(sinkName)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,6 +98,31 @@ object EventStream {
             .dropDuplicatesWithinWatermark("event_id")
             .select(col("event_id"), col("event_type"), col("value"))
       }.orderBy("event_id")),
+
+    // st04: stream–stream interval join — purchases joined to the
+    // same user's clicks in the preceding 5 minutes, both sides
+    // watermarked so the join state evicts rows once they can no
+    // longer match (unbounded interval state is the classic
+    // stream-join failure mode). Self-derived from one source stream;
+    // the oracle is the plain batch inequality join.
+    "st04_stream_stream_join" -> ((s, d) =>
+      runStream(s, d, "st_events_ssjoin", copies = 1, outputMode = "append") {
+        df =>
+          val clicks = df.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_event_id"))
+            .withWatermark("c_ts", "1 hour")
+          val purchases = df.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_event_id"))
+            .withWatermark("p_ts", "1 hour")
+          purchases.join(clicks,
+            col("user_id") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+              col("c_ts") < col("p_ts"))
+            .select(col("purchase_event_id"), col("user_id"),
+              col("click_event_id"))
+      }.orderBy("purchase_event_id", "click_event_id")),
 
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
@@ -121,5 +153,14 @@ object EventStream {
     "st03_stream_static_join" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "st04_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+        |  c.event_id AS click_event_id
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_event_id, click_event_id""".stripMargin)
 }
