@@ -275,6 +275,33 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q21: window-function variants beyond q05's row_number/running
+    // sum — lead (next-event lookahead), ntile (equal-frequency
+    // bucketing), percent_rank and first_value, all over one
+    // (user, ts) window pass: one shuffle on user_id total.
+    "q21_window_variants" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .filter(col("user_id") < 10)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_event_id",
+          lead("event_id", 1).over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .withColumn("quartile",
+          ntile(4).over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
+        .withColumn("pct_rank", round(percent_rank().over(
+          Window.partitionBy("user_id").orderBy("ts_us", "event_id")), 6))
+        .withColumn("first_event_id",
+          first("event_id").over(
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "event_type", "next_event_id",
+          "quartile", "pct_rank", "first_event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
     // q20: pivot — long→wide reshape with an explicit value list (an
     // implicit list would add a distinct-scan job and make column
     // order nondeterministic). One partial+final aggregate; each
@@ -486,6 +513,23 @@ object Relational {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id, e.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q21_window_variants" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id < 10
+        |)
+        |SELECT user_id, event_id, event_type,
+        |  lead(event_id) OVER w AS next_event_id,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  first_value(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_event_id
+        |FROM base
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q20_pivot" ->
       """SELECT user_id,
