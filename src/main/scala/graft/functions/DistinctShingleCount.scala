@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of DISTINCT `n`-codepoint sliding-window shingles of a
+  * string, as one fused loop — semantically identical to
+  * `size(array_distinct(Funcs.charShingles(s, n)))` (spec-tested),
+  * but without materializing a length-L Catalyst array of substring
+  * copies per row and then hashing it a second time. Window positions
+  * are codepoints (Spark `substring` / DuckDB `substr` semantics), so
+  * the count matches the SQL oracle on non-ASCII text too.
+  *
+  * SURVEY §2.9/§7.3 preference order: the built-in composition was the
+  * measured hot path of the shingle statistics (ta05) — this is the
+  * "custom Expression with doGenCode beats the expression tree" rung.
+  */
+object ShingleOps {
+  /** Single pass: codepoint offsets, then a window walk over a hash
+    * set of the windows. Called from both eval and generated code. */
+  def distinctCount(u: UTF8String, n: Int): Long = {
+    val s = u.toString
+    // UTF-16 offsets of each codepoint boundary (ASCII fast path:
+    // offsets are the identity and substring windows share the backing
+    // array, so this stays allocation-light)
+    val len = s.length
+    val nCp = s.codePointCount(0, len)
+    if (nCp == 0) return 1L // one empty window, like charShingles
+    val offsets = new Array[Int](nCp + 1)
+    var i = 0; var c = 0
+    while (i < len) { offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i)) }
+    offsets(nCp) = len
+    val windows = math.max(nCp - n + 1, 1)
+    val seen = new java.util.HashSet[String](windows * 2)
+    var w = 0
+    while (w < windows) {
+      val end = math.min(w + n, nCp)
+      seen.add(s.substring(offsets(w), offsets(end)))
+      w += 1
+    }
+    seen.size.toLong
+  }
+}
+
+case class DistinctShingleCount(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "distinct_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleOps.distinctCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleOps.distinctCount($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctShingleCount {
+  /** Registers `distinct_shingles(str, width)` (width must be an
+    * integer literal). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_shingles",
+      exprs => {
+        val width = exprs match {
+          case Seq(_, Literal(w: Int, _)) => w
+          case _ => throw new IllegalArgumentException(
+            "distinct_shingles(str, width) requires exactly two " +
+              "arguments with width an integer literal")
+        }
+        DistinctShingleCount(exprs.head, width)
+      },
+      "scala_udf")
+}

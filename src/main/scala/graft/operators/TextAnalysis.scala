@@ -104,34 +104,45 @@ object TextAnalysis {
 
     // ta05: 14-char sliding-window shingles (P3) — total + distinct
     // per document. The total is pure arithmetic (greatest(len-13,1)
-    // by charShingles' definition) — only the distinct count pays for
-    // materializing the shingle array.
-    "ta05_shingles" -> ((s, d) =>
+    // by charShingles' definition); the distinct count is the native
+    // fused expression (one loop + hash set per row instead of
+    // materializing the shingle array and re-hashing it —
+    // DistinctShingleCount, spec-tested equal to the composable form).
+    "ta05_shingles" -> ((s, d) => {
+      graft.functions.DistinctShingleCount.register(s)
       documents(s, d)
         .select(col("doc_id"),
           greatest(length(col("text")) - 13, lit(1)).as("n_shingles"),
-          size(array_distinct(charShingles(col("text"), 14)))
-            .as("n_distinct_shingles"))
-        .orderBy("doc_id")),
+          expr("distinct_shingles(text, 14)").as("n_distinct_shingles"))
+        .orderBy("doc_id")
+    }),
 
     // ta07: n-gram-profile language ID — character-trigram hit counts
     // against per-language profiles (the classic heuristic; the
     // stopword variant is ta03). Argmax with fixed tie-break order.
     "ta07_langid_ngram" -> ((s, d) => {
-      // three projections: shingle array materialized once, scores
-      // computed from it once, argmax from the integer scores — the
-      // single-projection form re-inlined the array 9x (no CSE across
-      // aliases; measured 9.5s -> ~1s at sf0.1)
+      // "# distinct trigrams of text that are in the profile" ==
+      // "# profile entries that occur as a trigram window". For a
+      // 3-codepoint entry that is exactly substring containment (any
+      // occurrence IS a window: entries start with a non-surrogate, so
+      // a UTF-16 match is codepoint-aligned); a shorter entry can only
+      // equal the single truncated window of a len<3 text. That turns
+      // the whole score into contains() built-ins — no shingle array,
+      // no per-row hash set (measured 9.5 s naive array form → ~1 s
+      // two-projection form → ~0.3 s this form, sf0.1).
+      def hits(profile: Seq[String]) = profile.map { p =>
+        val present =
+          if (p.codePointCount(0, p.length) == 3)
+            (length(col("text")) >= 3 && col("text").contains(lit(p))) ||
+              (length(col("text")) < 3 && col("text") === p)
+          else length(col("text")) < 3 && col("text") === p
+        when(present, 1).otherwise(0)
+      }.reduce(_ + _)
       val scored = documents(s, d)
         .select(col("doc_id"), col("lang"),
-          array_distinct(charShingles(col("text"), 3)).as("tris_"))
-        .select(col("doc_id"), col("lang"),
-          size(filter(col("tris_"),
-            t => t.isin(TrigramProfiles(0)._2: _*))).as("g_en"),
-          size(filter(col("tris_"),
-            t => t.isin(TrigramProfiles(1)._2: _*))).as("g_de"),
-          size(filter(col("tris_"),
-            t => t.isin(TrigramProfiles(2)._2: _*))).as("g_es"))
+          hits(TrigramProfiles(0)._2).as("g_en"),
+          hits(TrigramProfiles(1)._2).as("g_de"),
+          hits(TrigramProfiles(2)._2).as("g_es"))
       scored.withColumn("predicted_lang",
           when(col("g_en") >= col("g_de") && col("g_en") >= col("g_es"), "en")
             .when(col("g_de") >= col("g_es"), "de").otherwise("es"))

@@ -53,6 +53,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(edge.toSeq == Seq("abc"))
   }
 
+  test("DistinctShingleCount equals size(array_distinct(charShingles))") {
+    graft.functions.DistinctShingleCount.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val mismatch = docs
+      .select(expr("distinct_shingles(text, 14)").as("native"),
+        size(array_distinct(Funcs.charShingles(col("text"), 14)))
+          .cast("long").as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch == 0)
+    // edges: empty, shorter-than-window, exact-window, repeats, unicode
+    val edge = Seq("", "abc", "abcdefghijklmn", "aaaaaaaaaaaaaaaaaa",
+      "héllo wörld — ambiguë", "好的 world 好的 world 好的")
+      .toDF("s")
+      .select(expr("distinct_shingles(s, 14)").as("n"),
+        size(array_distinct(Funcs.charShingles(col("s"), 14)))
+          .cast("long").as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // small width across the same edges
+    val edge3 = Seq("", "ab", "abc", "aaaa", "好的好")
+      .toDF("s")
+      .select(expr("distinct_shingles(s, 3)").as("n"),
+        size(array_distinct(Funcs.charShingles(col("s"), 3)))
+          .cast("long").as("c"))
+      .collect()
+    edge3.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("saltedJoin equals the plain join") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d).select("l_partkey", "l_quantity")
