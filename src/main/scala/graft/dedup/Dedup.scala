@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables._
 import graft.functions.Funcs._
+import graft.functions.VecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,6 +29,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1
+
+  /** Fused native dot product (bit-identical to Funcs.dotProduct —
+    * see VecDot); register() is idempotent per session. */
+  private def dot(s: SparkSession, a: Column, b: Column): Column = {
+    VecDot.register(s)
+    call_function("vec_dot", a, b)
+  }
 
   /** 16 affine minhash functions (a*h + b) mod P; literals derived
     * deterministically so the SQL oracle regenerates the same table. */
@@ -225,7 +233,7 @@ object Dedup {
       val bk = graft.similarity.Similarity.buckets(s, d)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+          sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
         .join(bk, Seq("vec_id"))
       val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -234,7 +242,7 @@ object Dedup {
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos", round(
-          dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.2)
         .select("vec_a", "vec_b", "bucket", "cos")
         .orderBy("vec_a", "vec_b")
@@ -248,14 +256,14 @@ object Dedup {
       // while the pair join does 1 fold instead of 3
       val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"),
-          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+          sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         col("nrm").as("na"))
       val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .withColumn("cos", round(
-          dotProduct(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.2)
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")

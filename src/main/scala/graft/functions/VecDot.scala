@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** In-order dot product of two FLOAT-array columns as one fused loop —
+  * bit-identical to the composable [[Funcs.dotProduct]]
+  * (`zip_with` + `aggregate`): each element pair is widened to double,
+  * multiplied, and accumulated left-to-right from 0.0, so the IEEE
+  * result (and therefore every rounded cosine derived from it) is
+  * unchanged. The win is mechanical: Catalyst higher-order functions
+  * evaluate their lambda per element through the interpreter, while
+  * this compiles to a primitive loop — the similarity/dedup pair joins
+  * (dd06/dd08/ss01-ss03) run one to three of these folds per pair.
+  *
+  * Usable from the Column API via
+  * `call_function("vec_dot", a, b)` after [[VecDot.register]] (the
+  * public Column↔Expression bridge is private[sql] in Spark 4; the
+  * function registry is the supported route).
+  */
+object VecDotOps {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDotOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecDotOps.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  /** Registers `vec_dot(a, b)`. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+}

@@ -2,7 +2,8 @@ package graft.similarity
 
 import graft.Tables._
 import graft.functions.Funcs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VecDot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fused native dot product (bit-identical to Funcs.dotProduct —
+    * see VecDot); register() is idempotent per session. */
+  private def dot(s: SparkSession, a: Column, b: Column): Column = {
+    VecDot.register(s)
+    call_function("vec_dot", a, b)
+  }
+
   private val NumQueries = 5
   private val NumPlanes = 4
   private val TopK = 10
@@ -40,7 +48,7 @@ object Similarity {
     e.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(planes))
       .select(col("vec_id"), col("embedding"),
-        (when(dotProduct(col("embedding"), col("plane")) >= 0, 1L).otherwise(0L)
+        (when(dot(s, col("embedding"), col("plane")) >= 0, 1L).otherwise(0L)
           * expr("shiftleft(1L, cast(plane_id AS INT))")).as("bit"))
       .groupBy("vec_id")
       .agg(sum("bit").as("bucket"))
@@ -52,7 +60,7 @@ object Similarity {
     // rounded cosines, one fold per pair instead of three).
     "ss01_knn_brute" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"))
@@ -61,7 +69,7 @@ object Similarity {
       val scored = cand.crossJoin(broadcast(q))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", round(
-          dotProduct(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+          dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -73,7 +81,7 @@ object Similarity {
     // ss02: LSH-bucketed ANN — search only the query's bucket.
     "ss02_knn_lsh" -> ((s, d) => {
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val bk = buckets(s, d)
       val withB = e.join(bk, Seq("vec_id"))
       val q = withB.filter(col("vec_id") < NumQueries)
@@ -85,7 +93,7 @@ object Similarity {
       val scored = cand.join(broadcast(q), Seq("bucket"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", round(
-          dotProduct(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+          dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       scored.withColumn("rank", row_number().over(w))
@@ -108,13 +116,13 @@ object Similarity {
       val NumCents = 8
       val NProbe = 2
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val cents = e.filter(col("vec_id") < NumCents)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
           col("nrm").as("cn"))
       val centScores = e.crossJoin(broadcast(cents))
         .withColumn("cos_c", round(
-          dotProduct(col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
+          dot(s, col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
       // nearest centroid per vector: lexicographic max of
       // (cos, -cent_id) — partial aggregation collapses the 8
       // candidate rows map-side, so the shuffle carries one row/vector
@@ -136,7 +144,7 @@ object Similarity {
         .filter(col("vec_id") =!= col("query_id"))
         .join(broadcast(q), Seq("query_id"))
         .withColumn("cos", round(
-          dotProduct(col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
       scored.withColumn("rank", row_number().over(w))

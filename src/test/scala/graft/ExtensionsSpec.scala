@@ -81,6 +81,52 @@ class ExtensionsSpec extends AnyFunSuite {
     edge3.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("VecDot equals the composable Funcs.dotProduct bit-for-bit") {
+    graft.functions.VecDot.register(spark)
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(e.limit(3).select(col("embedding").as("b")))
+    val mismatch = pairs
+      .select(call_function("vec_dot", col("a"), col("b")).as("native"),
+        Funcs.dotProduct(col("a"), col("b")).as("composed"))
+      // bit-for-bit: no tolerance — identical fold order must give
+      // the identical double
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch == 0)
+  }
+
+  test("connectedComponents fails loudly when the round cap is hit") {
+    // a 3-chain needs at least one round; cap of 0 must throw, not
+    // return identity labels that silently under-deduplicate
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.Dedup.connectedComponents(pairs, maxRounds = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and one round of propagate+jump resolves the 3-chain
+    val ok = graft.dedup.Dedup.connectedComponents(pairs, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("injected char_shingles rejects bad arity/width with a named error") {
+    import org.apache.spark.sql.SparkSession
+    val prev = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions).getOrCreate()
+      val e = intercept[Exception] {
+        s2.sql("SELECT char_shingles('abc')").collect()
+      }
+      assert(e.getMessage.contains("char_shingles"))
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("saltedJoin equals the plain join") {
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d).select("l_partkey", "l_quantity")
