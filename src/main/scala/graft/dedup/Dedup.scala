@@ -57,28 +57,50 @@ object Dedup {
     * first: referencing the raw expression from all 16 signature
     * columns would re-inline (and re-hash) it 16 times — Catalyst does
     * not CSE non-cheap aliases across collapsed projects, and the
-    * measured cost was ~4x on the whole query. */
+    * measured cost was ~4x on the whole query. Spec oracle for the
+    * fused native bank (HashSketches). */
   private def minhashSigs(hs: Column): Seq[Column] =
     MinhashParams.map { case (_, a, b) =>
       array_min(transform(hs, h => (h * a + b) % P))
     }
 
+  /** Registers the fused sketch functions; idempotent per session. */
+  private def registerSketches(s: SparkSession): Unit = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => graft.functions.MinHashSigs(exprs.head,
+        MinhashParams.map { case (_, a, b) => (a, b) }, P),
+      "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => graft.functions.SimHashBits(exprs.head, 32),
+      "scala_udf")
+  }
+
   private def withShingleHashes(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
+
+  /** (doc_id, sig_) — the fused 16-signature bank, materialized in its
+    * own projection (same CSE rationale as the hash array). */
+  private def withSigBank(s: SparkSession, d: String): DataFrame = {
+    registerSketches(s)
+    withShingleHashes(documents(s, d))
+      .select(col("doc_id"), call_function("minhash_sigs", col("hs_")).as("sig_"))
+  }
 
   /** LSH candidate pairs (doc_a < doc_b): docs sharing any
     * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
     * (group resolution) and apps.CurationPipeline so banding changes
     * once. */
   def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigs(col("hs_"))
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", sigs.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
-          .map(_.cast("string")): _*).as("bkey"))
+        concat_ws(",", (0 until RowsPerBand).map(r =>
+          element_at(col("sig_"), b * RowsPerBand + r + 1).cast("string")): _*)
+          .as("bkey"))
     }
-    val bands = withShingleHashes(documents(s, d))
+    val bands = withSigBank(s, d)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
@@ -156,10 +178,10 @@ object Dedup {
         .orderBy("content_key")),
 
     // dd02: MinHash signatures (16 hashes), long form — per-row array
-    // math, no shuffle.
+    // math, no shuffle (fused native bank, one pass over the hashes).
     "dd02_minhash_sig" -> ((s, d) =>
-      withShingleHashes(documents(s, d))
-        .select(col("doc_id"), posexplode(array(minhashSigs(col("hs_")): _*)))
+      withSigBank(s, d)
+        .select(col("doc_id"), posexplode(col("sig_")))
         .withColumnsRenamed(Map("pos" -> "j", "col" -> "minhash"))
         .orderBy("doc_id", "j")),
 
@@ -169,19 +191,17 @@ object Dedup {
       candidatePairs(s, d).orderBy("doc_a", "doc_b")),
 
     // dd04: 32-bit SimHash over distinct word tokens — per-row bit
-    // arithmetic, zero shuffle.
+    // arithmetic, zero shuffle (fused native vote, one pass over the
+    // hashes instead of 32 interpreted folds).
     "dd04_simhash" -> ((s, d) => {
-      val bits = (0 until 32).map { b =>
-        val vote = aggregate(col("hs_"), lit(0L),
-          (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-      }
+      registerSketches(s)
       documents(s, d)
         // materialize token hashes once (see minhashSigs note)
         .select(col("doc_id"),
           transform(array_distinct(tokens(col("text"))),
             t => md5Long(t, 8)).as("hs_"))
-        .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash64", col("hs_")).as("simhash"))
         .orderBy("doc_id")
     }),
 

@@ -81,6 +81,39 @@ class ExtensionsSpec extends AnyFunSuite {
     edge3.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("MinHashSigs and SimHashBits equal their composable HOF forms") {
+    import graft.functions.{MinHashSigs, SimHashBits}
+    val P = 2147483647L
+    val params = (0 until 16).map { j =>
+      ((1000003L * (2 * j + 3)) % P, (998244353L * (j + 7)) % P)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_minhash", exprs => MinHashSigs(exprs.head, params, P), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_simhash", exprs => SimHashBits(exprs.head, 32), "scala_udf")
+    val hs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(transform(array_distinct(Funcs.tokens(col("text"))),
+        t => Funcs.md5Long(t, 8)).as("hs"))
+    val composedSigs = params.map { case (a, b) =>
+      array_min(transform(col("hs"), h => (h * a + b) % P))
+    }
+    val sigMismatch = hs
+      .select(call_function("t_minhash", col("hs")).as("native"),
+        array(composedSigs: _*).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(sigMismatch == 0)
+    val simComposed = (0 until 32).map { b =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val simMismatch = hs
+      .select(call_function("t_simhash", col("hs")).as("native"),
+        simComposed.as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(simMismatch == 0)
+  }
+
   test("VecDot equals the composable Funcs.dotProduct bit-for-bit") {
     graft.functions.VecDot.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
