@@ -75,17 +75,26 @@ object Dedup {
       "simhash64",
       exprs => graft.functions.SimHashBits(exprs.head, 32),
       "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_md5s",
+      exprs => graft.functions.ShingleMd5s(exprs.head,
+        prefixLen = 64, width = 14, hexDigits = 7),
+      "scala_udf")
   }
 
+  /** Composable twin of the fused `shingle_md5s` (spec oracle). */
   private def withShingleHashes(df: DataFrame): DataFrame =
     df.select(col("doc_id"),
       transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
 
-  /** (doc_id, sig_) — the fused 16-signature bank, materialized in its
-    * own projection (same CSE rationale as the hash array). */
+  /** (doc_id, sig_) — fused shingle-hash + 16-signature bank, each
+    * materialized in its own projection (same CSE rationale as the
+    * hash array: fanning element_at over an un-materialized alias
+    * would re-inline the whole computation). */
   private def withSigBank(s: SparkSession, d: String): DataFrame = {
     registerSketches(s)
-    withShingleHashes(documents(s, d))
+    documents(s, d)
+      .select(col("doc_id"), call_function("shingle_md5s", col("text")).as("hs_"))
       .select(col("doc_id"), call_function("minhash_sigs", col("hs_")).as("sig_"))
   }
 

@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct `width`-codepoint shingle md5 prefixes of the first
+  * `prefixLen` codepoints of a string, as ARRAY<BIGINT> — the fused
+  * native form of
+  * `transform(array_distinct(charShingles(substring(s,1,prefixLen),
+  * width)), x -> md5Long(x, hexDigits))` (spec-asserted equal as a
+  * SET; the consumers — MinHash min, SimHash sum — are
+  * order-insensitive). One loop, a thread-local digest, and no
+  * intermediate string array; md5 bytes and the hex-prefix long are
+  * identical to Spark's `md5` + `conv` on the same UTF-8 bytes, so the
+  * DuckDB oracles are unchanged.
+  */
+object ShingleMd5Ops {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First `hexDigits` hex chars of md5(bytes) as a long. */
+  private def md5Prefix(md: MessageDigest, bytes: Array[Byte],
+      hexDigits: Int): Long = {
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < hexDigits) {
+      val b = d(i / 2) & 0xff
+      val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
+  def shingleMd5s(u: UTF8String, prefixLen: Int, width: Int,
+      hexDigits: Int): GenericArrayData = {
+    val full = u.toString
+    // substring(s, 1, prefixLen) semantics: first prefixLen codepoints
+    val s =
+      if (full.codePointCount(0, full.length) <= prefixLen) full
+      else full.substring(0, full.offsetByCodePoints(0, prefixLen))
+    val len = s.length
+    val nCp = s.codePointCount(0, len)
+    val offsets = new Array[Int](nCp + 1)
+    var i = 0; var c = 0
+    while (i < len) { offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i)) }
+    offsets(nCp) = len
+    val windows = math.max(nCp - width + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](windows * 2)
+    var w = 0
+    while (w < windows) {
+      val end = math.min(w + width, nCp)
+      seen.add(s.substring(offsets(w), offsets(end)))
+      w += 1
+    }
+    val md = digests.get()
+    val out = new Array[Long](seen.size)
+    var j = 0
+    val it = seen.iterator()
+    while (it.hasNext) {
+      out(j) = md5Prefix(md, it.next().getBytes(StandardCharsets.UTF_8),
+        hexDigits)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class ShingleMd5s(child: Expression, prefixLen: Int, width: Int,
+    hexDigits: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_md5s"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMd5Ops.shingleMd5s(input.asInstanceOf[UTF8String],
+      prefixLen, width, hexDigits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMd5Ops.shingleMd5s(" +
+        s"$c, $prefixLen, $width, $hexDigits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -114,6 +114,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(simMismatch == 0)
   }
 
+  test("ShingleMd5s equals the composable md5Long-over-shingles as a set") {
+    import graft.functions.ShingleMd5s
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_shingle_md5s",
+      exprs => ShingleMd5s(exprs.head, 64, 14, 7), "scala_udf")
+    val composed = transform(
+      array_distinct(Funcs.charShingles(substring(col("text"), 1, 64), 14)),
+      x => Funcs.md5Long(x, 7))
+    val mismatch = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        array_sort(call_function("t_shingle_md5s", col("text"))).as("native"),
+        array_sort(composed).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch == 0)
+    // unicode + short-text edges
+    val edge = Seq("", "ab", "好的 wörld — ambiguë 好的 wörld longer text")
+      .toDF("text")
+      .select(array_sort(call_function("t_shingle_md5s", col("text"))).as("n"),
+        array_sort(composed).as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("VecDot equals the composable Funcs.dotProduct bit-for-bit") {
     graft.functions.VecDot.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
