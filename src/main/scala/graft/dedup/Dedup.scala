@@ -277,6 +277,46 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // dd09: incremental dedup — the daily-ingest shape: an incoming
+    // batch (here doc_id % 10 = 9) is checked against the existing
+    // corpus WITHOUT re-deduplicating the corpus itself. Exact novelty
+    // is an anti-join on the content digest; near-dup exposure is the
+    // count of corpus docs sharing any LSH band bucket. Both joins key
+    // on digests/bucket ids — the corpus text is never reshuffled, so
+    // batch cost scales with the batch, not the corpus.
+    "dd09_incremental" -> ((s, d) => {
+      val isNew = col("doc_id") % 10 === 9
+      val keyed = documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_key"))
+      val newKeys = keyed.filter(isNew)
+      val baseKeys = keyed.filter(!isNew)
+      val exactDup = newKeys.join(
+        baseKeys.select(col("content_key"), lit(1).as("dup_")),
+        Seq("content_key"), "left")
+        .select(col("doc_id"),
+          (col("dup_").isNotNull).as("is_exact_dup"))
+      val bandCols = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until RowsPerBand).map(r =>
+            element_at(col("sig_"), b * RowsPerBand + r + 1).cast("string")): _*)
+            .as("bkey"))
+      }
+      val bands = withSigBank(s, d)
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      val nearHits = bands.filter(isNew)
+        .join(bands.filter(!isNew)
+            .select(col("doc_id").as("base_id"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .groupBy("doc_id")
+        .agg(countDistinct("base_id").as("n_near_candidates"))
+      exactDup.join(nearHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"),
+          coalesce(col("n_near_candidates"), lit(0L)).as("n_near_candidates"))
+        .orderBy("doc_id")
+    }),
+
     // dd06: embedding-cosine near-dup pairs on a sampled subset
     // (in-order double fold → bit-identical to the oracle).
     "dd06_embedding_dup" -> ((s, d) => {
@@ -408,6 +448,35 @@ object Dedup {
          |SELECT src AS doc_id, min(dst) AS group_id
          |FROM reach GROUP BY src
          |ORDER BY doc_id""".stripMargin,
+
+    "dd09_incremental" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |), keyed AS (
+         |  SELECT doc_id, md5(text) AS content_key, doc_id % 10 = 9 AS is_new
+         |  FROM documents
+         |), exact AS (
+         |  SELECT n.doc_id,
+         |    (count(b.doc_id) > 0) AS is_exact_dup
+         |  FROM keyed n LEFT JOIN keyed b
+         |    ON b.content_key = n.content_key AND NOT b.is_new
+         |  WHERE n.is_new
+         |  GROUP BY n.doc_id
+         |), near AS (
+         |  SELECT nb.doc_id, count(DISTINCT bb.doc_id) AS n_near_candidates
+         |  FROM bands nb
+         |  JOIN bands bb ON bb.band = nb.band AND bb.bkey = nb.bkey
+         |    AND bb.doc_id % 10 <> 9
+         |  WHERE nb.doc_id % 10 = 9
+         |  GROUP BY nb.doc_id
+         |)
+         |SELECT e.doc_id, e.is_exact_dup,
+         |  coalesce(n.n_near_candidates, 0) AS n_near_candidates
+         |FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
 
     "dd08_embedding_dup_lsh" ->
       s"""WITH planes AS (
