@@ -29,6 +29,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "rolling_fingerprint"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("distinct_shingles"),
+      new ExpressionInfo(classOf[DistinctShingleCount].getName,
+        "distinct_shingles"),
+      (exprs: Seq[Expression]) => {
+        val width = exprs match {
+          case Seq(_, Literal(w: Int, _)) => w
+          case _ => throw new IllegalArgumentException(
+            "distinct_shingles(str, width) requires exactly two " +
+              "arguments with width an integer literal")
+        }
+        DistinctShingleCount(exprs.head, width)
+      }))
+    e.injectFunction((
       FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingleGenerator].getName,
         "char_shingles"),

@@ -57,6 +57,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("native expressions stay inside whole-stage codegen") {
+    // the custom Expressions implement doGenCode — the fused loops
+    // must run inside a WholeStageCodegen span, not as a fallback.
+    // AQE defers codegen insertion until stages execute, so inspect
+    // the non-adaptive plan for the span assertion.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("ta04_fingerprint", "ta05_shingles", "dd04_simhash")) {
+        val p = plan(q)
+        // codegen spans print as "*(n) Operator" in the simple plan;
+        // the projection carrying the native expression must be starred
+        assert(p.contains("*(1) Project") || p.contains("*(1) ColumnarToRow"),
+          s"$q lost codegen:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q01 aggregate is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstFinal = p.indexOf("HashAggregate")
