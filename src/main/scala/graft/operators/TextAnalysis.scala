@@ -198,6 +198,25 @@ object TextAnalysis {
         .orderBy("doc_id", "token")
     }),
 
+    // ta10: vocabulary pruning — drop tokens outside a relative
+    // document-frequency band (df < 6% of docs is noise/typos,
+    // df > 80% is effectively a stopword). The surviving vocabulary is
+    // what a tokenizer/embedding stage trains on; one dedup + one agg,
+    // both shuffling only (token, doc) keys.
+    "ta10_vocab_prune" -> ((s, d) => {
+      val docs = documents(s, d)
+      val df_ = docs
+        .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      df_.crossJoin(broadcast(n))
+        .filter(col("df") >= col("n_docs") * 6 / 100 &&
+          col("df") <= col("n_docs") * 8 / 10)
+        .select("token", "df")
+        .orderBy("token")
+    }),
+
     // em01: per-dimension embedding statistics — columnar vector
     // analytics (mean/min/max per dimension), rounded.
     "em01_dim_stats" -> ((s, d) =>
@@ -317,6 +336,17 @@ object TextAnalysis {
          |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
          |FROM tf JOIN dfreq USING (token) CROSS JOIN n
          |ORDER BY doc_id, token""".stripMargin,
+
+    "ta10_vocab_prune" ->
+      s"""WITH dfreq AS (
+         |  SELECT token, count(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, unnest(list_distinct($toksSql)) AS token
+         |    FROM documents)
+         |  GROUP BY token
+         |), n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT token, df FROM dfreq CROSS JOIN n
+         |WHERE df >= n_docs * 6 // 100 AND df <= n_docs * 8 // 10
+         |ORDER BY token""".stripMargin,
 
     "em01_dim_stats" ->
       """WITH idx AS (
