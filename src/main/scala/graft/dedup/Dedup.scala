@@ -102,16 +102,23 @@ object Dedup {
     * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
     * (group resolution) and apps.CurationPipeline so banding changes
     * once. */
-  def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, bkey) — one row per LSH band per document; the
+    * single definition of the banding layout (candidatePairs and dd09
+    * both consume it, so band/row/bkey-format changes once). */
+  private def bandedSigs(s: SparkSession, d: String): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r =>
           element_at(col("sig_"), b * RowsPerBand + r + 1).cast("string")): _*)
           .as("bkey"))
     }
-    val bands = withSigBank(s, d)
+    withSigBank(s, d)
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandedSigs(s, d)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -289,22 +296,16 @@ object Dedup {
       val keyed = documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_key"))
       val newKeys = keyed.filter(isNew)
+      // distinct keys: a key held by several base docs must not fan
+      // the left join out to one row per holder
       val baseKeys = keyed.filter(!isNew)
+        .select("content_key").distinct()
       val exactDup = newKeys.join(
-        baseKeys.select(col("content_key"), lit(1).as("dup_")),
+        baseKeys.withColumn("dup_", lit(1)),
         Seq("content_key"), "left")
         .select(col("doc_id"),
           (col("dup_").isNotNull).as("is_exact_dup"))
-      val bandCols = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", (0 until RowsPerBand).map(r =>
-            element_at(col("sig_"), b * RowsPerBand + r + 1).cast("string")): _*)
-            .as("bkey"))
-      }
-      val bands = withSigBank(s, d)
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.bkey").as("bkey"))
+      val bands = bandedSigs(s, d)
       val nearHits = bands.filter(isNew)
         .join(bands.filter(!isNew)
             .select(col("doc_id").as("base_id"), col("band"), col("bkey")),

@@ -46,12 +46,22 @@ case class CharShingleGenerator(child: Expression, width: Int)
 }
 
 object CharShingleGenerator {
+  /** Validating builder shared by register() and GraftExtensions —
+    * bad arity / non-literal width gets a named error, not a raw CCE
+    * (arbitrary SQL reaches this on a shared cluster). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    val width = exprs match {
+      case Seq(_, Literal(w: Int, _)) => w
+      case _ => throw new IllegalArgumentException(
+        "char_shingles(str, width) requires exactly two arguments " +
+          "with width an integer literal")
+    }
+    CharShingleGenerator(exprs.head, width)
+  }
+
   /** Registers `char_shingles(str, width)` (width must be a literal).
     * Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_shingles",
-      exprs => CharShingleGenerator(exprs.head,
-        exprs(1).asInstanceOf[Literal].value.asInstanceOf[Int]),
-      "scala_udf")
+      "char_shingles", builder, "scala_udf")
 }

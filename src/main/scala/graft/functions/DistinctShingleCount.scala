@@ -64,19 +64,20 @@ case class DistinctShingleCount(child: Expression, n: Int)
 }
 
 object DistinctShingleCount {
+  /** Validating builder shared by register() and GraftExtensions. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    val width = exprs match {
+      case Seq(_, Literal(w: Int, _)) => w
+      case _ => throw new IllegalArgumentException(
+        "distinct_shingles(str, width) requires exactly two " +
+          "arguments with width an integer literal")
+    }
+    DistinctShingleCount(exprs.head, width)
+  }
+
   /** Registers `distinct_shingles(str, width)` (width must be an
     * integer literal). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "distinct_shingles",
-      exprs => {
-        val width = exprs match {
-          case Seq(_, Literal(w: Int, _)) => w
-          case _ => throw new IllegalArgumentException(
-            "distinct_shingles(str, width) requires exactly two " +
-              "arguments with width an integer literal")
-        }
-        DistinctShingleCount(exprs.head, width)
-      },
-      "scala_udf")
+      "distinct_shingles", builder, "scala_udf")
 }

@@ -36,29 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo(classOf[DistinctShingleCount].getName,
         "distinct_shingles"),
-      (exprs: Seq[Expression]) => {
-        val width = exprs match {
-          case Seq(_, Literal(w: Int, _)) => w
-          case _ => throw new IllegalArgumentException(
-            "distinct_shingles(str, width) requires exactly two " +
-              "arguments with width an integer literal")
-        }
-        DistinctShingleCount(exprs.head, width)
-      }))
+      (exprs: Seq[Expression]) => DistinctShingleCount.builder(exprs)))
     e.injectFunction((
       FunctionIdentifier("char_shingles"),
       new ExpressionInfo(classOf[CharShingleGenerator].getName,
         "char_shingles"),
-      (exprs: Seq[Expression]) => {
-        // arbitrary SQL reaches this builder on a shared cluster —
-        // reject bad arity/width with a named error, not a raw CCE
-        val width = exprs match {
-          case Seq(_, Literal(w: Int, _)) => w
-          case _ => throw new IllegalArgumentException(
-            "char_shingles(str, width) requires exactly two arguments " +
-              "with width an integer literal")
-        }
-        CharShingleGenerator(exprs.head, width)
-      }))
+      (exprs: Seq[Expression]) => CharShingleGenerator.builder(exprs)))
   }
 }

@@ -22,15 +22,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * function registry is the supported route).
   */
 object VecDotOps {
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Null (boxed) on length mismatch — the composable form's
+    * `zip_with` pads the shorter side with nulls, which nulls the
+    * whole fold; reading past the shorter array here would silently
+    * return garbage instead. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    Double.box(acc)
   }
 }
 
@@ -45,8 +50,11 @@ case class VecDot(left: Expression, right: Expression)
     VecDotOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecDotOps.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |java.lang.Double ${ev.value}Boxed = graft.functions.VecDotOps.dot($a, $b);
+       |if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }
+     """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

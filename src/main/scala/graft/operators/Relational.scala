@@ -280,23 +280,17 @@ object Relational {
     // bucketing), percent_rank and first_value, all over one
     // (user, ts) window pass: one shuffle on user_id total.
     "q21_window_variants" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
         .filter(col("user_id") < 10)
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("ts_us"))
-        .withColumn("next_event_id",
-          lead("event_id", 1).over(
-            Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
-        .withColumn("quartile",
-          ntile(4).over(
-            Window.partitionBy("user_id").orderBy("ts_us", "event_id")))
-        .withColumn("pct_rank", round(percent_rank().over(
-          Window.partitionBy("user_id").orderBy("ts_us", "event_id")), 6))
+        .withColumn("next_event_id", lead("event_id", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
         .withColumn("first_event_id",
           first("event_id").over(
-            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "event_id", "event_type", "next_event_id",
           "quartile", "pct_rank", "first_event_id")
         .orderBy("user_id", "event_id")

@@ -211,8 +211,10 @@ object TextAnalysis {
         .groupBy("token").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       df_.crossJoin(broadcast(n))
-        .filter(col("df") >= col("n_docs") * 6 / 100 &&
-          col("df") <= col("n_docs") * 8 / 10)
+        // integer floor division to match the oracle's `//` exactly
+        // (Column `/` is double division: 117*6/100 = 7.02 vs 7)
+        .filter(col("df") >= expr("n_docs * 6 div 100") &&
+          col("df") <= expr("n_docs * 8 div 10"))
         .select("token", "df")
         .orderBy("token")
     }),

@@ -60,20 +60,27 @@ object EventStream {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
-    val links = (1 to copies).map { i =>
-      val l = srcDir.resolve(s"events_$i.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        l, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      l
-    }
-    val stream = build(
-      ss.readStream.schema(eventsSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-    val q = stream.writeStream.outputMode(outputMode)
-      .format("memory").queryName(sinkName).start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      links.foreach(java.nio.file.Files.deleteIfExists)
+    // everything after dir creation is inside the try: a failure in
+    // link staging, plan building, or start() must still clean up the
+    // temp dir (and stop the query if it got that far)
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      (1 to copies).foreach { i =>
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve(s"events_$i.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+      }
+      val stream = build(
+        ss.readStream.schema(eventsSchema).parquet(srcDir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      q = stream.writeStream.outputMode(outputMode)
+        .format("memory").queryName(sinkName).start()
+      q.processAllAvailable()
+    } finally {
+      if (q != null) q.stop()
+      (1 to copies).foreach { i =>
+        java.nio.file.Files.deleteIfExists(srcDir.resolve(s"events_$i.parquet"))
+      }
       java.nio.file.Files.deleteIfExists(srcDir)
     }
     ss.table(sinkName)

@@ -149,6 +149,14 @@ class ExtensionsSpec extends AnyFunSuite {
       // the identical double
       .filter(col("native") =!= col("composed")).count()
     assert(mismatch == 0)
+    // length mismatch → null, like the composable zip_with form (never
+    // an out-of-bounds read)
+    val edge = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(call_function("vec_dot", col("a"), col("b")).as("n"),
+        Funcs.dotProduct(col("a"), col("b")).as("c"))
+      .collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
   }
 
   test("connectedComponents fails loudly when the round cap is hit") {

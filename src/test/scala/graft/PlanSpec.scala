@@ -62,6 +62,7 @@ class PlanSpec extends AnyFunSuite {
     // must run inside a WholeStageCodegen span, not as a fallback.
     // AQE defers codegen insertion until stages execute, so inspect
     // the non-adaptive plan for the span assertion.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Seq("ta04_fingerprint", "ta05_shingles", "dd04_simhash")) {
@@ -71,7 +72,7 @@ class PlanSpec extends AnyFunSuite {
         assert(p.contains("*(1) Project") || p.contains("*(1) ColumnarToRow"),
           s"$q lost codegen:\n$p")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q01 aggregate is partial+final (map-side combine)") {
