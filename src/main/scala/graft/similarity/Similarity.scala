@@ -152,6 +152,26 @@ object Similarity {
         .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
           col("cell"), col("cos"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ss04: ANN quality evaluation — recall@k of the LSH path (ss02)
+    // against the brute-force ground truth (ss01), per query. The
+    // standard accept/reject metric for any approximate index: both
+    // sides are the library's own oracle-checked queries, composed.
+    "ss04_lsh_recall" -> ((s, d) => {
+      val truth = queries("ss01_knn_brute")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("ss02_knn_lsh")(s, d)
+        .select(col("query_id"), col("neighbor_id").as("a_neighbor"))
+      truth.join(approx,
+          truth("query_id") === approx("query_id") &&
+            col("neighbor_id") === col("a_neighbor"), "left")
+        .groupBy(truth("query_id").as("query_id"))
+        .agg(count(lit(1)).as("k"),
+          count(col("a_neighbor")).as("n_found"))
+        .withColumn("recall_at_k",
+          round(col("n_found").cast("double") / col("k"), 6))
+        .orderBy("query_id")
     })
   )
 
@@ -172,6 +192,43 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ss04_lsh_recall" ->
+      s"""WITH truth AS (
+         |  SELECT query_id, neighbor_id FROM (${"\n"}WITH scored AS (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NumQueries
+         |  ), ranked AS (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM scored
+         |  ) SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK)
+         |), approx AS (
+         |  SELECT query_id, neighbor_id FROM (${"\n"}WITH $bucketsCte, scored AS (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ${cosSql("q.embedding", "c.embedding")} AS cos
+         |    FROM embeddings q
+         |    JOIN buckets qb ON q.vec_id = qb.vec_id
+         |    JOIN buckets cb ON cb.bucket = qb.bucket
+         |    JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NumQueries
+         |  ), ranked AS (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM scored
+         |  ) SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK)
+         |)
+         |SELECT t.query_id, count(*) AS k, count(a.neighbor_id) AS n_found,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |    AS recall_at_k
+         |FROM truth t LEFT JOIN approx a
+         |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY t.query_id
+         |ORDER BY t.query_id""".stripMargin,
+
     "ss01_knn_brute" ->
       s"""WITH scored AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
