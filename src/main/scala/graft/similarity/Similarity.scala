@@ -54,6 +54,25 @@ object Similarity {
       .agg(sum("bit").as("bucket"))
   }
 
+  /** (vec_id, table_id, bucket) across `tables` independent plane sets
+    * (table t uses the embeddings of vec_id t*4 .. t*4+3 as planes) —
+    * the multi-table LSH layout: a pair is a candidate if it collides
+    * in ANY table. */
+  def multiBuckets(s: SparkSession, d: String, tables: Int): DataFrame = {
+    val e = embeddings(s, d)
+    val planes = e.filter(col("vec_id") < tables * NumPlanes)
+      .select((col("vec_id") / NumPlanes).cast("long").as("table_id"),
+        (col("vec_id") % NumPlanes).as("plane_id"),
+        col("embedding").as("plane"))
+    e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("table_id"),
+        (when(dot(s, col("embedding"), col("plane")) >= 0, 1L).otherwise(0L)
+          * expr("shiftleft(1L, cast(plane_id AS INT))")).as("bit"))
+      .groupBy("vec_id", "table_id")
+      .agg(sum("bit").as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ss01: brute-force cosine top-k — exact baseline. Norms are
     // precomputed per vector (pure function of the vector → identical
@@ -154,6 +173,39 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss05: multi-table LSH ANN — the recall lever ss04 motivates:
+    // 3 independent plane sets, a neighbor is a candidate if it shares
+    // a bucket in ANY table (union-of-collisions via distinct on the
+    // (query, neighbor) pair). Same per-row bucket arithmetic ×3, same
+    // equi-join shape — recall rises with tables at linear index cost.
+    "ss05_knn_multitable" -> ((s, d) => {
+      val Tables = 3
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val mb = multiBuckets(s, d, Tables)
+      val qb = mb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("table_id"), col("bucket"))
+      val cand = mb
+        .select(col("vec_id").as("neighbor_id"), col("table_id"), col("bucket"))
+        .join(broadcast(qb), Seq("table_id", "bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id").distinct()
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val scored = cand
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
     // ss04: ANN quality evaluation — recall@k of the LSH path (ss02)
     // against the brute-force ground truth (ss01), per query. The
     // standard accept/reject metric for any approximate index: both
@@ -192,6 +244,37 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ss05_knn_multitable" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id // $NumPlanes AS table_id,
+         |    vec_id % $NumPlanes AS plane_id, embedding AS plane
+         |  FROM embeddings WHERE vec_id < ${3 * NumPlanes}
+         |), mb AS (
+         |  SELECT vec_id, table_id,
+         |    sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+         |      THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+         |  FROM embeddings CROSS JOIN planes
+         |  GROUP BY vec_id, table_id
+         |), cand AS (
+         |  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+         |  FROM mb qb JOIN mb nb
+         |    ON nb.table_id = qb.table_id AND nb.bucket = qb.bucket
+         |   AND nb.vec_id <> qb.vec_id
+         |  WHERE qb.vec_id < $NumQueries
+         |), ranked AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC,
+         |        c.neighbor_id ASC) AS rank
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings n ON n.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
     "ss04_lsh_recall" ->
       s"""WITH truth AS (
          |  SELECT query_id, neighbor_id FROM (${"\n"}WITH scored AS (
