@@ -113,6 +113,24 @@ object MlPipeline {
       rows.toSeq.toDF("cluster", "center_l2_norm").orderBy("cluster")
     }),
 
+    // ml07: PCA over the embedding vectors — the dimensionality-
+    // reduction stage of a training-data pipeline (deterministic SVD,
+    // no seed). Reports per-component explained variance; rows-only
+    // check like the other iterative-ML queries.
+    "ml07_pca_variance" -> ((s, d) => {
+      val data = embeddings(s, d)
+        .select(array_to_vector(col("embedding")).as("features"))
+      val m = new org.apache.spark.ml.feature.PCA()
+        .setK(8).setInputCol("features").setOutputCol("pca")
+        .fit(data)
+      val rows = m.explainedVariance.toArray.zipWithIndex.map {
+        case (v, i) => (i, math.round(v * 1e6) / 1e6)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("component", "explained_variance")
+        .orderBy("component")
+    }),
+
     // ml03: L4+L6+L7+L8 — decision-tree sweep, impurity × depth,
     // scored by AUC-ROC on the cv split (50/25/25, ref
     // `SVMDT.scala:92-95,147-164`).
