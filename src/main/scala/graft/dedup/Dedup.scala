@@ -98,10 +98,6 @@ object Dedup {
       .select(col("doc_id"), call_function("minhash_sigs", col("hs_")).as("sig_"))
   }
 
-  /** LSH candidate pairs (doc_a < doc_b): docs sharing any
-    * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
-    * (group resolution) and apps.CurationPipeline so banding changes
-    * once. */
   /** (doc_id, band, bkey) — one row per LSH band per document; the
     * single definition of the banding layout (candidatePairs and dd09
     * both consume it, so band/row/bkey-format changes once). */
@@ -117,6 +113,9 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** LSH candidate pairs (doc_a < doc_b): docs sharing any
+    * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
+    * (group resolution) and apps.CurationPipeline. */
   def candidatePairs(s: SparkSession, d: String): DataFrame = {
     val bands = bandedSigs(s, d)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))

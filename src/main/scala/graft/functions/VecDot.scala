@@ -44,6 +44,10 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can return null on length mismatch even for non-nullable inputs —
+  // without this, nullSafeCodeGen's non-nullable branch never declares
+  // the isNull variable the generated code assigns (janino error)
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -37,22 +37,15 @@ object Similarity {
 
   private val NumQueries = 5
   private val NumPlanes = 4
+  private val NumTables = 3
   private val TopK = 10
 
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
-    * Shared with dedup.Dedup (dd08 pairs within a bucket). */
-  def buckets(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val planes = e.filter(col("vec_id") < NumPlanes)
-      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-    e.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("embedding"),
-        (when(dot(s, col("embedding"), col("plane")) >= 0, 1L).otherwise(0L)
-          * expr("shiftleft(1L, cast(plane_id AS INT))")).as("bit"))
-      .groupBy("vec_id")
-      .agg(sum("bit").as("bucket"))
-  }
+    * Shared with dedup.Dedup (dd08 pairs within a bucket). The
+    * single-table special case of [[multiBuckets]] (table 0 uses
+    * planes vec_id 0..3), so the banding arithmetic lives once. */
+  def buckets(s: SparkSession, d: String): DataFrame =
+    multiBuckets(s, d, tables = 1).select("vec_id", "bucket")
 
   /** (vec_id, table_id, bucket) across `tables` independent plane sets
     * (table t uses the embeddings of vec_id t*4 .. t*4+3 as planes) —
@@ -61,7 +54,9 @@ object Similarity {
   def multiBuckets(s: SparkSession, d: String, tables: Int): DataFrame = {
     val e = embeddings(s, d)
     val planes = e.filter(col("vec_id") < tables * NumPlanes)
-      .select((col("vec_id") / NumPlanes).cast("long").as("table_id"),
+      // integral div, not Column / (double division) — matches the
+      // oracle's floor-division // semantics exactly
+      .select(expr(s"vec_id div $NumPlanes").as("table_id"),
         (col("vec_id") % NumPlanes).as("plane_id"),
         col("embedding").as("plane"))
     e.select(col("vec_id"), col("embedding"))
@@ -179,7 +174,7 @@ object Similarity {
     // (query, neighbor) pair). Same per-row bucket arithmetic ×3, same
     // equi-join shape — recall rises with tables at linear index cost.
     "ss05_knn_multitable" -> ((s, d) => {
-      val Tables = 3
+      val Tables = NumTables
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val mb = multiBuckets(s, d, Tables)
@@ -243,12 +238,46 @@ object Similarity {
        |  GROUP BY vec_id
        |)""".stripMargin
 
+  /** Shared CTE text of the brute-force ranked neighbors (ss01's body;
+    * ss04 composes it as its ground truth so the two can't drift). */
+  private val bruteRankedCte =
+    s"""bf_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), bf_ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM bf_scored
+       |)""".stripMargin
+
+  /** Shared CTE text of the single-table LSH ranked neighbors (ss02's
+    * body minus the bucket column; ss04's approx side). */
+  private val lshRankedCte =
+    s"""$bucketsCte, lsh_scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    qb.bucket AS bucket,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q
+       |  JOIN buckets qb ON q.vec_id = qb.vec_id
+       |  JOIN buckets cb ON cb.bucket = qb.bucket
+       |  JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), lsh_ranked AS (
+       |  SELECT query_id, neighbor_id, bucket, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM lsh_scored
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ss05_knn_multitable" ->
       s"""WITH planes AS (
          |  SELECT vec_id // $NumPlanes AS table_id,
          |    vec_id % $NumPlanes AS plane_id, embedding AS plane
-         |  FROM embeddings WHERE vec_id < ${3 * NumPlanes}
+         |  FROM embeddings WHERE vec_id < ${NumTables * NumPlanes}
          |), mb AS (
          |  SELECT vec_id, table_id,
          |    sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
@@ -276,33 +305,11 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     "ss04_lsh_recall" ->
-      s"""WITH truth AS (
-         |  SELECT query_id, neighbor_id FROM (${"\n"}WITH scored AS (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      ${cosSql("q.embedding", "c.embedding")} AS cos
-         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-         |    WHERE q.vec_id < $NumQueries
-         |  ), ranked AS (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |    FROM scored
-         |  ) SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK)
+      s"""WITH $bruteRankedCte, $lshRankedCte,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= $TopK
          |), approx AS (
-         |  SELECT query_id, neighbor_id FROM (${"\n"}WITH $bucketsCte, scored AS (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      ${cosSql("q.embedding", "c.embedding")} AS cos
-         |    FROM embeddings q
-         |    JOIN buckets qb ON q.vec_id = qb.vec_id
-         |    JOIN buckets cb ON cb.bucket = qb.bucket
-         |    JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
-         |    WHERE q.vec_id < $NumQueries
-         |  ), ranked AS (
-         |    SELECT query_id, neighbor_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |    FROM scored
-         |  ) SELECT query_id, neighbor_id FROM ranked WHERE rank <= $TopK)
+         |  SELECT query_id, neighbor_id FROM lsh_ranked WHERE rank <= $TopK
          |)
          |SELECT t.query_id, count(*) AS k, count(a.neighbor_id) AS n_found,
          |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
@@ -313,38 +320,14 @@ object Similarity {
          |ORDER BY t.query_id""".stripMargin,
 
     "ss01_knn_brute" ->
-      s"""WITH scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    ${cosSql("q.embedding", "c.embedding")} AS cos
-         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+      s"""WITH $bruteRankedCte
+         |SELECT query_id, rank, neighbor_id, cos FROM bf_ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
     "ss02_knn_lsh" ->
-      s"""WITH $bucketsCte, scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    qb.bucket AS bucket,
-         |    ${cosSql("q.embedding", "c.embedding")} AS cos
-         |  FROM embeddings q
-         |  JOIN buckets qb ON q.vec_id = qb.vec_id
-         |  JOIN buckets cb ON cb.bucket = qb.bucket
-         |  JOIN embeddings c ON c.vec_id = cb.vec_id AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries
-         |), ranked AS (
-         |  SELECT query_id, neighbor_id, bucket, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |)
-         |SELECT query_id, rank, neighbor_id, bucket, cos FROM ranked
+      s"""WITH $lshRankedCte
+         |SELECT query_id, rank, neighbor_id, bucket, cos FROM lsh_ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -77,7 +77,9 @@ object EventStream {
         .format("memory").queryName(sinkName).start()
       q.processAllAvailable()
     } finally {
-      if (q != null) q.stop()
+      // stop() of an already-failed query can itself throw — it must
+      // not skip the file cleanup or mask the original failure
+      if (q != null) try q.stop() catch { case _: Exception => }
       (1 to copies).foreach { i =>
         java.nio.file.Files.deleteIfExists(srcDir.resolve(s"events_$i.parquet"))
       }
