@@ -45,7 +45,55 @@ object Multimodal {
     MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480, sum)
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_chars: Int,
+      checksum: Long)
+
+  /** STUB frame decoder — stands in for a video frame-sampler: the
+    * payload is treated as consecutive 32-codepoint "frames", every
+    * 3rd frame is sampled, and the per-frame feature is a code-point
+    * checksum. The flatMap one-record→many-frames batch shape, typed
+    * Dataset plumbing, and partition-local iteration are the real
+    * parts; a production decoder swaps in here unchanged. */
+  def sampleFrames(r: MediaRecord): Iterator[Frame] = {
+    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    // code-point boundaries (frames are characters, not UTF-16 units,
+    // to match the oracle's substr semantics)
+    val nCp = s.codePointCount(0, s.length)
+    val offsets = new Array[Int](nCp + 1)
+    var i = 0; var c = 0
+    while (i < s.length) {
+      offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i))
+    }
+    offsets(nCp) = s.length
+    val nFrames = (nCp + 31) / 32
+    Iterator.range(0, nFrames).filter(_ % 3 == 0).map { f =>
+      val from = offsets(f * 32)
+      val until = offsets(math.min(f * 32 + 32, nCp))
+      val chunk = s.substring(from, until)
+      var sum = 0L
+      var j = 0
+      while (j < chunk.length) {
+        val cp = chunk.codePointAt(j)
+        j += Character.charCount(cp)
+        sum += cp
+      }
+      Frame(r.doc_id, f, chunk.codePointCount(0, chunk.length), sum)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mm03: frame sampling — the one-record→many-frames generator
+    // shape of a video pipeline (every 3rd 32-char frame, stub
+    // features), as partition-local flatMap over a typed Dataset.
+    "mm03_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+        .mapPartitions(_.flatMap(sampleFrames))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
     // mm01: binary metadata extraction — byte length + content digest
     // straight over the binary column.
     "mm01_binary_meta" -> ((s, d) =>
@@ -69,6 +117,23 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm03_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT doc_id, i - 1 AS frame_idx,
+        |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(1,
+        |      greatest((length(text) + 31) // 32, 0))) AS t(i)
+        |)
+        |SELECT doc_id, frame_idx, length(chunk) AS n_chars,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, length(chunk)),
+        |      j -> ascii(substr(chunk, j, 1))::BIGINT)),
+        |    (a, b) -> a + b) AS checksum
+        |FROM frames
+        |WHERE frame_idx % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm01_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha256
