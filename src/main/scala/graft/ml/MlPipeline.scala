@@ -113,6 +113,34 @@ object MlPipeline {
       rows.toSeq.toDF("cluster", "center_l2_norm").orderBy("cluster")
     }),
 
+    // ml08: the spark.ml-native dedup route (SURVEY §7.2 slice 5 —
+    // `ml.feature.MinHashLSH`): HashingTF binary token vectors (no
+    // fit, deterministic) → seeded MinHashLSH → approxSimilarityJoin.
+    // The custom dd02/dd03 operators are the cross-engine-exact
+    // implementation; this shows the built-in path works on the same
+    // table. Rows-only check (hash seeds are engine-specific).
+    "ml08_minhash_lsh" -> ((s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+        .setNumFeatures(1024).setBinary(true)
+      // small sample: this is the built-in-route demonstration, and
+      // approxSimilarityJoin explodes numHashTables rows per doc before
+      // its join — the exact cross-engine path (dd02/dd03) is the
+      // throughput implementation
+      val vecs = tf.transform(toks).filter(col("doc_id") % 25 === 0)
+      val lsh = new MinHashLSH().setNumHashTables(4).setSeed(Seed)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.5, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ml07: PCA over the embedding vectors — the dimensionality-
     // reduction stage of a training-data pipeline (deterministic SVD,
     // no seed). Reports per-component explained variance; rows-only
