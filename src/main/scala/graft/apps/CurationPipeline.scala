@@ -61,10 +61,18 @@ object CurationPipeline {
     val gated = nearKeep.join(TextAnalysis.scored(docs), Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs: _*))
+    // 4. content-stable split assignment (ta09): the digest, not an
+    // RNG, decides train/valid/test, so reruns and reshards keep every
+    // document's split
     val curated = gated
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
+      .withColumn("bucket_",
+        graft.functions.Funcs.md5Long(col("text"), 7) % 10)
+      .withColumn("split",
+        when(col("bucket_") < 8, "train")
+          .when(col("bucket_") < 9, "valid").otherwise("test"))
       .select("doc_id", "text", "lang", "source", "predicted_lang",
-        "quality_score", "n_tokens")
+        "quality_score", "n_tokens", "split")
     val nFinal = curated.count()
     docs.unpersist(false)
 

@@ -47,4 +47,15 @@ class CurationPipelineSpec extends AnyFunSuite {
       again.curated.select("doc_id")).count() == 0)
     assert(again.curated.count() == result.curated.count())
   }
+
+  test("split assignment is content-stable and covers every survivor") {
+    val c = result.curated
+    assert(c.filter(!col("split").isin("train", "valid", "test"))
+      .count() == 0)
+    // identical text ⇒ identical split (digest-derived, not RNG)
+    val perText = c.groupBy(md5(col("text")))
+      .agg(countDistinct("split").as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(perText == 0)
+  }
 }
