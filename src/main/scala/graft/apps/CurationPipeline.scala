@@ -66,11 +66,7 @@ object CurationPipeline {
     // document's split
     val curated = gated
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
-      .withColumn("bucket_",
-        graft.functions.Funcs.md5Long(col("text"), 7) % 10)
-      .withColumn("split",
-        when(col("bucket_") < 8, "train")
-          .when(col("bucket_") < 9, "valid").otherwise("test"))
+      .withColumn("split", graft.functions.Funcs.hashSplit(col("text")))
       .select("doc_id", "text", "lang", "source", "predicted_lang",
         "quality_score", "n_tokens", "split")
     val nFinal = curated.count()

@@ -26,13 +26,9 @@ object ShingleOps {
     // UTF-16 offsets of each codepoint boundary (ASCII fast path:
     // offsets are the identity and substring windows share the backing
     // array, so this stays allocation-light)
-    val len = s.length
-    val nCp = s.codePointCount(0, len)
+    val nCp = s.codePointCount(0, s.length)
     if (nCp == 0) return 1L // one empty window, like charShingles
-    val offsets = new Array[Int](nCp + 1)
-    var i = 0; var c = 0
-    while (i < len) { offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i)) }
-    offsets(nCp) = len
+    val offsets = CodePoints.offsets(s)
     val windows = math.max(nCp - n + 1, 1)
     val seen = new java.util.HashSet[String](windows * 2)
     var w = 0

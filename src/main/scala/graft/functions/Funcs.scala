@@ -135,6 +135,14 @@ object Funcs {
       sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
       i => substring(s, i, lit(n)))
 
+  /** Content-stable 80/10/10 split assignment from the text digest —
+    * shared by ta09 and the curation pipeline so thresholds change
+    * once. */
+  def hashSplit(text: Column): Column = {
+    val bucket = md5Long(text, 7) % 10
+    when(bucket < 8, "train").when(bucket < 9, "valid").otherwise("test")
+  }
+
   /** Adjacent word pairs ("word bigrams") from a token array. */
   def wordBigrams(toks: Column): Column =
     transform(

@@ -47,12 +47,8 @@ object ShingleMd5Ops {
     val s =
       if (full.codePointCount(0, full.length) <= prefixLen) full
       else full.substring(0, full.offsetByCodePoints(0, prefixLen))
-    val len = s.length
-    val nCp = s.codePointCount(0, len)
-    val offsets = new Array[Int](nCp + 1)
-    var i = 0; var c = 0
-    while (i < len) { offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i)) }
-    offsets(nCp) = len
+    val nCp = s.codePointCount(0, s.length)
+    val offsets = CodePoints.offsets(s)
     val windows = math.max(nCp - width + 1, 1)
     val seen = new java.util.LinkedHashSet[String](windows * 2)
     var w = 0

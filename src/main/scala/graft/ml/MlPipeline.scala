@@ -129,7 +129,9 @@ object MlPipeline {
       // approxSimilarityJoin explodes numHashTables rows per doc before
       // its join — the exact cross-engine path (dd02/dd03) is the
       // throughput implementation
-      val vecs = tf.transform(toks).filter(col("doc_id") % 25 === 0)
+      // cached: the self-join evaluates both sides (and fit a third
+      // time) — without this the scan + hashing runs per consumer
+      val vecs = tf.transform(toks).filter(col("doc_id") % 25 === 0).cache()
       val lsh = new MinHashLSH().setNumHashTables(4).setSeed(Seed)
         .setInputCol("features").setOutputCol("hashes")
       val model = lsh.fit(vecs)

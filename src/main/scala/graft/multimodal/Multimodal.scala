@@ -33,15 +33,7 @@ object Multimodal {
   def decodeStub(r: MediaRecord): MediaFeatures = {
     val n = r.payload.length
     val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    var sum = 0L
-    var i = 0
-    var taken = 0
-    while (i < s.length && taken < 16) {
-      val cp = s.codePointAt(i)
-      i += Character.charCount(cp)
-      sum += cp
-      taken += 1
-    }
+    val sum = graft.functions.CodePoints.sum(s, maxCodePoints = 16)
     MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480, sum)
   }
 
@@ -59,25 +51,14 @@ object Multimodal {
     // code-point boundaries (frames are characters, not UTF-16 units,
     // to match the oracle's substr semantics)
     val nCp = s.codePointCount(0, s.length)
-    val offsets = new Array[Int](nCp + 1)
-    var i = 0; var c = 0
-    while (i < s.length) {
-      offsets(c) = i; c += 1; i += Character.charCount(s.codePointAt(i))
-    }
-    offsets(nCp) = s.length
+    val offsets = graft.functions.CodePoints.offsets(s)
     val nFrames = (nCp + 31) / 32
     Iterator.range(0, nFrames).filter(_ % 3 == 0).map { f =>
       val from = offsets(f * 32)
       val until = offsets(math.min(f * 32 + 32, nCp))
       val chunk = s.substring(from, until)
-      var sum = 0L
-      var j = 0
-      while (j < chunk.length) {
-        val cp = chunk.codePointAt(j)
-        j += Character.charCount(cp)
-        sum += cp
-      }
-      Frame(r.doc_id, f, chunk.codePointCount(0, chunk.length), sum)
+      Frame(r.doc_id, f, chunk.codePointCount(0, chunk.length),
+        graft.functions.CodePoints.sum(chunk))
     }
   }
 

@@ -173,10 +173,7 @@ object TextAnalysis {
     // 100 TB pipeline uses for held-out sets).
     "ta09_hash_split" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), (md5Long(col("text"), 7) % 10).as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 8, "train")
-            .when(col("bucket") < 9, "valid").otherwise("test"))
+        .select(col("doc_id"), hashSplit(col("text")).as("split"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"),
           max("doc_id").as("max_doc_id"))
