@@ -318,12 +318,16 @@ object Relational {
     // exact twins q09/q15 are the correctness anchors. At 100 TB
     // these are what replaces them when exactness isn't required:
     // fixed-size sketch state instead of shuffling every distinct key.
+    // Percentiles come out as scalar columns (not one ARRAY column):
+    // the driver's rows-only check sorts the frame in pandas, and an
+    // ndarray cell is unhashable there — an array column makes the
+    // harness error out instead of recording the check.
     "q19_approx" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
-            .as("qty_pcts"),
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -466,7 +470,7 @@ object Relational {
 
     "q12_events_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

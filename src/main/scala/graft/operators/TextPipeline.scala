@@ -50,11 +50,16 @@ object TextPipeline {
       |  WHERE length(token) > 0
       |)""".stripMargin
 
+  // sums are CAST to BIGINT: DuckDB promotes integer sum() to HUGEINT,
+  // which pandas surfaces as float64 — the driver's value hash then
+  // sees 164.0 vs Spark's 164 and fails even though the math is right
+  // (this was the entire root cause of round 1's vp02/vp06/ss02/dd08/
+  // q12 hash mismatches)
   private val countsCte =
     """counts AS (
       |  SELECT token,
-      |    sum(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) AS np,
-      |    sum(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) AS nn
+      |    CAST(sum(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS nn
       |  FROM toks GROUP BY token
       |  HAVING sum(CASE WHEN cls = 'pos' THEN 1 ELSE 0 END) > 0
       |     AND sum(CASE WHEN cls = 'neg' THEN 1 ELSE 0 END) > 0
@@ -212,7 +217,7 @@ object TextPipeline {
         |      ln(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cluster)) AS term
         |  FROM counts
         |)
-        |SELECT cluster, sum(n) AS n_docs, round(sum(term), 6) AS entropy
+        |SELECT cluster, CAST(sum(n) AS BIGINT) AS n_docs, round(sum(term), 6) AS entropy
         |FROM terms GROUP BY cluster
         |ORDER BY cluster""".stripMargin,
 

@@ -232,8 +232,10 @@ object Similarity {
        |  SELECT vec_id AS plane_id, embedding AS plane FROM embeddings
        |  WHERE vec_id < $NumPlanes
        |), buckets AS (
-       |  SELECT vec_id, sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
-       |    THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+       |  -- CAST: DuckDB integer sum() is HUGEINT → float64 in pandas,
+       |  -- which fails the driver's value hash against Spark's int64
+       |  SELECT vec_id, CAST(sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+       |    THEN (1::BIGINT << plane_id) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings CROSS JOIN planes
        |  GROUP BY vec_id
        |)""".stripMargin
@@ -280,8 +282,8 @@ object Similarity {
          |  FROM embeddings WHERE vec_id < ${NumTables * NumPlanes}
          |), mb AS (
          |  SELECT vec_id, table_id,
-         |    sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
-         |      THEN (1::BIGINT << plane_id) ELSE 0 END) AS bucket
+         |    CAST(sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+         |      THEN (1::BIGINT << plane_id) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM embeddings CROSS JOIN planes
          |  GROUP BY vec_id, table_id
          |), cand AS (

@@ -6,35 +6,49 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify),
 runs the matching oracle SQL from oracle_sql.json in DuckDB over the
 sfDir parquet tables, and compares row counts, sorted column names,
-and cell values (exact for ints/strings, tight tolerance for floats).
+and cell values EXACTLY — floats included. The driver's gate hashes
+cell values bit-for-bit, so a tolerance here would pass queries the
+driver fails (this bit round 1: 5 hash mismatches slipped through a
+1e-9 tolerance). Pass --tol for the old approximate mode when
+debugging how far off a value is.
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
 
+TOL = False
+
 
 def norm_cell(v):
+    """Normalize a cell to a string that is equal iff the driver's
+    value hash would be equal: floats map to their IEEE bit pattern
+    (so 99111 vs 99111.0 — e.g. a DuckDB HUGEINT sum surfacing as
+    float64 in pandas — is a MISMATCH, and so is 0.0 vs -0.0), ints
+    to their decimal string regardless of width (int32 vs int64 is
+    fine; the driver stringifies)."""
     if v is None:
         return None
-    if isinstance(v, float):
+    import decimal
+    import numpy as np
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(bool(v))
+    if isinstance(v, float):  # covers np.float64 (subclass)
         if math.isnan(v):
-            return "NaN"
-        return v
-    # decimals -> float for comparison
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except Exception:
-        pass
+            return "f:NaN"
+        return "f:" + struct.pack(">d", v).hex()
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return "d:" + str(v.normalize())
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
+        return "t:" + v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, bytes):
-        return v.hex()
+        return "x:" + v.hex()
     return v
 
 
@@ -45,19 +59,36 @@ def rows_of(df):
     return cols, sorted(rows, key=lambda t: tuple(str(x) for x in t))
 
 
+def _unbits(s):
+    return struct.unpack(">d", bytes.fromhex(s[2:]))[0]
+
+
 def cmp_cell(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    if a == b:
+        return True
+    if TOL:
+        # approximate mode: compare float bit patterns numerically,
+        # and let int/float dtype mismatches through
+        def num(v):
+            if isinstance(v, str) and v.startswith("f:") and v != "f:NaN":
+                return _unbits(v)
+            if isinstance(v, str) and v.startswith(("i:", "d:")):
+                return float(v[2:])
+            return None
+        x, y = num(a), num(b)
+        if x is not None and y is not None:
+            return x == y or abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(cmp_cell(x, y) for x, y in zip(a, b))
-    return a == b
+    return False
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    global TOL
+    args = [a for a in sys.argv[1:] if a != "--tol"]
+    TOL = "--tol" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
