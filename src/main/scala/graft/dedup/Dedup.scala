@@ -80,6 +80,10 @@ object Dedup {
       exprs => graft.functions.ShingleMd5s(exprs.head,
         prefixLen = 64, width = 14, hexDigits = 7),
       "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_md5s",
+      exprs => graft.functions.TokenMd5s(exprs.head, hexDigits = 8),
+      "scala_udf")
   }
 
   /** Composable twin of the fused `shingle_md5s` (spec oracle). */
@@ -211,10 +215,11 @@ object Dedup {
     "dd04_simhash" -> ((s, d) => {
       registerSketches(s)
       documents(s, d)
-        // materialize token hashes once (see minhashSigs note)
+        // fused token hashing (not the transform/filter HOF chain:
+        // HOFs are CodegenFallback and would drag the SimHash vote in
+        // the same projection out of whole-stage codegen too)
         .select(col("doc_id"),
-          transform(array_distinct(tokens(col("text"))),
-            t => md5Long(t, 8)).as("hs_"))
+          call_function("token_md5s", col("text")).as("hs_"))
         .select(col("doc_id"),
           call_function("simhash64", col("hs_")).as("simhash"))
         .orderBy("doc_id")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Generator, GenericInternalRow, Literal, UnaryExpression}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,9 +19,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * len−width+1 shingles in order.
   */
 case class CharShingleGenerator(child: Expression, width: Int)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback
+    with ExpectsInputTypes {
 
   require(width > 0, "shingle width must be positive")
+
+  override def inputTypes = Seq(StringType)
 
   override def elementSchema: StructType =
     StructType(StructField("shingle", StringType) :: Nil)

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of DISTINCT `n`-codepoint sliding-window shingles of a
@@ -42,8 +42,9 @@ object ShingleOps {
 }
 
 case class DistinctShingleCount(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "distinct_shingles"

@@ -27,11 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "rolling_fingerprint"),
-      (exprs: Seq[Expression]) => RollingFingerprint(exprs.head)))
+      (exprs: Seq[Expression]) => RollingFingerprint.builder(exprs)))
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VecDot.builder(exprs)))
     e.injectFunction((
       FunctionIdentifier("distinct_shingles"),
       new ExpressionInfo(classOf[DistinctShingleCount].getName,

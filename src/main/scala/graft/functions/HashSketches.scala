@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,10 +71,18 @@ object HashSketchOps {
 /** `minhash_sigs(hs)` — the signature bank as ARRAY<BIGINT> of length
   * params.k, in parameter order (j = array index). */
 case class MinHashSigs(child: Expression, params: Seq[(Long, Long)], p: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // returns null for an empty input array (matching array_min of an
+  // empty transform) even when the child is non-nullable — without
+  // this, nullSafeCodeGen's non-nullable branch never declares the
+  // isNull variable the generated code assigns (janino error →
+  // silent codegen fallback), and the interpreted path would return
+  // a null the expression doesn't declare
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
   private lazy val as = params.map(_._1).toArray
@@ -98,8 +106,9 @@ case class MinHashSigs(child: Expression, params: Seq[(Long, Long)], p: Long)
 
 /** `simhash64(hs, bits)` — the SimHash bit vote as BIGINT. */
 case class SimHashBits(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the rolling polynomial document
@@ -18,8 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * where the built-in composition is the hot-path bottleneck.
   */
 case class RollingFingerprint(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_fingerprint"
@@ -60,11 +61,19 @@ case class RollingFingerprint(child: Expression)
 }
 
 object RollingFingerprint {
+  /** Validating builder shared by register() and GraftExtensions —
+    * wrong arity gets a named error, not a head-of-empty crash. */
+  def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(s) => RollingFingerprint(s)
+    case _ => throw new IllegalArgumentException(
+      s"rolling_fingerprint(str) requires exactly one argument, " +
+        s"got ${exprs.length}")
+  }
+
   /** Registers `rolling_fingerprint(str)` as a session temp function
     * (the public Column↔Expression bridge is private[sql] in Spark 4;
     * the function registry is the supported route). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_fingerprint", exprs => RollingFingerprint(exprs.head),
-      "scala_udf")
+      "rolling_fingerprint", builder, "scala_udf")
 }

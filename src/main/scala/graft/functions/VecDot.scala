@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** In-order dot product of two FLOAT-array columns as one fused loop —
   * bit-identical to the composable [[Funcs.dotProduct]]
@@ -40,8 +40,14 @@ object VecDotOps {
 }
 
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // strict ARRAY<FLOAT> inputs: the loop reads via ArrayData.getFloat,
+  // so an ARRAY<DOUBLE> argument from plain SQL would reinterpret the
+  // wrong 4 bytes per element and return garbage numbers — fail at
+  // analysis time instead
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   // can return null on length mismatch even for non-nullable inputs —
@@ -66,8 +72,18 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
+  /** Validating builder shared by register() and GraftExtensions —
+    * wrong arity gets a named error at plan time, not a raw
+    * IndexOutOfBoundsException (arbitrary SQL reaches this on a
+    * shared cluster). */
+  def builder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => VecDot(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"vec_dot(a, b) requires exactly two arguments, got ${exprs.length}")
+  }
+
   /** Registers `vec_dot(a, b)`. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+      "vec_dot", builder, "scala_udf")
 }

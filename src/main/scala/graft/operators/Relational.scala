@@ -261,11 +261,16 @@ object Relational {
       val errors = ev.filter(col("event_type") === "error")
         .select(col("event_id"), col("user_id"), col("ts"),
           unix_micros(col("ts")).as("e_us"))
+      // floor division, not `div` (which truncates toward zero): for a
+      // pre-1970 timestamp the truncated bin differs by one and the
+      // error row would never probe the bucket its clicks landed in —
+      // (x - pmod(x, b)) div b is exact floor on longs for any sign
+      def floorBin(c: String) = expr(s"($c - pmod($c, ${binUs}L)) div ${binUs}L")
       val probes = errors.withColumn("bin",
-        explode(array(expr(s"e_us div $binUs") - 1, expr(s"e_us div $binUs"))))
+        explode(array(floorBin("e_us") - 1, floorBin("e_us"))))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
-        .withColumn("bin", expr(s"c_us div $binUs"))
+        .withColumn("bin", floorBin("c_us"))
       val counts = probes.join(clicks, Seq("user_id", "bin"))
         .filter(col("c_us") >= col("e_us") - binUs && col("c_us") < col("e_us"))
         .groupBy("event_id").agg(count(lit(1)).as("n_clicks_5m"))

@@ -137,6 +137,27 @@ class ExtensionsSpec extends AnyFunSuite {
     edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("TokenMd5s equals the composable md5Long-over-distinct-tokens") {
+    import graft.functions.TokenMd5s
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_token_md5s", exprs => TokenMd5s(exprs.head, 8), "scala_udf")
+    val composed = transform(array_distinct(Funcs.tokens(col("text"))),
+      t => Funcs.md5Long(t, 8))
+    // order included: both sides keep first-occurrence order
+    val mismatch = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(call_function("t_token_md5s", col("text")).as("native"),
+        composed.as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatch == 0)
+    // edges: empty, all-spaces, repeats, unicode
+    val edge = Seq("", "   ", "a b a b", "好的 wörld 好的")
+      .toDF("text")
+      .select(call_function("t_token_md5s", col("text")).as("n"),
+        composed.as("c"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("VecDot equals the composable Funcs.dotProduct bit-for-bit") {
     graft.functions.VecDot.register(spark)
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
@@ -189,6 +210,65 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
     }
+  }
+
+  test("vec_dot rejects wrong arity and non-FLOAT arrays at analysis") {
+    graft.functions.VecDot.register(spark)
+    // wrong arity: named error at plan time, not IndexOutOfBounds
+    val arity = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0F))").collect()
+    }
+    assert(arity.getMessage.contains("vec_dot"))
+    // ARRAY<DOUBLE>: ArrayData.getFloat would read the wrong 4 bytes
+    // per element and return garbage — must fail analysis instead
+    val typed = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(1.0D, 2.0D))")
+        .collect()
+    }
+    assert(typed.getMessage.toLowerCase.contains("type"))
+    // and the valid FLOAT form still runs
+    val ok = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect()(0).getDouble(0)
+    assert(ok == 11.0)
+  }
+
+  test("native string expressions reject non-string input at analysis") {
+    RollingFingerprint.register(spark)
+    graft.functions.DistinctShingleCount.register(spark)
+    for (q <- Seq("SELECT rolling_fingerprint(array(1))",
+        "SELECT distinct_shingles(array(1), 3)")) {
+      val e = intercept[Exception] { spark.sql(q).collect() }
+      assert(e.getMessage.toLowerCase.contains("type"), q)
+    }
+  }
+
+  test("MinHashSigs returns declared-nullable null on empty input") {
+    import graft.functions.MinHashSigs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sigs = MinHashSigs(Literal.create(Seq.empty[Long]), Seq((3L, 5L)),
+      2147483647L)
+    assert(sigs.nullable) // empty array → null even for non-null child
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "t_minhash_empty",
+      exprs => MinHashSigs(exprs.head, Seq((3L, 5L)), 2147483647L),
+      "scala_udf")
+    // through a real (codegen-eligible) plan over a non-nullable child
+    val rows = spark.range(2)
+      .selectExpr("t_minhash_empty(array_remove(array(id), id)) AS s")
+      .collect()
+    rows.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("q17 bin assignment uses floor division for negative epochs") {
+    // pre-1970 timestamp: -1µs is in bin -1, not bin 0 — `div`
+    // truncation would put the click and its error in different bins
+    val binUs = 300000000L
+    val got = Seq(-1L, -binUs, -binUs - 1, 0L, binUs - 1, binUs)
+      .toDF("us")
+      .select(expr(s"(us - pmod(us, ${binUs}L)) div ${binUs}L").as("bin"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(-1L, -1L, -2L, 0L, 0L, 1L))
   }
 
   test("saltedJoin equals the plain join") {

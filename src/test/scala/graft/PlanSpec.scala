@@ -65,12 +65,18 @@ class PlanSpec extends AnyFunSuite {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("ta04_fingerprint", "ta05_shingles", "dd04_simhash")) {
+      for ((q, fn) <- Seq("ta04_fingerprint" -> "rolling_fingerprint",
+          "ta05_shingles" -> "distinct_shingles",
+          "dd04_simhash" -> "simhash64")) {
         val p = plan(q)
-        // codegen spans print as "*(n) Operator" in the simple plan;
-        // the projection carrying the native expression must be starred
-        assert(p.contains("*(1) Project") || p.contains("*(1) ColumnarToRow"),
-          s"$q lost codegen:\n$p")
+        // codegen spans print as "*(n) Operator"; the assertion must
+        // hold on the very line naming the native expression — a
+        // starred scan elsewhere in the plan doesn't prove the fused
+        // loop is inside a codegen span
+        val lines = p.linesIterator.filter(_.contains(fn + "(")).toSeq
+        assert(lines.nonEmpty, s"$q plan does not name $fn:\n$p")
+        assert(lines.exists(l => """\*\(\d+\)""".r.findFirstIn(l).isDefined),
+          s"$q: $fn fell out of whole-stage codegen:\n$p")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
