@@ -3,7 +3,6 @@ package graft.apps
 import graft.export.Hierarchy
 import graft.io.{ApiLogReader, Codecs}
 import graft.operators.FeatureSelection
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -44,7 +43,7 @@ object VirusPipeline {
       .withColumn("features", toSparse(lit(nFeatures), col("indices")))
 
   def run(spark: SparkSession, apiLogsDir: String, topN: Int = 2000,
-          k: Int = 10, seed: Long = 42L): Artifacts = {
+          k: Int = 10, seed: Long = 42L, runs: Int = 10): Artifacts = {
     // stage 1 — feature selection (FeatureSelectionCloud)
     val calls = ApiLogReader.read(spark, apiLogsDir).cache()
     val totals = ApiLogReader.totals(spark, apiLogsDir, "virus")
@@ -55,8 +54,11 @@ object VirusPipeline {
     // stage 2 — clustering (KmeansVirus): sparse vectors per sample
     val nFeatures = top.count().toInt
     val samples = assemble(vec, nFeatures).cache()
-    val model = new KMeans().setK(k).setTol(1e-6).setSeed(seed)
-      .setFeaturesCol("features").fit(samples)
+    // L1 setRuns parity: the reference trains with `setRuns(10)`
+    // (`KmeansVirus.scala:183-186`) — best-of-`runs` seeded fits
+    // keeping min WSSSE is the Spark 2+ equivalent
+    val model = graft.ml.MlPipeline.bestOfKMeans(samples, k, runs,
+      baseSeed = seed)
     // P9: api leaf {name, size} with size = totalFeatures − 0-based rank
     // (`KmeansVirus.scala:106-111`)
     val apiStructs = vec

@@ -43,7 +43,17 @@ object Codecs {
   /** S3-equivalent: parse LIBSVM text back to long form
     * `(row_id, label, indices ARRAY<INT>)`. The loader's 0-based shift
     * (`MLUtils.loadLibSVMFile`, SURVEY §7.4.4) is NOT applied here —
-    * indices stay 1-based as written; ML vector assembly shifts once. */
+    * indices stay 1-based as written; ML vector assembly shifts once.
+    *
+    * Line-order recovery: `monotonically_increasing_id` is monotone in
+    * (partition index, offset within partition), and for a SINGLE text
+    * file Spark's split planning keeps partitions in byte-offset order
+    * (equal-size splits are generated in offset order and the sort by
+    * split length is stable; the short tail split is both smallest and
+    * last). These artifacts are single files by construction (the
+    * driver-side writers above). CodecsSpec proves the multi-partition
+    * round-trip; a multi-FILE glob has no such guarantee — don't feed
+    * one to these readers. */
   def readLibSvm(lines: Dataset[String]): DataFrame =
     lines.toDF("line")
       .withColumn("row_id", monotonically_increasing_id())
@@ -55,7 +65,9 @@ object Codecs {
   /** S4 + P8: parse `topFeatures.txt` tuple lines back to
     * (feature_index, token, info_gain) — the reference reparses this
     * file in stage 2 (`KmeansVirus.scala:94-99`, name cleanup at
-    * `:99`); rank order = line order, 1-based. */
+    * `:99`); rank order = line order, 1-based (same single-file
+    * order-recovery contract as [[readLibSvm]], spec-proven at >1
+    * partition). */
   def readTopFeatures(lines: Dataset[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     lines.toDF("line")

@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.Tables._
 import org.apache.spark.ml.classification.{DecisionTreeClassifier, LinearSVC, LogisticRegression}
-import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,41 @@ object MlPipeline {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+  }
+
+  /** L1 `setRuns=10` parity (`KmeansVirus.scala:183-186`): Spark 2+
+    * removed multi-run k-means, so best-of-N independently seeded fits
+    * keeping the minimum training cost (WSSSE) reproduces the
+    * semantics. The N fits run concurrently — each is itself a
+    * distributed job, so on a cluster this fills executors the same
+    * way the old `setRuns` parallel runs did. Deterministic: seeds are
+    * baseSeed..baseSeed+runs-1 and the min is unique per cost (ties
+    * broken by first = lowest seed). */
+  def bestOfKMeans(data: DataFrame, k: Int, runs: Int,
+      baseSeed: Long = Seed, featuresCol: String = "features"): KMeansModel = {
+    require(runs >= 1, s"runs must be >= 1, got $runs")
+    inParallel(0L until runs.toLong) { i =>
+      new KMeans().setK(k).setTol(1e-6).setSeed(baseSeed + i)
+        .setFeaturesCol(featuresCol).fit(data)
+    }.minBy(_.summary.trainingCost)
+  }
+
+  /** L1 k-sweep over an arbitrary range (the reference sweeps 5..100
+    * by 5 in `KmeansVirus.scala:165-173` and 30..160 by 10 in
+    * `SVMDT.scala:240-247`), scored by training cost (WSSSE). The
+    * bench query ml05 keeps a small default range; callers pass the
+    * full reference ranges. */
+  def kmeansCostSweep(s: SparkSession, d: String, ks: Seq[Int]): DataFrame = {
+    val data = embeddings(s, d)
+      .select(array_to_vector(col("embedding")).as("features")).cache()
+    data.count() // materialize before concurrent fits
+    val rows = inParallel(ks) { k =>
+      val m = new KMeans().setK(k).setTol(1e-6).setSeed(Seed).fit(data)
+      (k, math.round(m.summary.trainingCost * 1e4) / 1e4)
+    }
+    data.unpersist(false)
+    import s.implicits._
+    rows.toDF("k", "training_cost").orderBy("k")
   }
 
   /** (label, features) — binary label: embeddings.label < 5, mirroring
@@ -86,18 +121,27 @@ object MlPipeline {
 
     // ml05: L1 k-sweep — reference sweeps k over ranges to pick the
     // cluster count (`KmeansVirus.scala:165-173`, `SVMDT.scala:240-247`),
-    // scored by training cost (WSSSE).
-    "ml05_kmeans_cost" -> ((s, d) => {
+    // scored by training cost (WSSSE). Small default range here; the
+    // full reference ranges go through the same kmeansCostSweep
+    // (spec-covered).
+    "ml05_kmeans_cost" -> ((s, d) => kmeansCostSweep(s, d, Seq(2, 5, 10, 20))),
+
+    // ml09: L1 `setRuns` parity — best-of-N seeded runs keeping the
+    // min WSSSE (the reference's `setRuns(10)`; N=4 here keeps the
+    // bench proportionate). best cost is non-increasing in N by
+    // construction (seed sets are nested) — spec-asserted.
+    "ml09_kmeans_bestof" -> ((s, d) => {
       val data = embeddings(s, d)
-        .select(array_to_vector(col("embedding")).as("features")).cache()
-      data.count() // materialize before concurrent fits
-      val rows = inParallel(Seq(2, 5, 10, 20)) { k =>
-        val m = new KMeans().setK(k).setTol(1e-6).setSeed(Seed).fit(data)
-        (k, math.round(m.summary.trainingCost * 1e4) / 1e4)
+        .select(array_to_vector(col("embedding")).as("features"))
+        .coalesce(8).cache()
+      data.count()
+      val rows = Seq(1, 4).map { runs =>
+        val m = bestOfKMeans(data, k = 10, runs = runs)
+        (runs, math.round(m.summary.trainingCost * 1e4) / 1e4)
       }
       data.unpersist(false)
       import s.implicits._
-      rows.toDF("k", "training_cost").orderBy("k")
+      rows.toDF("n_runs", "best_training_cost").orderBy("n_runs")
     }),
 
     // ml06: L3 — cluster centers dump (`SVMDT.scala:316`), reported as

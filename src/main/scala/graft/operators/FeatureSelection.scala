@@ -72,6 +72,13 @@ object FeatureSelection {
     * ranked table. Tie-break on token keeps the rank deterministic
     * (the reference's tie order was partition-dependent, SURVEY §2.6). */
   def topFeatures(ranked: DataFrame, k: Int): DataFrame = {
+    // The partitionless Window triggers WindowExec's "moving all data
+    // to a single partition" warning — here that is the DESIGN, not a
+    // scale defect: the window runs AFTER limit(k), so at most k
+    // (= topN, ≤ a few thousand) rows ever reach the single partition,
+    // regardless of corpus size. The heavy lifting (global top-K over
+    // the full ranked table) is TakeOrderedAndProject, which is
+    // distributed partial-top-K + driver merge.
     val w = Window.orderBy(col("info_gain").desc, col("token").asc)
     ranked.orderBy(col("info_gain").desc, col("token").asc).limit(k)
       .withColumn("feature_index", row_number().over(w))

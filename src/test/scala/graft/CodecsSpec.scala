@@ -30,6 +30,25 @@ class CodecsSpec extends AnyFunSuite {
     assert(v.indices.toSeq == Seq(0, 1))
   }
 
+  test("line-order recovery survives a multi-partition single-file read") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_mp_").toString
+    val n = 20000
+    // label encodes the line number, so recovered order is checkable
+    val lines = (0 until n).map(i => s"$i.0 ${i % 97 + 1}:1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$out/m.txt"),
+      lines.mkString("", "\n", "\n").getBytes)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val ds = spark.read.textFile(s"$out/m.txt")
+      assert(ds.rdd.getNumPartitions > 4, "file must split for this test")
+      val back = Codecs.readLibSvm(ds).orderBy("row_id")
+        .select("label").as[Double].collect()
+      assert(back.toSeq == (0 until n).map(_.toDouble))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("topFeatures codec round-trips with rank order (S4+P8)") {
     import spark.implicits._
     val a = VirusPipeline.run(spark, dir, topN = 10, k = 2)

@@ -57,6 +57,27 @@ class VirusPipelineSpec extends AnyFunSuite {
     assert(byLabel(1.0) == Seq(2, 5) && byLabel(0.0) == Seq(1))
   }
 
+  test("stage-2/3 artifacts byte-match the frozen full-corpus goldens") {
+    // Frozen once from this pipeline on /root/reference/api_logs
+    // (topN=2000, k=10, best-of-10 seeded k-means) after verifying two
+    // independent runs produce identical bytes — the stage-2/3
+    // equivalent of ReferenceParitySpec's stage-1 golden. Any change
+    // to feature selection, vector assembly, clustering seeds, or the
+    // output codecs shows up here as a byte diff.
+    assume(new java.io.File("/root/reference/api_logs").isDirectory)
+    val out = java.nio.file.Files.createTempDirectory("graft_golden_").toString
+    val a = VirusPipeline.run(spark, "/root/reference/api_logs")
+    VirusPipeline.writeArtifacts(a, out)
+    def bytes(p: String) = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p))
+    assert(java.util.Arrays.equals(bytes(s"$out/output.txt"),
+      bytes("src/test/resources/golden/output_fullcorpus.txt")),
+      "output.txt drifted from the frozen golden")
+    assert(java.util.Arrays.equals(bytes(s"$out/data.json"),
+      bytes("src/test/resources/golden/data_fullcorpus.json")),
+      "data.json drifted from the frozen golden")
+  }
+
   test("classification report uses the reference's console format") {
     // needs enough rows to split; use the real corpus if present
     assume(new java.io.File("/root/reference/api_logs").isDirectory)
