@@ -117,6 +117,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta11: repetition ratios — duplicate-token and duplicate-word-
+    // bigram fractions, the Gopher-style repetition quality gate
+    // (boilerplate/spam shows up as high duplicate-n-gram fraction).
+    // Pure per-row columnar arithmetic, no shuffle; int/int ratios are
+    // exact in both engines, rounded like ta02's.
+    "ta11_repetition" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          // null when <2 tokens (sequence(1,0) would count DOWN in
+          // Spark); coalesced to empty-equivalent below
+          when(size(col("toks")) >= 2, expr(
+            "transform(sequence(1, size(toks) - 1), " +
+              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+            .as("bgs"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          when(size(col("toks")) > 0,
+            round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+              / size(col("toks")).cast("double"), 6))
+            .otherwise(0.0).as("dup_token_frac"),
+          coalesce(size(col("bgs")), lit(0)).as("n_bigrams"),
+          when(coalesce(size(col("bgs")), lit(0)) > 0,
+            round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+              / size(col("bgs")).cast("double"), 6))
+            .otherwise(0.0).as("dup_bigram_frac"))
+        .orderBy("doc_id")),
+
     // ta07: n-gram-profile language ID — character-trigram hit counts
     // against per-language profiles (the classic heuristic; the
     // stopword variant is ta03). Argmax with fixed tie-break order.
@@ -282,6 +310,26 @@ object TextAnalysis {
         |  len(list_distinct(list_transform(generate_series(1, greatest(length(text) - 13, 1)),
         |    i -> substr(text, i, 14)))) AS n_distinct_shingles
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta11_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), bg AS (
+         |  SELECT doc_id, toks,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+         |  FROM base
+         |)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN round(1 -
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_token_frac,
+         |  len(bgs) AS n_bigrams,
+         |  CASE WHEN len(bgs) > 0 THEN round(1 -
+         |    CAST(len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM bg ORDER BY doc_id""".stripMargin,
 
     "ta07_langid_ngram" -> {
       def triSql(gs: Seq[String]) =
