@@ -133,6 +133,24 @@ object EventStream {
               col("click_event_id"))
       }.orderBy("purchase_event_id", "click_event_id")),
 
+    // st05: stateful streaming sessionization — the q13 twin through
+    // flatMapGroupsWithState on a real stream: one open session per
+    // user in the state store, closed sessions emitted in Append mode
+    // (graft.operators.Sessionize.sessionizeStream). Every user's
+    // final session stays OPEN in state (no timeout fires on a
+    // finite source), so the oracle is batch sessionization minus
+    // each user's last session — checking both the session math and
+    // the open-state semantics. State is one tiny struct per user.
+    "st05_stream_sessionize" -> ((s, d) =>
+      runStream(s, d, "st_events_sessionize", copies = 1,
+        outputMode = "append") { df =>
+        import df.sparkSession.implicits._
+        graft.operators.Sessionize.sessionizeStream(
+          df.select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+            .as[graft.operators.Sessionize.Ev]).toDF()
+      }.orderBy("user_id", "session_start_us")),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -158,6 +176,32 @@ object EventStream {
     "st02_stream_dedup" ->
       """SELECT event_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "st05_stream_sessionize" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+         |), flagged AS (
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         |         WHEN ts_us - lag(ts_us) OVER w > ${graft.operators.Sessionize.GapUs} THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), numbered AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM flagged
+         |), sessions AS (
+         |  SELECT user_id, min(ts_us) AS session_start_us,
+         |    max(ts_us) AS session_end_us, count(*) AS n_events
+         |  FROM numbered GROUP BY user_id, sess_no
+         |)
+         |SELECT user_id, session_start_us, session_end_us, n_events
+         |FROM sessions
+         |QUALIFY row_number() OVER (PARTITION BY user_id
+         |  ORDER BY session_start_us DESC) > 1
+         |ORDER BY user_id, session_start_us""".stripMargin,
 
     "st03_stream_static_join" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
