@@ -280,6 +280,25 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q22: skew-mitigated join as a first-class checked operator —
+    // the fact side salted into 8 buckets (deterministic row-derived
+    // salt), the part dim replicated 8×, equi-join on (key, salt).
+    // Row-identical to the plain join (that IS the oracle), but each
+    // hot key's probe rows spread over 8 tasks instead of one
+    // straggler. AQE's skew-join rescues sort-merge plans at runtime;
+    // salting is the plan-level tool when the small side may
+    // replicate — on a Zipfian 100 TB key distribution it's the
+    // difference between a straggler task and even task times.
+    "q22_skew_salted" -> ((s, d) =>
+      SkewTools.saltedJoin(
+        lineitem(s, d),
+        part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey", 8)
+        .groupBy("p_brand")
+        .agg(sum(revenueTerm).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("p_brand")),
+
     // q21: window-function variants beyond q05's row_number/running
     // sum — lead (next-event lookahead), ntile (equal-frequency
     // bucketing), percent_rank and first_value, all over one
@@ -391,6 +410,14 @@ object Relational {
         |GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q22_skew_salted" ->
+      s"""SELECT p_brand,
+         |  CAST(sum($revenueTermSql) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
 
     "q05_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
