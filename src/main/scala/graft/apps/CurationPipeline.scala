@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup — hash-agg on a content digest, keeper = min id;
   *   2. near-dup removal — MinHash/LSH candidate pairs → connected
   *      components → drop every non-minimum member of each group;
-  *   3. quality + language gate — heuristic score threshold and
-  *      stopword-profile language allowlist;
+  *   3. quality + language + repetition gate — heuristic score
+  *      threshold, stopword-profile language allowlist, and the
+  *      Gopher-style duplicate-bigram-fraction cap;
   *   4. stats — per-stage survivor counts for audit.
   *
   * Everything is the same oracle-checked operator the query surface
-  * exposes (dd01/dd03/dd07/ta02/ta03) — this app only composes them.
+  * exposes (dd01/dd03/dd07/ta02/ta03/ta11) — this app only composes
+  * them.
   * Each stage's survivors flow as (doc_id)-keyed frames; text payloads
   * are re-joined once at the end, so the wide column never rides
   * through the dedup shuffles (at 100 TB the payload stays in parquet
@@ -30,7 +32,8 @@ object CurationPipeline {
 
   def run(spark: SparkSession, dir: String,
           minQuality: Double = 0.3,
-          langs: Seq[String] = Seq("en", "de", "es")): Result = {
+          langs: Seq[String] = Seq("en", "de", "es"),
+          maxDupBigramFrac: Double = 0.2): Result = {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
 
@@ -57,10 +60,14 @@ object CurationPipeline {
     val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
 
-    // 3. quality + language gate — one per-row scoring projection
+    // 3. quality + language + repetition gate — two per-row scoring
+    // projections over the cached docs, id-joined to the survivors
     val gated = nearKeep.join(TextAnalysis.scored(docs), Seq("doc_id"))
+      .join(TextAnalysis.repetitionScored(docs)
+        .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
-        col("predicted_lang").isin(langs: _*))
+        col("predicted_lang").isin(langs: _*) &&
+        col("dup_bigram_frac") <= maxDupBigramFrac)
     // 4. content-stable split assignment (ta09): the digest, not an
     // RNG, decides train/valid/test, so reruns and reshards keep every
     // document's split
@@ -68,7 +75,7 @@ object CurationPipeline {
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
       .withColumn("split", graft.functions.Funcs.hashSplit(col("text")))
       .select("doc_id", "text", "lang", "source", "predicted_lang",
-        "quality_score", "n_tokens", "split")
+        "quality_score", "dup_bigram_frac", "n_tokens", "split")
     val nFinal = curated.count()
     docs.unpersist(false)
 

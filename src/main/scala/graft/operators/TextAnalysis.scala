@@ -62,6 +62,31 @@ object TextAnalysis {
   def qualityScored(docs: DataFrame): DataFrame =
     scored(docs).drop("predicted_lang")
 
+  /** (doc_id, n_tokens, dup_token_frac, n_bigrams, dup_bigram_frac) —
+    * Gopher-style repetition ratios (the ta11 projection), reusable by
+    * the curation pipeline's repetition gate. Per-row columnar. */
+  def repetitionScored(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        // null when <2 tokens (sequence(1,0) would count DOWN in
+        // Spark); coalesced to empty-equivalent below
+        when(size(col("toks")) >= 2, expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bgs"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        when(size(col("toks")) > 0,
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")).cast("double"), 6))
+          .otherwise(0.0).as("dup_token_frac"),
+        coalesce(size(col("bgs")), lit(0)).as("n_bigrams"),
+        when(coalesce(size(col("bgs")), lit(0)) > 0,
+          round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
+            / size(col("bgs")).cast("double"), 6))
+          .otherwise(0.0).as("dup_bigram_frac"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ta01: token counting (whitespace tokenizer; total + distinct).
     "ta01_token_stats" -> ((s, d) =>
@@ -123,27 +148,7 @@ object TextAnalysis {
     // Pure per-row columnar arithmetic, no shuffle; int/int ratios are
     // exact in both engines, rounded like ta02's.
     "ta11_repetition" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("toks"),
-          // null when <2 tokens (sequence(1,0) would count DOWN in
-          // Spark); coalesced to empty-equivalent below
-          when(size(col("toks")) >= 2, expr(
-            "transform(sequence(1, size(toks) - 1), " +
-              "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-            .as("bgs"))
-        .select(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          when(size(col("toks")) > 0,
-            round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
-              / size(col("toks")).cast("double"), 6))
-            .otherwise(0.0).as("dup_token_frac"),
-          coalesce(size(col("bgs")), lit(0)).as("n_bigrams"),
-          when(coalesce(size(col("bgs")), lit(0)) > 0,
-            round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double")
-              / size(col("bgs")).cast("double"), 6))
-            .otherwise(0.0).as("dup_bigram_frac"))
-        .orderBy("doc_id")),
+      repetitionScored(documents(s, d)).orderBy("doc_id")),
 
     // ta07: n-gram-profile language ID — character-trigram hit counts
     // against per-language profiles (the classic heuristic; the

@@ -28,6 +28,14 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(c.filter(col("quality_score") < 0.3).count() == 0)
     assert(c.filter(!col("predicted_lang").isin("en", "de", "es"))
       .count() == 0)
+    // repetition gate: no survivor exceeds the duplicate-bigram cap,
+    // and the carried column matches an independent recomputation
+    assert(c.filter(col("dup_bigram_frac") > 0.2).count() == 0)
+    val recomputed = graft.operators.TextAnalysis.repetitionScored(
+      Tables.documents(spark, d))
+      .select(col("doc_id"), col("dup_bigram_frac").as("recheck"))
+    assert(c.join(recomputed, Seq("doc_id"))
+      .filter(col("dup_bigram_frac") =!= col("recheck")).count() == 0)
   }
 
   test("every dropped near-dup has a surviving group representative") {
