@@ -37,6 +37,29 @@ object Multimodal {
     MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480, sum)
   }
 
+  final case class Resized(doc_id: Long, orig_cp: Int, resized_cp: Int,
+      checksum: Long)
+
+  /** STUB resize — nearest-neighbor downsample with stride 4 over the
+    * payload's code points, standing in for an image resize kernel
+    * (take every k-th pixel). The kept-sample count and code-point
+    * checksum are the verifiable features; a production resizer swaps
+    * into the same one-record→one-record map slot. */
+  def resizeStub(r: MediaRecord): Resized = {
+    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = s.codePointCount(0, s.length)
+    val offsets = graft.functions.CodePoints.offsets(s)
+    var sum = 0L
+    var n = 0
+    var i = 0
+    while (i < nCp) {
+      sum += s.codePointAt(offsets(i))
+      n += 1
+      i += 4
+    }
+    Resized(r.doc_id, nCp, n, sum)
+  }
+
   final case class Frame(doc_id: Long, frame_idx: Int, n_chars: Int,
       checksum: Long)
 
@@ -94,6 +117,18 @@ object Multimodal {
         .mapPartitions(_.map(decodeStub))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // mm04: resize (stubbed) — stride-4 nearest-neighbor downsample
+    // per payload; one-record→one-record map, payloads never shuffle.
+    "mm04_resize" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+        .mapPartitions(_.map(resizeStub))
+        .toDF()
+        .orderBy("doc_id")
     })
   )
 
@@ -118,6 +153,15 @@ object Multimodal {
     "mm01_binary_meta" ->
       """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
         |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm04_resize" ->
+      """SELECT doc_id, length(text) AS orig_cp,
+        |  (length(text) + 3) // 4 AS resized_cp,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, (length(text) + 3) // 4),
+        |      j -> ascii(substr(text, (j - 1) * 4 + 1, 1))::BIGINT)),
+        |    (a, b) -> a + b) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm02_decode_features" ->
