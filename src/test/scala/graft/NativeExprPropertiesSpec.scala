@@ -70,6 +70,22 @@ class NativeExprPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("token_md5s equals composable form on random unicode") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "p_token_md5s",
+      exprs => graft.functions.TokenMd5s(exprs.head, 8), "scala_udf")
+    val composed = transform(array_distinct(Funcs.tokens(col("s"))),
+      t => Funcs.md5Long(t, 8))
+    runProp(Prop.forAll(Gen.listOfN(40, uniString)) { ss =>
+      // order included: first-occurrence order on both sides
+      val bad = ss.toDF("s").select(
+        call_function("p_token_md5s", col("s")).as("native"),
+        composed.as("composed"))
+        .filter(col("native") =!= col("composed")).count()
+      bad == 0
+    })
+  }
+
   test("minhash_sigs and simhash64 equal composable forms on random hashes") {
     val P = 2147483647L
     val params = (0 until 16).map { j =>
