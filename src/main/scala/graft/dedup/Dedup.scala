@@ -251,6 +251,29 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // dd10: the production verify stage, unsampled — exact word-bigram
+    // Jaccard computed ONLY for LSH candidate pairs (dd03's output),
+    // via one array_intersect per pair. This is the canonical
+    // MinHash-LSH pipeline shape: sketch (dd02) → band join (dd03) →
+    // exact verify on candidates (here) → groups (dd07). Cost scales
+    // with candidate count, never corpus²; dd05's sampled all-pairs
+    // form remains as the recall reference for the verify math.
+    "dd10_lsh_verified" -> ((s, d) => {
+      val sets = documents(s, d).select(col("doc_id"),
+        array_distinct(wordBigrams(tokens(col("text")))).as("bg"))
+      candidatePairs(s, d)
+        .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("ba")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bb")),
+          Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("ba"), col("bb"))))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (size(col("ba")) + size(col("bb")) - col("n_inter"))
+            .cast("double"), 6))
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // dd07: duplicate-group resolution — connected components over the
     // LSH candidate pairs (the step that turns pairs into dedup
     // groups: keep min-id per group, drop the rest). Each round does
@@ -429,6 +452,34 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.06
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd10_lsh_verified" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 1, 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bg
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+         |    FROM documents)
+         |)
+         |SELECT doc_a, doc_b,
+         |  len(list_intersect(a.bg, b.bg)) AS n_inter,
+         |  round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+         |    CAST(len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))
+         |      AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sets a ON doc_a = a.doc_id
+         |JOIN sets b ON doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd07_dup_groups" ->
       s"""WITH $sigCte,
