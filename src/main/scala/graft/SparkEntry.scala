@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
+import graft.io.JsonLines
 import graft.ml.MlPipeline
 import graft.multimodal.Multimodal
 import graft.operators.{Relational, Sessionize, TextAnalysis, TextPipeline}
@@ -26,12 +27,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ MlPipeline.queries ++
-      Multimodal.queries ++ EventStream.queries ++ Sessionize.queries
+      Multimodal.queries ++ EventStream.queries ++ Sessionize.queries ++
+      JsonLines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MlPipeline.oracles ++
-      Multimodal.oracles ++ EventStream.oracles ++ Sessionize.oracles
+      Multimodal.oracles ++ EventStream.oracles ++ Sessionize.oracles ++
+      JsonLines.oracles
 }
