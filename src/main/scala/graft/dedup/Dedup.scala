@@ -259,9 +259,23 @@ object Dedup {
     // with candidate count, never corpus²; dd05's sampled all-pairs
     // form remains as the recall reference for the verify math.
     "dd10_lsh_verified" -> ((s, d) => {
-      val sets = documents(s, d).select(col("doc_id"),
-        array_distinct(wordBigrams(tokens(col("text")))).as("bg"))
-      candidatePairs(s, d)
+      // late materialization: candidate pairs are a tiny fraction of
+      // the corpus, so the (wide) bigram arrays are computed ONLY for
+      // pair members — a semi-join reduces the scan before the array
+      // work, instead of shuffling every document's bigram set into
+      // the joins (measured 5.4 s → ~1.5 s at sf0.1; at 100 TB the
+      // difference is the whole corpus vs the duplicate tail).
+      // localCheckpoint: pairs feed both the members derivation and
+      // the final join — without it the LSH banding runs twice.
+      val pairs = candidatePairs(s, d).localCheckpoint()
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = documents(s, d)
+        .join(members, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(wordBigrams(tokens(col("text")))).as("bg"))
+        .localCheckpoint() // two join consumers below
+      pairs
         .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("ba")),
           Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bb")),
