@@ -69,6 +69,45 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    // CC underpins every dedup-group decision (dd07, curation) — it
+    // must match an obviously-correct sequential union-find on
+    // arbitrary graphs: chains, stars, cycles, disconnected pieces.
+    val edgeGen = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 32)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.filter(e => e._1 != e._2).distinct
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6),
+      Prop.forAll(edgeGen) { es =>
+        es.isEmpty || {
+          val got = graft.dedup.Dedup
+            .connectedComponents(es.toDF("doc_a", "doc_b"), maxRounds = 8)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val parent = scala.collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          es.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val expected = es.flatMap(e => Seq(e._1, e._2)).distinct
+            .groupBy(find).flatMap { case (_, ns) =>
+              val m = ns.min
+              ns.map(_ -> m)
+            }
+          got == expected
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("normalizeToken is idempotent") {
     runProp(Prop.forAll(Gen.asciiPrintableStr) { s =>
       val once = Seq(s).toDF("x")
