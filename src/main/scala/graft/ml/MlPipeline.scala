@@ -230,6 +230,45 @@ object MlPipeline {
       rows.toDF("impurity", "max_depth", "auc").orderBy("impurity", "max_depth")
     }),
 
+    // ml10: L5 with the reference's EXACT optimizer — `SVMWithSGD`
+    // (10 SGD iterations, step 1.0, SquaredL2Updater, regParam sweep,
+    // `trainWithParams` `SVMDT.scala:204-214`) still ships in Spark 4's
+    // RDD mllib, so the "LinearSVC is a different optimizer" caveat in
+    // SURVEY §2.8 is closed by running both: ml04 is the modern
+    // spark.ml route, ml10 the byte-faithful SGD route. Deterministic:
+    // zero-init weights, miniBatchFraction=1.0, fixed sampling seed
+    // inside GradientDescent, fixed 8-partition layout.
+    "ml10_svm_sgd" -> ((s, d) => {
+      import org.apache.spark.mllib.classification.SVMWithSGD
+      import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
+      import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+      import org.apache.spark.mllib.optimization.SquaredL2Updater
+      import org.apache.spark.mllib.regression.LabeledPoint
+      val Array(train0, _, test0) =
+        labeled(s, d).randomSplit(Array(0.5, 0.25, 0.25), Seed)
+      def toRdd(df: DataFrame) = df.rdd.map { r =>
+        LabeledPoint(r.getDouble(0), OldVectors.fromML(
+          r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+      }
+      val train = toRdd(train0).coalesce(8).cache()
+      val test = toRdd(test0).coalesce(8).cache()
+      train.count(); test.count()
+      val rows = inParallel(Seq(0.001, 0.01, 0.1, 1.0, 10.0)) { reg =>
+        val svm = new SVMWithSGD()
+        svm.optimizer.setNumIterations(10).setStepSize(1.0)
+          .setRegParam(reg).setUpdater(new SquaredL2Updater)
+        val m = svm.run(train)
+        m.clearThreshold() // raw margins, like the reference's AUC path
+        val scoreAndLabels = test.map(p => (m.predict(p.features), p.label))
+        val auc = new BinaryClassificationMetrics(scoreAndLabels)
+          .areaUnderROC()
+        (reg, math.round(auc * 1e4) / 1e4)
+      }
+      train.unpersist(false); test.unpersist(false)
+      import s.implicits._
+      rows.toDF("reg_param", "auc").orderBy("reg_param")
+    }),
+
     // ml04: L5+L7+L8 — linear classifier sweep over L2 regularization
     // (LinearSVC + LogisticRegression, the reference's two selector
     // branches, `SVMDT.scala:204-214`), AUC on the test split.
