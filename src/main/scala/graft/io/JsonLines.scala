@@ -34,11 +34,37 @@ object JsonLines {
           length(col("text")).as("text_len"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // io02: the CSV twin of io01 — same lossless-round-trip proof for
+    // the delimiter/quote/escape hazards JSON doesn't have. Explicit
+    // schema and explicit quote-all on write: schema inference and
+    // minimal quoting are the two CSV behaviors that silently corrupt
+    // a corpus at scale.
+    "io02_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_").toString
+      documents(s, d).select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite")
+        .option("header", "false").option("quoteAll", "true")
+        .csv(out)
+      s.read.schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .option("header", "false")
+        .csv(out)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).as("text_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
     "io01_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, length(text) AS text_len,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "io02_csv_roundtrip" ->
       """SELECT doc_id, lang, source, length(text) AS text_len,
         |  md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin
