@@ -3,70 +3,132 @@ package graft.io
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-/** JSONL source/sink round trip — the interchange format LLM data
-  * pipelines actually exchange (one JSON object per line, splittable,
-  * schema-on-read). Spark's `df.write.json` / `spark.read.json` are
-  * the distributed writers/readers; the query proves the corpus
-  * survives the round trip byte-correct by re-deriving per-document
-  * facts from the re-read copy and hash-comparing them against the
-  * DuckDB oracle computed on the ORIGINAL parquet.
+/** Interchange formats — the sources/sinks LLM data pipelines actually
+  * exchange corpora through: JSONL (one JSON object per line,
+  * splittable, schema-on-read), CSV (the delimiter/quote/escape
+  * hazards JSON doesn't have), and partitioned parquet (the layout a
+  * 100 TB corpus actually lives in). Each io query proves a lossless
+  * round trip by re-deriving per-document facts from the re-read copy
+  * and hash-comparing them against the DuckDB oracle computed on the
+  * ORIGINAL parquet.
   *
-  * The read declares an explicit schema — on a 100 TB corpus schema
+  * Reads declare an explicit schema — on a 100 TB corpus schema
   * inference would be a full extra scan, and its inferred types can
   * drift with the sample (the classic JSONL pitfall).
   */
 object JsonLines {
 
+  /** One fixed staging directory per format, overwritten on every run
+    * (`mode("overwrite")` replaces the tree atomically-enough for this
+    * single-writer harness). A fresh `createTempDirectory` per
+    * invocation leaked one full corpus copy per verify/bench run. */
+  private def stagingDir(format: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io", format)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Null sentinel for the CSV round trip. CSV has no native null: by
+    * default Spark writes null as an empty field AND reads empty
+    * fields back as null, which conflates null with the empty string.
+    * Writing nulls as this sentinel (and declaring it on the read)
+    * keeps quoted-empty `""` as the empty string and the sentinel as
+    * null — full null/empty symmetry. No backslashes: the CSV escape
+    * char would mangle them. */
+  private[io] val CsvNull = "__GRAFT_NULL__"
+
+  /** Distributed JSONL write + schema-declared re-read. Lossless for
+    * any string content (JSON escapes newlines/quotes/control chars). */
+  private[graft] def jsonlRoundTrip(
+      s: SparkSession, df: DataFrame, out: String): DataFrame = {
+    df.write.mode("overwrite").json(out)
+    s.read.schema(df.schema).json(out)
+  }
+
+  /** Distributed CSV write + re-read, lossless for embedded newlines
+    * (multiLine read), empty strings (quoteAll keeps them quoted, so
+    * they read back as "" not null), and nulls (sentinel) — not just
+    * for corpora that happen to avoid them. Scale note: multiLine
+    * makes each FILE a parse unit (no intra-file line splitting), so
+    * parallelism = number of written part files; a distributed write
+    * produces one file per task, which preserves cluster-wide
+    * parallelism even though single giant CSVs would not. */
+  private[graft] def csvRoundTrip(
+      s: SparkSession, df: DataFrame, out: String): DataFrame = {
+    df.write.mode("overwrite")
+      .option("header", "false").option("quoteAll", "true")
+      .option("nullValue", CsvNull)
+      // the WRITER defaults these to true and silently trims values
+      // (the reader defaults them to false — asymmetric defaults)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    s.read.schema(df.schema)
+      .option("header", "false")
+      .option("multiLine", "true")
+      .option("nullValue", CsvNull)
+      .csv(out)
+  }
+
+  private val DocSchema: StructType =
+    StructType.fromDDL("doc_id LONG, lang STRING, source STRING, text STRING")
+
+  private def docFacts(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("text_len"),
+      md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // io01: documents → JSONL (distributed write, one file per
-    // partition) → schema-declared re-read → per-doc facts. Matching
-    // the parquet-side oracle proves lossless round-trip incl. JSON
+    // io01: documents → JSONL → re-read → per-doc facts. Matching the
+    // parquet-side oracle proves lossless round-trip incl. JSON
     // string escaping.
     "io01_jsonl_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_").toString
-      documents(s, d).select("doc_id", "lang", "source", "text")
-        .write.mode("overwrite").json(out)
-      s.read.schema("doc_id LONG, lang STRING, source STRING, text STRING")
-        .json(out)
-        .select(col("doc_id"), col("lang"), col("source"),
-          length(col("text")).as("text_len"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
+      val src = documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      docFacts(jsonlRoundTrip(s, src, stagingDir("jsonl")))
     }),
 
     // io02: the CSV twin of io01 — same lossless-round-trip proof for
     // the delimiter/quote/escape hazards JSON doesn't have. Explicit
     // schema and explicit quote-all on write: schema inference and
     // minimal quoting are the two CSV behaviors that silently corrupt
-    // a corpus at scale.
+    // a corpus at scale. InterchangeSpec proves the hostile cases
+    // (embedded newlines, empty vs null, quotes, delimiters) the
+    // driver corpus doesn't exercise.
     "io02_csv_roundtrip" -> ((s, d) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_").toString
-      documents(s, d).select("doc_id", "lang", "source", "text")
-        .write.mode("overwrite")
-        .option("header", "false").option("quoteAll", "true")
-        .csv(out)
-      s.read.schema("doc_id LONG, lang STRING, source STRING, text STRING")
-        .option("header", "false")
-        .csv(out)
-        .select(col("doc_id"), col("lang"), col("source"),
-          length(col("text")).as("text_len"),
-          md5(col("text")).as("text_md5"))
-        .orderBy("doc_id")
+      val src = documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      docFacts(csvRoundTrip(s, src, stagingDir("csv")))
+    }),
+
+    // io03: partitioned parquet — the layout a 100 TB corpus actually
+    // lives in. Write partitioned by lang (hive-style lang=en/...
+    // directories), re-read with a partition filter: the filter must
+    // prune at the DIRECTORY level (PlanSpec asserts PartitionFilters
+    // in the scan), so a 1-language query over a 100-language corpus
+    // reads 1% of the files, not 100% with a post-filter. The
+    // partition column round-trips through the directory name, not
+    // the data files — the re-read proves value fidelity end to end.
+    "io03_partitioned_parquet" -> ((s, d) => {
+      val out = stagingDir("parquet_by_lang")
+      documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      docFacts(s.read.schema(DocSchema).parquet(out)
+        .filter(col("lang").isin("en", "de")))
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "io01_jsonl_roundtrip" ->
-      """SELECT doc_id, lang, source, length(text) AS text_len,
-        |  md5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+  private val FactsSql =
+    """SELECT doc_id, lang, source, length(text) AS text_len,
+      |  md5(text) AS text_md5
+      |FROM documents""".stripMargin
 
-    "io02_csv_roundtrip" ->
-      """SELECT doc_id, lang, source, length(text) AS text_len,
-        |  md5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+  val oracles: Map[String, String] = Map(
+    "io01_jsonl_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
+    "io02_csv_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
+    "io03_partitioned_parquet" ->
+      (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id")
   )
 }

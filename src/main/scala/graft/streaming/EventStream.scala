@@ -181,15 +181,18 @@ object EventStream {
       s"""WITH base AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
          |), flagged AS (
-         |  SELECT user_id, ts_us,
+         |  SELECT user_id, event_id, ts_us,
          |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
          |         WHEN ts_us - lag(ts_us) OVER w > ${graft.operators.Sessionize.GapUs} THEN 1
          |         ELSE 0 END AS new_sess
          |  FROM base
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
          |), numbered AS (
+         |  -- event_id tie-break matches the flagged window (and q13's
+         |  -- oracle): without it, two events with equal ts_us at a
+         |  -- session boundary could be numbered in the wrong order
          |  SELECT user_id, ts_us,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
          |  FROM flagged
          |), sessions AS (

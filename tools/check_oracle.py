@@ -35,14 +35,21 @@ def norm_cell(v):
     import numpy as np
     if isinstance(v, (bool, np.bool_)):
         return "b:" + str(bool(v))
-    if isinstance(v, float):  # covers np.float64 (subclass)
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        # np.floating catches np.float32, which is NOT a float
+        # subclass and previously fell through to the raw-value
+        # branch; widening to float64 is exact for every float32.
+        f = float(v)
+        if math.isnan(f):
             return "f:NaN"
-        return "f:" + struct.pack(">d", v).hex()
+        return "f:" + struct.pack(">d", f).hex()
     if isinstance(v, (int, np.integer)):
         return "i:" + str(int(v))
     if isinstance(v, decimal.Decimal):
-        return "d:" + str(v.normalize())
+        # str(), not normalize(): the driver stringifies, so a
+        # scale-only difference (100.00 vs 100) must be a MISMATCH,
+        # and normalize()'s exponent form (1E+2) would hide it.
+        return "d:" + str(v)
     if hasattr(v, "isoformat"):
         return "t:" + v.isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
