@@ -288,6 +288,73 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // dd11: bigram CONTAINMENT on the LSH candidate pairs — catches
+    // the doc-embedded-in-doc case Jaccard misses: a short doc fully
+    // contained in a long one has n_inter/min(|A|,|B|) = 1 while its
+    // Jaccard is small. Same late-materialized shape as dd10 (arrays
+    // computed only for pair members), so the cost scales with the
+    // candidate tail, never corpus².
+    "dd11_containment" -> ((s, d) => {
+      val pairs = candidatePairs(s, d).localCheckpoint()
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = documents(s, d)
+        .join(members, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          array_distinct(wordBigrams(tokens(col("text")))).as("bg"))
+        .localCheckpoint() // two join consumers below
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("bg").as("ba")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("bg").as("bb")),
+          Seq("doc_b"))
+        .withColumn("n_inter", size(array_intersect(col("ba"), col("bb"))))
+        .withColumn("containment", round(col("n_inter").cast("double") /
+          least(size(col("ba")), size(col("bb"))).cast("double"), 6))
+        .select("doc_a", "doc_b", "n_inter", "containment")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd12: sketch-quality measurement — MinHash-ESTIMATED Jaccard
+    // (matching signature components / 16) against the EXACT Jaccard
+    // of the underlying hashed-shingle sets, per candidate pair. This
+    // is the operator that answers "how many bands/rows do I need":
+    // at 100 TB you tune the sketch on a sample with exactly this
+    // query before committing to a corpus-wide banding layout. The
+    // estimate needs only the 16-long signatures (no text); the exact
+    // side late-materializes shingle sets for pair members only.
+    "dd12_minhash_estimate" -> ((s, d) => {
+      registerSketches(s)
+      val pairs = candidatePairs(s, d).localCheckpoint()
+      val members = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val base = documents(s, d)
+        .join(members, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          call_function("shingle_md5s", col("text")).as("hs_"))
+        .select(col("doc_id"), array_distinct(col("hs_")).as("hd_"),
+          call_function("minhash_sigs", col("hs_")).as("sig_"))
+        .localCheckpoint() // two join consumers below
+      val nMatch = (0 until 16).map(j =>
+        when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1),
+          1).otherwise(0)).reduce(_ + _)
+      pairs
+        .join(base.select(col("doc_id").as("doc_a"), col("hd_").as("ha"),
+          col("sig_").as("sa")), Seq("doc_a"))
+        .join(base.select(col("doc_id").as("doc_b"), col("hd_").as("hb"),
+          col("sig_").as("sb")), Seq("doc_b"))
+        .withColumn("n_match", nMatch)
+        .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard_est",
+          round(col("n_match").cast("double") / 16.0, 6))
+        .withColumn("jaccard_exact", round(col("n_inter").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("n_inter"))
+            .cast("double"), 6))
+        .select("doc_a", "doc_b", "n_match", "n_inter", "jaccard_est",
+          "jaccard_exact")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // dd07: duplicate-group resolution — connected components over the
     // LSH candidate pairs (the step that turns pairs into dedup
     // groups: keep min-id per group, drop the rest). Each round does
@@ -494,6 +561,74 @@ object Dedup {
          |JOIN sets a ON doc_a = a.doc_id
          |JOIN sets b ON doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd11_containment" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), sets AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 1, 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bg
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+         |    FROM documents)
+         |)
+         |SELECT doc_a, doc_b,
+         |  len(list_intersect(a.bg, b.bg)) AS n_inter,
+         |  round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+         |    CAST(least(len(a.bg), len(b.bg)) AS DOUBLE), 6) AS containment
+         |FROM pairs
+         |JOIN sets a ON doc_a = a.doc_id
+         |JOIN sets b ON doc_b = b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd12_minhash_estimate" ->
+      s"""WITH $sigCte,
+         |bands AS (
+         |  SELECT doc_id, j // ${RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), hd AS (
+         |  SELECT DISTINCT doc_id, h FROM hs
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM hd GROUP BY doc_id
+         |), inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN hd x ON x.doc_id = p.doc_a
+         |  JOIN hd y ON y.doc_id = p.doc_b AND y.h = x.h
+         |  GROUP BY p.doc_a, p.doc_b
+         |), matches AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(count(CASE WHEN sa.minhash = sb.minhash THEN 1 END)
+         |      AS BIGINT) AS n_match
+         |  FROM pairs p
+         |  JOIN sig sa ON sa.doc_id = p.doc_a
+         |  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j
+         |  GROUP BY p.doc_a, p.doc_b
+         |)
+         |SELECT m.doc_a, m.doc_b, m.n_match,
+         |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  round(CAST(m.n_match AS DOUBLE) / 16.0, 6) AS jaccard_est,
+         |  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+         |    CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+         |    AS jaccard_exact
+         |FROM matches m
+         |LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+         |JOIN sizes sa ON m.doc_a = sa.doc_id
+         |JOIN sizes sb ON m.doc_b = sb.doc_id
+         |ORDER BY m.doc_a, m.doc_b""".stripMargin,
 
     "dd07_dup_groups" ->
       s"""WITH $sigCte,

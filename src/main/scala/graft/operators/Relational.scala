@@ -280,6 +280,72 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q23: keep-latest-per-key dedup (the SCD/upsert compaction every
+    // ingest pipeline runs) as an ARGMAX AGGREGATE, not a window:
+    // max_by(payload, struct(ts_us, event_id)) gets map-side partial
+    // aggregation — each task keeps one candidate row per key before
+    // the shuffle, so the shuffle carries |keys| rows, not |events|.
+    // The row_number()-window form (the common idiom, q13/q21 shape)
+    // must shuffle and SORT every row. At 100 TB of events with 1M
+    // users that is the difference between a keys-sized exchange and
+    // a full-data sort. event_id in the ordering struct makes the
+    // tie-break total (unique), so the result is engine-exact.
+    "q23_keep_latest" -> ((s, d) =>
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("last"),
+          max(col("ts_us")).as("last_ts_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")),
+
+    // q24: GROUPING SETS — the general form cube/rollup (q18/q10) are
+    // sugar for: exactly the named subtotal combinations, one pass,
+    // partial+final aggregation; grouping() flags disambiguate a NULL
+    // group key from a subtotal row (the flags, not the NULLs, are
+    // the contract — group values can themselves be NULL).
+    "q24_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // q25: "above the group average" — the correlated-scalar-subquery
+    // pattern, expressed as the de-correlated plan Catalyst itself
+    // rewrites to: one per-part aggregate (small — |parts| rows),
+    // broadcast back onto the fact table, filter. The comparison is
+    // price*n > sum (both exact DECIMAL) instead of price > sum/n —
+    // no division, so no engine-specific rounding at the boundary.
+    "q25_above_avg" -> ((s, d) => {
+      val perPart = lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_price"),
+          count(lit(1)).as("n_lines"))
+      lineitem(s, d)
+        .join(broadcast(perPart), "l_partkey")
+        .filter(col("l_extendedprice").cast("decimal(18,2)") *
+          col("n_lines") > col("sum_price"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy("p_brand")
+    }),
+
     // q22: skew-mitigated join as a first-class checked operator —
     // the fact side salted into 8 buckets (deterministic row-derived
     // salt), the part dim replicated 8×, equi-join on (key, salt).
@@ -410,6 +476,44 @@ object Relational {
         |GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    // oracle uses the row_number-window form (DuckDB max_by has no
+    // composite ordering) — proving the argmax aggregate and the
+    // window idiom agree row-for-row is exactly the point
+    "q23_keep_latest" ->
+      """SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value, n_events
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |      AS n_events
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q24_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+
+    "q25_above_avg" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_above
+        |FROM lineitem l JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (SELECT count(*) FROM lineitem i
+        |   WHERE i.l_partkey = l.l_partkey) >
+        |  (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q22_skew_salted" ->
       s"""SELECT p_brand,

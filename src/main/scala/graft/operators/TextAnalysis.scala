@@ -259,7 +259,39 @@ object TextAnalysis {
         .groupBy("dim")
         .agg(round(avg("v"), 6).as("mean_v"),
           round(min("v"), 6).as("min_v"), round(max("v"), 6).as("max_v"))
-        .orderBy("dim"))
+        .orderBy("dim")),
+
+    // em02: int8 symmetric quantization quality — per vector: scale =
+    // max|x|/127, q_i = floor(x_i/scale + .5) (explicit formula, not
+    // round(): engine round() semantics differ at .5 while floor(+.5)
+    // is the same double op everywhere), saturation count and
+    // reconstruction MSE via an in-order fold. This is the compression
+    // every embedding store applies before ANN serving (4× smaller,
+    // cache-resident); the MSE column is the accept/reject gate. All
+    // per-row columnar math — zero shuffle at any scale.
+    "em02_int8_quant" -> ((s, d) =>
+      embeddings(s, d)
+        // materialize the double array + scale first: the q/err
+        // lambdas below reference them repeatedly, and Catalyst does
+        // not CSE non-cheap aliases across collapsed projects
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select(col("vec_id"), col("v"),
+          (aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))) /
+            127.0).as("scale"))
+        .select(col("vec_id"), col("v"), col("scale"),
+          transform(col("v"), x =>
+            when(col("scale") === 0.0, lit(0.0))
+              .otherwise(floor(x / col("scale") + 0.5))).as("qv"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale_6"),
+          size(filter(col("qv"), q => abs(q) === 127.0)).as("n_sat"),
+          round(
+            aggregate(
+              zip_with(col("v"), col("qv"),
+                (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
+              lit(0.0), (a, e) => a + e) / size(col("v")), 9).as("mse_9"))
+        .orderBy("vec_id"))
   )
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
@@ -409,6 +441,32 @@ object TextAnalysis {
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
         |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
         |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
-        |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin
+        |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    "em02_int8_quant" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(v, x -> abs(x))),
+        |      (a, x) -> greatest(a, x)) / 127.0 AS scale
+        |  FROM v
+        |), qq AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE floor(x / scale + 0.5) END) AS qv
+        |  FROM sc
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale_6,
+        |  CAST(len(list_filter(qv, q -> abs(q) = 127.0)) AS BIGINT)
+        |    AS n_sat,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))),
+        |    (a, e) -> a + e) / len(v), 9) AS mse_9
+        |FROM qq ORDER BY vec_id""".stripMargin
   )
 }
