@@ -117,6 +117,16 @@ object JsonLines {
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       docFacts(s.read.schema(DocSchema).parquet(out)
         .filter(col("lang").isin("en", "de")))
+    }),
+
+    // io04: ORC round trip — the other columnar interchange format
+    // (Hive-ecosystem corpora arrive as ORC). Same facts proof;
+    // splittable, predicate-pushdown-capable like parquet.
+    "io04_orc_roundtrip" -> ((s, d) => {
+      val out = stagingDir("orc")
+      documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+        .write.mode("overwrite").orc(out)
+      docFacts(s.read.schema(DocSchema).orc(out))
     })
   )
 
@@ -129,6 +139,7 @@ object JsonLines {
     "io01_jsonl_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
     "io02_csv_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
     "io03_partitioned_parquet" ->
-      (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id")
+      (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id"),
+    "io04_orc_roundtrip" -> (FactsSql + " ORDER BY doc_id")
   )
 }

@@ -300,10 +300,96 @@ object MlPipeline {
       train.unpersist(false); test.unpersist(false)
       import s.implicits._
       rows.toDF("model", "reg_param", "auc").orderBy("model", "reg_param")
+    }),
+
+    // ml11: k-means ASSIGNMENT (the predict/score half of L2) against
+    // fixed centers — unlike the iterative fits, one Lloyd assignment
+    // step is pure closed-form math, so this one IS oracle-checkable:
+    // broadcast k centers, one pass over the vectors, per-row argmin
+    // of squared L2 (in-order fold → engine-identical doubles),
+    // partial min(struct) aggregate. This is exactly what
+    // model.transform does at serving time; at 100 TB it's a
+    // broadcast-map with zero shuffle before the keys-sized argmin.
+    "ml11_kmeans_assign" -> ((s, d) => {
+      val centers = embeddings(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("center"))
+      val dist2 = aggregate(
+        zip_with(col("embedding"), col("center"),
+          (x, c) => (x.cast("double") - c.cast("double")) *
+            (x.cast("double") - c.cast("double"))),
+        lit(0.0), (a, e) => a + e)
+      embeddings(s, d)
+        .crossJoin(broadcast(centers))
+        .select(col("vec_id"), col("cid"), dist2.as("d2"))
+        .groupBy("vec_id")
+        // argmin via min(struct): lexicographic (d2, cid) — center id
+        // breaks exact-tie distances deterministically
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cluster"),
+          round(col("best.d2"), 6).as("dist2_6"))
+        .orderBy("vec_id")
+    }),
+
+    // ml12: logistic scoring against a fixed weight vector (serving-
+    // time inference for L5's model family, closed-form like ml11):
+    // margin = w·x (in-order fold), score = sigmoid(margin). The
+    // margin is bit-exact across engines; exp() agrees to the ulp on
+    // both (verified by the hash gate), and the 6-decimal rounding
+    // makes a last-ulp wobble invisible anyway.
+    "ml12_logistic_score" -> ((s, d) => {
+      val w = embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("w"))
+      embeddings(s, d)
+        .crossJoin(broadcast(w))
+        .select(col("vec_id"),
+          graft.functions.Funcs.dotProduct(col("w"), col("embedding"))
+            .as("margin"))
+        .select(col("vec_id"), round(col("margin"), 6).as("margin_6"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6)
+            .as("score_6"),
+          (col("margin") > 0.0).as("predicted"))
+        .orderBy("vec_id")
     })
   )
 
-  /** Iterative ML is not SQL-expressible — no oracles (driver records
-    * rows-only checks for these). */
-  val oracles: Map[String, String] = Map.empty
+  /** Iterative ML is not SQL-expressible — no oracles for the fits
+    * (driver records rows-only checks). The two closed-form scoring
+    * queries (assignment + logistic inference) ARE oracle-checked. */
+  val oracles: Map[String, String] = Map(
+    "ml11_kmeans_assign" ->
+      s"""WITH centers AS (
+         |  SELECT vec_id AS cid, embedding AS center FROM embeddings
+         |  WHERE vec_id < 5
+         |), d AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, len(e.embedding)),
+         |        i -> (CAST(e.embedding[i] AS DOUBLE) -
+         |              CAST(c.center[i] AS DOUBLE)) *
+         |             (CAST(e.embedding[i] AS DOUBLE) -
+         |              CAST(c.center[i] AS DOUBLE)))),
+         |      (a, x) -> a + x) AS d2
+         |  FROM embeddings e CROSS JOIN centers c
+         |)
+         |SELECT vec_id, cid AS cluster, round(d2, 6) AS dist2_6 FROM (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+         |      AS rn
+         |  FROM d)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ml12_logistic_score" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |      AS margin
+         |  FROM embeddings e CROSS JOIN w
+         |)
+         |SELECT vec_id, round(margin, 6) AS margin_6,
+         |  round(1.0 / (1.0 + exp(-margin)), 6) AS score_6,
+         |  margin > 0.0 AS predicted
+         |FROM m ORDER BY vec_id""".stripMargin
+  )
 }

@@ -249,6 +249,27 @@ object TextAnalysis {
         .orderBy("token")
     }),
 
+    // ta12: top-K terms per language — the vocabulary query behind
+    // stopword lists, language fingerprints, and tokenizer audits.
+    // Two-stage shape that survives 100 TB: the corpus-sized work is
+    // ONE partial+final hash aggregate to (lang, token) counts; the
+    // per-group top-K window then runs over the VOCAB-sized count
+    // table (|langs|×|vocab| rows, corpus-independent), so the sort
+    // never touches raw text. row_number with a token tie-break keeps
+    // the cut deterministic.
+    "ta12_top_terms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("token").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "token", "n")
+        .orderBy("lang", "rank")
+    }),
+
     // em01: per-dimension embedding statistics — columnar vector
     // analytics (mean/min/max per dimension), rounded.
     "em01_dim_stats" -> ((s, d) =>
@@ -431,6 +452,16 @@ object TextAnalysis {
          |SELECT token, df FROM dfreq CROSS JOIN n
          |WHERE df >= n_docs * 6 // 100 AND df <= n_docs * 8 // 10
          |ORDER BY token""".stripMargin,
+
+    "ta12_top_terms" ->
+      s"""SELECT lang, rank, token, n FROM (
+         |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, token) AS rank
+         |  FROM (SELECT lang, unnest($toksSql) AS token FROM documents)
+         |  GROUP BY lang, token)
+         |WHERE rank <= 5
+         |ORDER BY lang, rank""".stripMargin,
 
     "em01_dim_stats" ->
       """WITH idx AS (

@@ -219,6 +219,34 @@ object Similarity {
         .withColumn("recall_at_k",
           round(col("n_found").cast("double") / col("k"), 6))
         .orderBy("query_id")
+    }),
+
+    // ss06: pairwise-cosine HISTOGRAM over a vector sample — the
+    // threshold-calibration query: before committing a dedup cutoff
+    // (dd08's 0.2) or an ANN radius corpus-wide, look at the actual
+    // similarity distribution on a sample and place the threshold in
+    // the valley. 20 bins over [-1,1]; per-bin mean is derived
+    // sum/count with the sum in DECIMAL (the rounded cosines have ≤6
+    // decimals, so decimal accumulation is exact and order-free —
+    // a double sum would vary with partitioning).
+    "ss06_cos_histogram" -> ((s, d) => {
+      val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .withColumn("bin", least(greatest(
+          floor((col("cos") + 1.0) * 10).cast("long"), lit(0L)), lit(19L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum(col("cos").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_cos"))
+        .orderBy("bin")
     })
   )
 
@@ -275,6 +303,22 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ss06_cos_histogram" ->
+      s"""WITH sub AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |), pairs AS (
+         |  SELECT round(${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos
+         |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+         |)
+         |SELECT CAST(least(greatest(floor((cos + 1.0) * 10), 0), 19)
+         |    AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS avg_cos
+         |FROM pairs GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "ss05_knn_multitable" ->
       s"""WITH planes AS (
          |  SELECT vec_id // $NumPlanes AS table_id,

@@ -151,6 +151,27 @@ object EventStream {
             .as[graft.operators.Sessionize.Ev]).toDF()
       }.orderBy("user_id", "session_start_us")),
 
+    // st06: SLIDING-window streaming aggregation — st01's tumbling
+    // twin with overlap: 2-hour windows sliding hourly, so every
+    // event lands in exactly two windows (Spark materializes both
+    // window assignments per row before the state-store agg — the
+    // state cost is windows×groups, bounded by the watermark evicting
+    // closed windows). The moving-average / rate-alert shape every
+    // monitoring pipeline needs; the oracle duplicates each event
+    // into its two hourly-aligned window starts.
+    "st06_stream_sliding" -> ((s, d) =>
+      runStream(s, d, "st_events_sliding", copies = 1,
+        outputMode = "complete") { df =>
+        df.withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+      }
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -205,6 +226,17 @@ object EventStream {
          |QUALIFY row_number() OVER (PARTITION BY user_id
          |  ORDER BY session_start_us DESC) > 1
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "st06_stream_sliding" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS w_start,
+        |    event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2
+        |ORDER BY w_start, event_type""".stripMargin,
 
     "st03_stream_static_join" ->
       """SELECT event_id, user_id, event_type, c_mktsegment

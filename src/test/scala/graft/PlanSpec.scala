@@ -87,4 +87,33 @@ class PlanSpec extends AnyFunSuite {
     assert(firstFinal >= 0)
     assert(p.contains("partial_sum") || p.contains("partial_count"))
   }
+
+  test("q23 keep-latest is a partial argmax aggregate, not a sort") {
+    val p = plan("q23_keep_latest")
+    // the scale claim: map-side partial max_by before the exchange,
+    // and no per-row Window/Sort of the full event stream (the final
+    // orderBy sorts only the keys-sized aggregate output)
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"expected partial argmax before the shuffle:\n$p")
+    assert(!p.contains("Window"), s"argmax must not plan a window:\n$p")
+  }
+
+  test("q25 above-avg broadcasts both small sides") {
+    val p = plan("q25_above_avg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"per-part aggregate and part dim should broadcast:\n$p")
+  }
+
+  test("ta12 top-terms windows over the aggregated vocab, not raw text") {
+    val p = plan("ta12_top_terms")
+    // the Window's child side must contain the (lang, token) aggregate —
+    // i.e. the partial+final agg happens BEFORE the window pass
+    val wIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("partial_count")
+    assert(wIdx >= 0 && aggIdx >= 0)
+    assert(aggIdx > wIdx,
+      "the aggregate must sit below the window in the plan tree " +
+        s"(printed after it):\n$p")
+  }
 }
