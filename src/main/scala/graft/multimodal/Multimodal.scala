@@ -85,7 +85,45 @@ object Multimodal {
     }
   }
 
+  final case class Chunk(doc_id: Long, chunk_idx: Int, n_cp: Int,
+      checksum: Long)
+
+  /** STUB chunker — OVERLAPPING windows (width 48, stride 32) over
+    * the payload's code points, standing in for the audio/ASR
+    * chunking shape (each transcription window carries context from
+    * the previous one; mm03's frames are the non-overlapping sampled
+    * variant). One record → ceil(n/stride) chunks, partition-local. */
+  def overlapChunks(r: MediaRecord): Iterator[Chunk] = {
+    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = s.codePointCount(0, s.length)
+    val offsets = graft.functions.CodePoints.offsets(s)
+    val stride = 32
+    val width = 48
+    val nChunks = (nCp + stride - 1) / stride
+    Iterator.range(0, nChunks).map { c =>
+      val from = offsets(c * stride)
+      val until = offsets(math.min(c * stride + width, nCp))
+      val chunk = s.substring(from, until)
+      Chunk(r.doc_id, c, chunk.codePointCount(0, chunk.length),
+        graft.functions.CodePoints.sum(chunk))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mm05: overlapping chunk extraction — the ASR/transcription
+    // batch shape (stride < width ⇒ consecutive chunks share a
+    // 16-codepoint overlap). Payloads never shuffle; only the small
+    // per-chunk feature structs flow downstream.
+    "mm05_chunk_overlap" -> ((s, d) => {
+      import s.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[MediaRecord]
+        .mapPartitions(_.flatMap(overlapChunks))
+        .toDF()
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // mm03: frame sampling — the one-record→many-frames generator
     // shape of a video pipeline (every 3rd 32-char frame, stub
     // features), as partition-local flatMap over a typed Dataset.
@@ -133,6 +171,22 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm05_chunk_overlap" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, i - 1 AS chunk_idx,
+        |    substr(text, (i - 1) * 32 + 1, 48) AS chunk
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(1,
+        |      greatest((length(text) + 31) // 32, 0))) AS t(i)
+        |)
+        |SELECT doc_id, chunk_idx, length(chunk) AS n_cp,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(1, length(chunk)),
+        |      j -> ascii(substr(chunk, j, 1))::BIGINT)),
+        |    (a, b) -> a + b) AS checksum
+        |FROM chunks
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "mm03_frame_sample" ->
       """WITH frames AS (
         |  SELECT doc_id, i - 1 AS frame_idx,

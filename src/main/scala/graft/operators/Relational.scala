@@ -346,6 +346,24 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // q26: cumulative user growth — first-seen per user (one hash
+    // aggregate over the corpus), bucketed hourly, then a running sum
+    // over the HOURLY table. The global window is safe at any corpus
+    // size because its input is bounded by the time span (#hours),
+    // not the data (same bounded-window argument as the top-K rank
+    // in FeatureSelection; the WindowExec single-partition warning
+    // refers to this post-aggregate table, not the events).
+    "q26_user_growth" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(date_trunc("hour", col("first_ts")).as("hour"))
+        .groupBy("hour").agg(count(lit(1)).as("n_new_users"))
+      val w = Window.orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourly.withColumn("cum_users", sum("n_new_users").over(w))
+        .orderBy("hour")
+    }),
+
     // q22: skew-mitigated join as a first-class checked operator —
     // the fact side salted into 8 buckets (deterministic row-derived
     // salt), the part dim replicated 8×, equi-join on (key, salt).
@@ -476,6 +494,21 @@ object Relational {
         |GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q26_user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events
+        |  GROUP BY user_id
+        |), hourly AS (
+        |  SELECT date_trunc('hour', first_ts) AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_new_users
+        |  FROM fs GROUP BY 1
+        |)
+        |SELECT hour, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM hourly ORDER BY hour""".stripMargin,
 
     // oracle uses the row_number-window form (DuckDB max_by has no
     // composite ordering) — proving the argmax aggregate and the

@@ -172,6 +172,31 @@ object EventStream {
           col("n"), col("sum_value"))
         .orderBy("w_start", "event_type")),
 
+    // st07: streaming keep-latest — q23's argmax aggregate run AS A
+    // STREAM in complete mode: the memory sink always holds the
+    // current latest-event-per-user table, i.e. an incrementally
+    // maintained materialized view (the CDC-compaction pattern).
+    // State is one (ordering, payload) struct per user — O(users),
+    // never O(events) — and each micro-batch folds in via the same
+    // partial argmax the batch plan uses. The oracle IS q23's: the
+    // stream must converge to exactly the batch answer.
+    "st07_stream_latest" -> ((s, d) =>
+      runStream(s, d, "st_events_latest", copies = 1,
+        outputMode = "complete") { df =>
+        df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+          .groupBy("user_id")
+          .agg(
+            max_by(struct(col("event_id"), col("event_type"), col("value")),
+              struct(col("ts_us"), col("event_id"))).as("last"),
+            max(col("ts_us")).as("last_ts_us"),
+            count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("last_ts_us"),
+            col("last.event_id").as("last_event_id"),
+            col("last.event_type").as("last_event_type"),
+            col("last.value").as("last_value"), col("n_events"))
+      }.orderBy("user_id")),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -226,6 +251,10 @@ object EventStream {
          |QUALIFY row_number() OVER (PARTITION BY user_id
          |  ORDER BY session_start_us DESC) > 1
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // the streaming materialized view must equal the batch compaction
+    "st07_stream_latest" ->
+      graft.operators.Relational.oracles("q23_keep_latest"),
 
     "st06_stream_sliding" ->
       """SELECT w_start, event_type, count(*) AS n,

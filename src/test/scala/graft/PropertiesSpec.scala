@@ -117,4 +117,26 @@ class PropertiesSpec extends AnyFunSuite {
       once == twice
     })
   }
+
+  test("mm05 overlapping chunks: count, widths, checksums on unicode") {
+    import graft.multimodal.Multimodal
+    // mixes 1-byte, 2-byte, 3-byte and surrogate-pair (4-byte) chars:
+    // the chunker walks CODE POINTS, so UTF-16 length ≠ cp count here
+    val gen = Gen.listOf(
+      Gen.oneOf("a", "é", "好", "𝄞", " "))
+      .map(_.mkString)
+    runProp(Prop.forAll(gen) { s =>
+      val chunks = Multimodal.overlapChunks(Multimodal.MediaRecord(
+        1L, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toList
+      val cps = s.codePoints.toArray
+      val nCp = cps.length
+      chunks.size == (nCp + 31) / 32 &&
+        chunks.zipWithIndex.forall { case (c, i) =>
+          val start = i * 32
+          val len = math.min(48, nCp - start)
+          c.chunk_idx == i && c.n_cp == len &&
+            c.checksum == cps.slice(start, start + len).map(_.toLong).sum
+        }
+    })
+  }
 }
