@@ -87,7 +87,7 @@ object JsonLines {
     // parquet-side oracle proves lossless round-trip incl. JSON
     // string escaping.
     "io01_jsonl_roundtrip" -> ((s, d) => {
-      val src = documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      val src = documents(s, d).select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
       docFacts(jsonlRoundTrip(s, src, stagingDir("jsonl")))
     }),
 
@@ -99,7 +99,7 @@ object JsonLines {
     // (embedded newlines, empty vs null, quotes, delimiters) the
     // driver corpus doesn't exercise.
     "io02_csv_roundtrip" -> ((s, d) => {
-      val src = documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      val src = documents(s, d).select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
       docFacts(csvRoundTrip(s, src, stagingDir("csv")))
     }),
 
@@ -113,7 +113,7 @@ object JsonLines {
     // the data files — the re-read proves value fidelity end to end.
     "io03_partitioned_parquet" -> ((s, d) => {
       val out = stagingDir("parquet_by_lang")
-      documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      documents(s, d).select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       docFacts(s.read.schema(DocSchema).parquet(out)
         .filter(col("lang").isin("en", "de")))
@@ -124,9 +124,38 @@ object JsonLines {
     // splittable, predicate-pushdown-capable like parquet.
     "io04_orc_roundtrip" -> ((s, d) => {
       val out = stagingDir("orc")
-      documents(s, d).select(DocSchema.fieldNames.map(col): _*)
+      documents(s, d).select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
         .write.mode("overwrite").orc(out)
       docFacts(s.read.schema(DocSchema).orc(out))
+    }),
+
+    // io05: bucketed layout + co-located join — the pre-shuffled
+    // warehouse layout that removes the exchange from the biggest
+    // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
+    // the join key; the join then reads bucket i against bucket i
+    // with NO shuffle on either side (BucketedJoinSpec asserts the
+    // exchange-free plan; this query makes the layout + its answer
+    // part of the oracle-checked surface). At 100 TB this is THE
+    // standing optimization for repeated joins on a stable key: pay
+    // the shuffle once at write time, never at query time.
+    "io05_bucketed_join" -> ((s, d) => {
+      val wh = stagingDir("bucketed")
+      graft.Tables.lineitem(s, d)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").mode("overwrite")
+        .saveAsTable("graft_li_bucketed")
+      graft.Tables.orders(s, d)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord").mode("overwrite")
+        .saveAsTable("graft_ord_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -140,6 +169,13 @@ object JsonLines {
     "io02_csv_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
     "io03_partitioned_parquet" ->
       (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id"),
-    "io04_orc_roundtrip" -> (FactsSql + " ORDER BY doc_id")
+    "io04_orc_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
+    "io05_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.ml.classification.{DecisionTreeClassifier, LinearSVC, Lo
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -330,6 +330,35 @@ object MlPipeline {
         .orderBy("vec_id")
     }),
 
+    // ml13: classification metrics (confusion matrix + accuracy/
+    // precision/recall/F1) for ml12's predictions against a derived
+    // binary target — the eval operator every model pipeline ends
+    // with (L7's AUC sibling, but closed-form so oracle-checkable).
+    // Metrics use the all-integer forms (f1 = 2tp/(2tp+fp+fn)): one
+    // exact division each, no compounding float ops. One aggregate
+    // over the scored table — counts flow, rows don't.
+    "ml13_eval_metrics" -> ((s, d) => {
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("predicted"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("actual"))
+      def n(p: Column => Column, a: Column => Column) =
+        sum(when(p(col("predicted")) && a(col("actual")), 1L)
+          .otherwise(0L))
+      scored.join(truth, "vec_id")
+        .agg(n(identity, identity).as("tp"),
+          n(identity, !_).as("fp"),
+          n(!_, identity).as("fn"),
+          n(!_, !_).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          ((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn"))).as("acc"),
+          (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+          (col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"),
+          ((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+    }),
+
     // ml12: logistic scoring against a fixed weight vector (serving-
     // time inference for L5's model family, closed-form like ml11):
     // margin = w·x (in-order fold), score = sigmoid(margin). The
@@ -377,6 +406,33 @@ object MlPipeline {
          |      AS rn
          |  FROM d)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ml13_eval_metrics" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |      AS margin,
+         |    e.label
+         |  FROM embeddings e CROSS JOIN w
+         |), c AS (
+         |  SELECT
+         |    CAST(count(CASE WHEN margin > 0 AND label % 2 = 1
+         |      THEN 1 END) AS BIGINT) AS tp,
+         |    CAST(count(CASE WHEN margin > 0 AND label % 2 = 0
+         |      THEN 1 END) AS BIGINT) AS fp,
+         |    CAST(count(CASE WHEN margin <= 0 AND label % 2 = 1
+         |      THEN 1 END) AS BIGINT) AS fn,
+         |    CAST(count(CASE WHEN margin <= 0 AND label % 2 = 0
+         |      THEN 1 END) AS BIGINT) AS tn
+         |  FROM m)
+         |SELECT tp, fp, fn, tn,
+         |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS acc,
+         |  CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+         |  CAST(tp AS DOUBLE) / (tp + fn) AS rec,
+         |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+         |FROM c""".stripMargin,
 
     "ml12_logistic_score" ->
       s"""WITH w AS (
