@@ -140,11 +140,15 @@ object JsonLines {
     // the shuffle once at write time, never at query time.
     "io05_bucketed_join" -> ((s, d) => {
       val wh = stagingDir("bucketed")
-      graft.Tables.lineitem(s, d)
+      // coalesce to the bucket count before writing: every write task
+      // otherwise emits its own file PER bucket (tasks×buckets small
+      // files — the classic bucketed-write mistake); aligned tasks
+      // emit exactly one file per bucket
+      graft.Tables.lineitem(s, d).coalesce(8)
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li").mode("overwrite")
         .saveAsTable("graft_li_bucketed")
-      graft.Tables.orders(s, d)
+      graft.Tables.orders(s, d).coalesce(8)
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord").mode("overwrite")
         .saveAsTable("graft_ord_bucketed")
