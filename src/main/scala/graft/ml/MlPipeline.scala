@@ -330,6 +330,25 @@ object MlPipeline {
         .orderBy("vec_id")
     }),
 
+    // ml14: the RECENTER half of a Lloyd iteration — given ml11's
+    // assignment, recompute each cluster's centroid per dimension
+    // (posexplode → (cluster, dim) hash aggregate, em01's proven
+    // engine-exact mean pattern). ml11 + ml14 together are one full
+    // k-means step in closed form: the fits stay rows-only-checked,
+    // but the algorithm's building blocks are each hash-exact.
+    "ml14_kmeans_recenter" -> ((s, d) => {
+      val assigned = queries("ml11_kmeans_assign")(s, d)
+        .select(col("vec_id"), col("cluster"))
+      embeddings(s, d).join(assigned, "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")))
+        .withColumnsRenamed(Map("pos" -> "dim", "col" -> "v"))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("cluster", "dim")
+        .agg(round(avg("v"), 6).as("mean_v"),
+          count(lit(1)).as("n_members"))
+        .orderBy("cluster", "dim")
+    }),
+
     // ml13: classification metrics (confusion matrix + accuracy/
     // precision/recall/F1) for ml12's predictions against a derived
     // binary target — the eval operator every model pipeline ends
@@ -406,6 +425,38 @@ object MlPipeline {
          |      AS rn
          |  FROM d)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ml14_kmeans_recenter" ->
+      """WITH centers AS (
+        |  SELECT vec_id AS cid, embedding AS center FROM embeddings
+        |  WHERE vec_id < 5
+        |), dist AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, len(e.embedding)),
+        |        i -> (CAST(e.embedding[i] AS DOUBLE) -
+        |              CAST(c.center[i] AS DOUBLE)) *
+        |             (CAST(e.embedding[i] AS DOUBLE) -
+        |              CAST(c.center[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM embeddings e CROSS JOIN centers c
+        |), asg AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+        |        AS rn
+        |    FROM dist)
+        |  WHERE rn = 1
+        |), idx AS (
+        |  SELECT a.cluster, e.embedding,
+        |    unnest(generate_series(1, len(e.embedding))) AS i
+        |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+        |)
+        |SELECT cluster, i - 1 AS dim,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM idx GROUP BY 1, 2
+        |ORDER BY cluster, dim""".stripMargin,
 
     "ml13_eval_metrics" ->
       s"""WITH w AS (

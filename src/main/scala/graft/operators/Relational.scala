@@ -364,6 +364,38 @@ object Relational {
         .orderBy("hour")
     }),
 
+    // q27: distributed closed-form linear regression (extendedprice ~
+    // quantity per returnflag) — slope/intercept from the five
+    // classical sums, every one accumulated in DECIMAL (the inputs
+    // have ≤2 decimals, so Σx, Σy, Σxy, Σx² are EXACT and
+    // order-independent; a float implementation would drift with
+    // partitioning). One partial+final aggregate over the fact table;
+    // the per-group algebra is driver-free scalar math. This is
+    // regr_slope/regr_intercept re-expressed shuffle-optimally — and
+    // deterministically enough to hash-match another engine.
+    "q27_linreg" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      // the five sums are EXACT decimals; each is cast to double ONCE
+      // (well-defined nearest-even, same value in any engine) and the
+      // remaining algebra is a fixed dag of IEEE double ops — doing
+      // the algebra in decimal instead would hit engine-specific
+      // precision/scale inference on products like n·Σxy
+      val nD = col("n").cast("double")
+      val slope =
+        (nD * col("sxy") - col("sx") * col("sy")) /
+          (nD * col("sx2") - col("sx") * col("sx"))
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sx2"))
+        .select(col("l_returnflag"), col("n"), slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / nD).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
     // q22: skew-mitigated join as a first-class checked operator —
     // the fact side salted into 8 buckets (deterministic row-derived
     // salt), the part dim replicated 8×, equi-join on (key, salt).
@@ -494,6 +526,28 @@ object Relational {
         |GROUP BY l_partkey
         |ORDER BY total_qty DESC, l_partkey ASC
         |LIMIT 10""".stripMargin,
+
+    "q27_linreg" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sx2 - sx * sx) AS slope,
+        |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (CAST(n AS DOUBLE) * sx2 - sx * sx)) * sx) / CAST(n AS DOUBLE)
+        |    AS intercept
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q26_user_growth" ->
       """WITH fs AS (
