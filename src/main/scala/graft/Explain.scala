@@ -14,7 +14,14 @@ object Explain {
       else Seq("q01_pricing_summary", "q02_filter_project",
         "q03_revenue_by_nation", "q04_topk_parts", "vp04_vectorize",
         "dd03_lsh_pairs", "q16_asof_join", "q17_range_join",
-        "ss03_knn_ivf")
+        "ss03_knn_ivf",
+        // round-3 scale-critical plans: argmax agg (no window/sort of
+        // raw data), partition-pruned read, co-located bucketed join,
+        // broadcast-centers assignment, vocab-sized rank window,
+        // single-aggregate regression
+        "q23_keep_latest", "io03_partitioned_parquet",
+        "io05_bucketed_join", "ml11_kmeans_assign", "ta12_top_terms",
+        "q27_linreg")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")
