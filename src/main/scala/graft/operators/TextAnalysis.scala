@@ -270,6 +270,48 @@ object TextAnalysis {
         .orderBy("lang", "rank")
     }),
 
+    // ta13: deterministic stratified sampling — k docs per language,
+    // ordered by a salted content hash: reproducible on any cluster
+    // shape / any day (unlike rand()-based sampling), and auditable
+    // (the sample is a pure function of ids). The rank window sorts
+    // WITHIN each stratum only; at 100 TB you'd pre-filter by hash
+    // threshold (md5 < p · 2^128, a pushdown-able predicate) and rank
+    // just the survivors — same answer, corpus never fully sorted.
+    "ta13_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hash = md5(concat(lit("graft"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("lang").orderBy(hash, col("doc_id"))
+      documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    }),
+
+    // ta14: unigram language-model scoring — the classic LM quality
+    // filter (docs with unusually low mean token log-probability are
+    // boilerplate/garbage candidates). Corpus pass 1: one hash
+    // aggregate to unigram counts; logp = ln(c) − ln(total) (both
+    // ints → identical doubles in any engine). Pass 2: token join
+    // against the BROADCAST vocab, per-doc mean. At 100 TB the vocab
+    // table is the only state — the corpus streams through twice,
+    // zero fact-side shuffle in the scoring pass.
+    "ta14_unigram_logprob" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      val probs = counts
+        .crossJoin(broadcast(counts.agg(sum("c").as("tot"))))
+        .select(col("token"),
+          (log(col("c").cast("double")) - log(col("tot").cast("double")))
+            .as("logp"))
+      toks.join(broadcast(probs), "token")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg("logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // em01: per-dimension embedding statistics — columnar vector
     // analytics (mean/min/max per dimension), rounded.
     "em01_dim_stats" -> ((s, d) =>
@@ -452,6 +494,33 @@ object TextAnalysis {
          |SELECT token, df FROM dfreq CROSS JOIN n
          |WHERE df >= n_docs * 6 // 100 AND df <= n_docs * 8 // 10
          |ORDER BY token""".stripMargin,
+
+    "ta13_stratified_sample" ->
+      """SELECT lang, rk, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
+
+    "ta14_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), counts AS (
+         |  SELECT token, count(*) AS c FROM toks GROUP BY token
+         |), probs AS (
+         |  SELECT token,
+         |    ln(CAST(c AS DOUBLE)) -
+         |      ln(CAST((SELECT sum(c) FROM counts) AS DOUBLE)) AS logp
+         |  FROM counts
+         |)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(p.logp), 6) AS avg_logp
+         |FROM toks t JOIN probs p ON t.token = p.token
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "ta12_top_terms" ->
       s"""SELECT lang, rank, token, n FROM (
