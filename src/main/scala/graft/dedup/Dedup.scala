@@ -392,6 +392,22 @@ object Dedup {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // dd13: SEMANTIC dup groups — the embedding-space twin of dd07:
+    // connected components over dd08's bucketed near-dup pairs at a
+    // tight cosine threshold. This is the full semantic-dedup
+    // pipeline composed end-to-end (hyperplane buckets → in-bucket
+    // pairs → transitive groups → keep min id per group); everything
+    // shuffled is pairs/labels, never vectors, and the CC loop is
+    // the same O(log diameter) pointer-jumping as the text path.
+    "dd13_semantic_groups" -> ((s, d) => {
+      val pairs = queries("dd08_embedding_dup_lsh")(s, d)
+        .filter(col("cos") >= 0.35)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      connectedComponents(pairs)
+        .select(col("doc_id").as("vec_id"), col("group_id"))
+        .orderBy("vec_id")
+    }),
+
     // dd09: incremental dedup — the daily-ingest shape: an incoming
     // batch (here doc_id % 10 = 9) is checked against the existing
     // corpus WITHOUT re-deduplicating the corpus itself. Exact novelty
@@ -682,6 +698,40 @@ object Dedup {
          |  coalesce(n.n_near_candidates, 0) AS n_near_candidates
          |FROM exact e LEFT JOIN near n ON e.doc_id = n.doc_id
          |ORDER BY e.doc_id""".stripMargin,
+
+    "dd13_semantic_groups" ->
+      s"""WITH planes AS (
+         |  SELECT vec_id AS plane_id, embedding AS plane FROM embeddings
+         |  WHERE vec_id < 4
+         |), buckets AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN ${dotSql("embedding", "plane")} >= 0
+         |    THEN (1::BIGINT << plane_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings CROSS JOIN planes
+         |  GROUP BY vec_id
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${dotSql("a.embedding", "b.embedding")} /
+         |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |       sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos
+         |  FROM buckets ab
+         |  JOIN buckets bb ON ab.bucket = bb.bucket AND ab.vec_id < bb.vec_id
+         |  JOIN embeddings a ON a.vec_id = ab.vec_id
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |), p2 AS (
+         |  SELECT vec_a, vec_b FROM pairs WHERE cos >= 0.35
+         |), edges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM p2
+         |  UNION SELECT vec_b, vec_a FROM p2
+         |), reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT a, a FROM edges
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+         |  ) SELECT src, dst FROM r
+         |)
+         |SELECT src AS vec_id, min(dst) AS group_id
+         |FROM reach GROUP BY src
+         |ORDER BY vec_id""".stripMargin,
 
     "dd08_embedding_dup_lsh" ->
       s"""WITH planes AS (
