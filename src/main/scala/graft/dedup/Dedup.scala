@@ -117,6 +117,29 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
+  /** Embedding near-dup pairs within random-hyperplane buckets
+    * (vec_a < vec_b, rounded cosine ≥ 0.2) — UNORDERED; dd08 adds the
+    * user-facing sort, dd13 feeds the pairs straight into connected
+    * components. Norms are precomputed per vector (one fold per pair
+    * instead of three). */
+  private def embeddingDupPairs(s: SparkSession, d: String): DataFrame = {
+    val bk = graft.similarity.Similarity.buckets(s, d)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      .join(bk, Seq("vec_id"))
+    val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(
+        dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.2)
+      .select("vec_a", "vec_b", "bucket", "cos")
+  }
+
   /** LSH candidate pairs (doc_a < doc_b): docs sharing any
     * (band, band-key) bucket. Shared by dd03 (pair listing), dd07
     * (group resolution) and apps.CurationPipeline. */
@@ -373,24 +396,8 @@ object Dedup {
     // on bucket id over the full table, never an all-pairs cross. The
     // per-bucket pair count is what the plane count controls; dd06's
     // sampled all-pairs form remains as the recall reference.
-    "dd08_embedding_dup_lsh" -> ((s, d) => {
-      val bk = graft.similarity.Similarity.buckets(s, d)
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
-        .join(bk, Seq("vec_id"))
-      val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos", round(
-          dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.2)
-        .select("vec_a", "vec_b", "bucket", "cos")
-        .orderBy("vec_a", "vec_b")
-    }),
+    "dd08_embedding_dup_lsh" -> ((s, d) =>
+      embeddingDupPairs(s, d).orderBy("vec_a", "vec_b")),
 
     // dd13: SEMANTIC dup groups — the embedding-space twin of dd07:
     // connected components over dd08's bucketed near-dup pairs at a
@@ -400,7 +407,9 @@ object Dedup {
     // shuffled is pairs/labels, never vectors, and the CC loop is
     // the same O(log diameter) pointer-jumping as the text path.
     "dd13_semantic_groups" -> ((s, d) => {
-      val pairs = queries("dd08_embedding_dup_lsh")(s, d)
+      // the UNORDERED pair builder: dd08's user-facing orderBy would
+      // be a wasted full sort here — the CC loop doesn't care
+      val pairs = embeddingDupPairs(s, d)
         .filter(col("cos") >= 0.35)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
       connectedComponents(pairs)
