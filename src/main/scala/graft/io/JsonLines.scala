@@ -129,6 +129,31 @@ object JsonLines {
       docFacts(s.read.schema(DocSchema).orc(out))
     }),
 
+    // io06: schema evolution — a corpus written over time drifts
+    // (columns appear in later generations). Generation 1 lacks
+    // `source`; generation 2 has it. The mergeSchema read unions the
+    // footers into one schema and fills missing columns with NULL —
+    // the contract that keeps a years-old 100 TB corpus readable
+    // without rewriting old partitions. mergeSchema costs one footer
+    // read per file (not a data scan); production pins the merged
+    // schema in a catalog and passes it explicitly, which is exactly
+    // what the oracle here simulates.
+    "io06_schema_evolution" -> ((s, d) => {
+      val root = stagingDir("evolving")
+      val docs = documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source")
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -174,6 +199,10 @@ object JsonLines {
     "io03_partitioned_parquet" ->
       (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id"),
     "io04_orc_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
+    "io06_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "io05_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
