@@ -154,6 +154,34 @@ object JsonLines {
         .orderBy("doc_id")
     }),
 
+    // io07: small-files compaction — the routine maintenance job
+    // every long-lived corpus needs: streaming ingest / fine-grained
+    // writes leave thousands of tiny files (here: a 64-file write of
+    // a small table), which tax the driver's file index, the
+    // scheduler (one task per tiny split), and the object store.
+    // Compaction reads the dataset, derives the target partition
+    // count from the ACTUAL byte size over a target file size, and
+    // rewrites — content-identical (that's what the oracle proves),
+    // only the layout changes. At 100 TB this runs per-partition
+    // (e.g. per lang=/date= directory), never corpus-wide at once.
+    "io07_compaction" -> ((s, d) => {
+      val root = stagingDir("compaction")
+      documents(s, d).select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
+        .repartition(64) // simulate a fragmented ingest
+        .write.mode("overwrite").parquet(s"$root/small")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$root/small")).getLength
+      val targetFileBytes = 16L * 1024 * 1024
+      val nOut = math.max(1L, (bytes + targetFileBytes - 1) /
+        targetFileBytes).toInt
+      s.read.schema(DocSchema).parquet(s"$root/small")
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      docFacts(s.read.schema(DocSchema).parquet(s"$root/compact"))
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -199,6 +227,7 @@ object JsonLines {
     "io03_partitioned_parquet" ->
       (FactsSql + " WHERE lang IN ('en','de') ORDER BY doc_id"),
     "io04_orc_roundtrip" -> (FactsSql + " ORDER BY doc_id"),
+    "io07_compaction" -> (FactsSql + " ORDER BY doc_id"),
     "io06_schema_evolution" ->
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
