@@ -40,7 +40,13 @@ object FeatureSelection {
   /** A2+A3: document frequency per (token, cls).
     * Ref `countFeatures`, `FeatureSelectionCloud.scala:376-390`. */
   def docFreq(calls: DataFrame): DataFrame =
-    distinctCalls(calls).groupBy("token", "cls").agg(count(lit(1)).as("n_docs"))
+    docFreqOfDistinct(distinctCalls(calls))
+
+  /** [[docFreq]] over an already-deduplicated calls table — for
+    * callers that materialize [[distinctCalls]] once and feed several
+    * consumers (vp04/vp05 share it between ranking and vectorize). */
+  def docFreqOfDistinct(distinct: DataFrame): DataFrame =
+    distinct.groupBy("token", "cls").agg(count(lit(1)).as("n_docs"))
 
   /** M1+M2+P10+J1: information-gain ranking of tokens for a binary
     * class split. `totals` is a single-row DataFrame `(p, t)` =
@@ -53,8 +59,13 @@ object FeatureSelection {
     * (`replaceNaN`, `:392-399`) and rounded to 6 decimals so ranking
     * ties are stable across engines. */
   def infoGainRanked(calls: DataFrame, posCls: String,
-                     totals: DataFrame): DataFrame = {
-    val df  = docFreq(calls)
+                     totals: DataFrame): DataFrame =
+    infoGainRankedOfDistinct(distinctCalls(calls), posCls, totals)
+
+  /** [[infoGainRanked]] over an already-deduplicated calls table. */
+  def infoGainRankedOfDistinct(distinct: DataFrame, posCls: String,
+                               totals: DataFrame): DataFrame = {
+    val df  = docFreqOfDistinct(distinct)
     val pos = df.filter(col("cls") === posCls).select(col("token"), col("n_docs").as("np"))
     val neg = df.filter(col("cls") =!= posCls).select(col("token"), col("n_docs").as("nn"))
     pos.join(neg, Seq("token"), "inner")              // J1 — parity quirk
@@ -91,7 +102,12 @@ object FeatureSelection {
     * `doesFeatureExist` `FeatureSelectionCloud.scala:494-519`).
     * Output long-form: `(sample_id, label, feature_index)`. */
   def vectorize(calls: DataFrame, top: DataFrame, posCls: String): DataFrame =
-    distinctCalls(calls)
+    vectorizeOfDistinct(distinctCalls(calls), top, posCls)
+
+  /** [[vectorize]] over an already-deduplicated calls table. */
+  def vectorizeOfDistinct(distinct: DataFrame, top: DataFrame,
+                          posCls: String): DataFrame =
+    distinct
       .join(broadcast(top.select("token", "feature_index")), Seq("token"))
       .select(col("sample_id"),
               when(col("cls") === posCls, 1.0).otherwise(0.0).as("label"),

@@ -129,21 +129,29 @@ object TextPipeline {
         TopK)
         .orderBy("feature_index")),
 
-    // vp04: J2+O5 sparse vectorization, long form.
+    // vp04: J2+O5 sparse vectorization, long form. The tokenized
+    // distinct-calls table feeds BOTH the info-gain ranking and the
+    // vectorize join — materialize it once (locally localCheckpoint;
+    // on a cluster a parquet checkpoint, same trade as dd05/dd10,
+    // `dedup/Dedup.scala:253-261`) so the corpus is scanned/exploded
+    // once per query instead of once per consumer.
     "vp04_vectorize" -> ((s, d) => {
-      val ranked = FeatureSelection.infoGainRanked(docCalls(s, d), "pos", docTotals(s, d))
-      FeatureSelection.vectorize(docCalls(s, d),
+      val distinct = FeatureSelection.distinctCalls(docCalls(s, d)).localCheckpoint()
+      val ranked = FeatureSelection.infoGainRankedOfDistinct(distinct, "pos", docTotals(s, d))
+      FeatureSelection.vectorizeOfDistinct(distinct,
           FeatureSelection.topFeatures(ranked, TopK), "pos")
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("doc_id", "feature_index")
     }),
 
     // vp05: K2 LIBSVM row codec (`label idx:1 …`, ascending 1-based
-    // indices; zero-feature samples emit no row).
+    // indices; zero-feature samples emit no row). Shares the single
+    // materialized distinct-calls table exactly like vp04.
     "vp05_libsvm" -> ((s, d) => {
-      val ranked = FeatureSelection.infoGainRanked(docCalls(s, d), "pos", docTotals(s, d))
+      val distinct = FeatureSelection.distinctCalls(docCalls(s, d)).localCheckpoint()
+      val ranked = FeatureSelection.infoGainRankedOfDistinct(distinct, "pos", docTotals(s, d))
       FeatureSelection.libsvmRows(
-          FeatureSelection.vectorize(docCalls(s, d),
+          FeatureSelection.vectorizeOfDistinct(distinct,
             FeatureSelection.topFeatures(ranked, TopK), "pos"))
         .withColumnRenamed("sample_id", "doc_id")
         .orderBy("doc_id")

@@ -52,6 +52,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("vp04/vp05 tokenize the corpus once — shared table materialized") {
+    // the distinct-calls table is localCheckpoint'ed before fan-out, so
+    // the executed plan must not re-run the scan+explode per consumer:
+    // at most one FileScan survives (the 1-row totals aggregate) and no
+    // Generate (explode) node appears at all — the tokenization already
+    // ran when the checkpoint materialized.
+    for (q <- Seq("vp04_vectorize", "vp05_libsvm")) {
+      val p = plan(q)
+      val scans = "FileScan".r.findAllMatchIn(p).length
+      assert(scans <= 1,
+        s"$q: expected the tokenized corpus materialized once, got $scans file scans:\n$p")
+      assert(!p.contains("Generate"),
+        s"$q: explode must not re-run in the final plan:\n$p")
+    }
+  }
+
   test("ss01 brute-force ANN broadcasts the query set") {
     val p = plan("ss01_knn_brute")
     assert(p.contains("BroadcastExchange"))
