@@ -152,6 +152,18 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Per-round lineage-truncation strategy for iterative plans:
+    * [[CheckpointStrategy.Local]] (executor-local storage — fine in
+    * local mode and on a healthy cluster that tolerates recompute-on-
+    * executor-loss) or [[CheckpointStrategy.Reliable]] (HDFS/S3
+    * checkpoint dir — survives executor loss, the right choice for a
+    * multi-hour 100 TB run). */
+  sealed trait CheckpointStrategy
+  object CheckpointStrategy {
+    case object Local extends CheckpointStrategy
+    final case class Reliable(dir: String) extends CheckpointStrategy
+  }
+
   /** Connected components over undirected (doc_a, doc_b) pairs →
     * (doc_id, group_id = min id in component). Each round does
     * min-label propagation over edges (hash-min) AND a pointer-jump
@@ -161,14 +173,21 @@ object Dedup {
     * scan of the round's already-materialized checkpoint, adding no
     * extra pass over the data. Used by dd07 and the curation
     * pipeline's near-dup-removal stage. */
-  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 8): DataFrame = {
+  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 8,
+      checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    def truncate(df: DataFrame): DataFrame = checkpoint match {
+      case CheckpointStrategy.Local => df.localCheckpoint()
+      case CheckpointStrategy.Reliable(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df.checkpoint()
+    }
     val pairs = pairs0.cache()
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
-    var labels = edges.select(col("doc_a").as("doc_id"))
-      .distinct().withColumn("group_id", col("doc_id"))
-      .localCheckpoint()
+    var labels = truncate(edges.select(col("doc_a").as("doc_id"))
+      .distinct().withColumn("group_id", col("doc_id")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -185,15 +204,14 @@ object Dedup {
       // min-rooted forest, so this halves chain depth every round)
       val parent = propagated
         .select(col("doc_id").as("p_id"), col("group_id").as("p_group"))
-      val jumped = propagated
+      // truncate lineage every round: the loop otherwise embeds the
+      // previous plan twice per iteration (2^rounds blowup — went
+      // 102 s at sf0.1 without this, ~2 s with it). Strategy is the
+      // caller's: local in local mode, Reliable(dir) on a cluster.
+      val jumped = truncate(propagated
         .join(parent, propagated("group_id") === parent("p_id"), "left")
         .select(col("doc_id"), col("old_group"),
-          coalesce(col("p_group"), col("group_id")).as("group_id"))
-        // truncate lineage every round: the loop otherwise embeds the
-        // previous plan twice per iteration (2^rounds blowup — went
-        // 102 s at sf0.1 without this, ~2 s with it). On a cluster
-        // use reliable checkpointing instead of local.
-        .localCheckpoint()
+          coalesce(col("p_group"), col("group_id")).as("group_id")))
       converged = jumped.filter(col("group_id") =!= col("old_group"))
         .isEmpty
       labels = jumped.select("doc_id", "group_id")

@@ -193,15 +193,19 @@ object JsonLines {
     // the shuffle once at write time, never at query time.
     "io05_bucketed_join" -> ((s, d) => {
       val wh = stagingDir("bucketed")
-      // coalesce to the bucket count before writing: every write task
-      // otherwise emits its own file PER bucket (tasks×buckets small
-      // files — the classic bucketed-write mistake); aligned tasks
-      // emit exactly one file per bucket
-      graft.Tables.lineitem(s, d).coalesce(8)
+      // repartition BY THE BUCKET KEY to the bucket count before
+      // writing: every write task otherwise emits its own file PER
+      // bucket (tasks×buckets small files — the classic bucketed-write
+      // mistake). repartition's HashPartitioning uses the same
+      // Murmur3-pmod as the bucket spec, so each task holds exactly
+      // one bucket and emits exactly one file. (A bare coalesce(8)
+      // would NOT align tasks to buckets — each task would still hold
+      // rows of all 8 buckets and emit up to 8 files.)
+      graft.Tables.lineitem(s, d).repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$wh/li").mode("overwrite")
         .saveAsTable("graft_li_bucketed")
-      graft.Tables.orders(s, d).coalesce(8)
+      graft.Tables.orders(s, d).repartition(8, col("o_orderkey"))
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$wh/ord").mode("overwrite")
         .saveAsTable("graft_ord_bucketed")

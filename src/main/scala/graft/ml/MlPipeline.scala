@@ -372,10 +372,53 @@ object MlPipeline {
         .select(col("tp"), col("fp"), col("fn"), col("tn"),
           ((col("tp") + col("tn")).cast("double") /
             (col("tp") + col("fp") + col("fn") + col("tn"))).as("acc"),
-          (col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
-          (col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"),
-          ((col("tp") * 2).cast("double") /
-            (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+          // zero-denominator guards: Spark yields IEEE NaN on 0/0 where
+          // DuckDB's behavior is version-dependent — NULL both sides
+          // keeps the hash gate stable on a degenerate confusion matrix
+          when(col("tp") + col("fp") === 0, lit(null)).otherwise(
+            col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+          when(col("tp") + col("fn") === 0, lit(null)).otherwise(
+            col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"),
+          when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(null))
+            .otherwise((col("tp") * 2).cast("double") /
+              (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+    }),
+
+    // ml15: closed-form AUC-ROC (L7, `SVMDT.scala:157-158,177-178`) as
+    // the tie-averaged rank statistic over ml12's deterministic
+    // sigmoid scores — the last §2 numeric under the hash gate. Rather
+    // than ranking every row (a global sort), group by the 6-decimal
+    // score first: sigmoid ∈ (0,1), so the bucketed table has at most
+    // 1,000,001 rows REGARDLESS of corpus size — the cumulative window
+    // runs over that provably-bounded aggregate (ta12 pattern), and
+    // AUC = Σ_s n_pos(s)·(cum_neg_below(s) + ½·n_neg(s)) / (np·nn),
+    // exactly the Mann-Whitney U with average ranks for ties. Every
+    // term is a multiple of 0.5 (exact in binary), so the sum is
+    // order-independent — engine-identical doubles by construction.
+    "ml15_rank_auc" -> ((s, d) => {
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("score_6"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("is_pos"))
+      val byScore = scored.join(truth, "vec_id")
+        .groupBy("score_6")
+        .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("is_pos"), 0L).otherwise(1L)).as("n_neg"))
+      val below = Window.orderBy("score_6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum_neg_below",
+          coalesce(sum("n_neg").over(below), lit(0L)))
+        .agg(sum("n_pos").as("np"), sum("n_neg").as("nn"),
+          sum(col("n_pos") *
+            (col("cum_neg_below").cast("double") +
+              lit(0.5) * col("n_neg"))).as("u"))
+        // symmetric degenerate-class guard (NULL, not NaN/Inf — DuckDB
+        // and Spark diverge on 0/0, see ml13 advice)
+        .select(col("np"), col("nn"),
+          when(col("np") === 0 || col("nn") === 0, lit(null))
+            .otherwise(round(col("u") /
+              (col("np") * col("nn")).cast("double"), 6)).as("auc"))
     }),
 
     // ml12: logistic scoring against a fixed weight vector (serving-
@@ -480,10 +523,45 @@ object MlPipeline {
          |  FROM m)
          |SELECT tp, fp, fn, tn,
          |  CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS acc,
-         |  CAST(tp AS DOUBLE) / (tp + fp) AS prec,
-         |  CAST(tp AS DOUBLE) / (tp + fn) AS rec,
-         |  CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
          |FROM c""".stripMargin,
+
+    "ml15_rank_auc" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    round(1.0 / (1.0 + exp(-(
+         |      ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |    ))), 6) AS score_6,
+         |    e.label % 2 = 1 AS is_pos
+         |  FROM embeddings e CROSS JOIN w
+         |), g AS (
+         |  SELECT score_6,
+         |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+         |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
+         |  FROM m GROUP BY score_6
+         |), c AS (
+         |  SELECT n_pos, n_neg,
+         |    COALESCE(CAST(sum(n_neg) OVER (ORDER BY score_6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cum_neg_below
+         |  FROM g
+         |), t AS (
+         |  SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+         |    CAST(sum(n_neg) AS BIGINT) AS nn,
+         |    sum(n_pos * (cum_neg_below + 0.5 * n_neg)) AS u
+         |  FROM c)
+         |SELECT np, nn,
+         |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+         |       ELSE round(u / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+         |  END AS auc
+         |FROM t""".stripMargin,
 
     "ml12_logistic_score" ->
       s"""WITH w AS (

@@ -154,11 +154,16 @@ object EventStream {
     // st06: SLIDING-window streaming aggregation — st01's tumbling
     // twin with overlap: 2-hour windows sliding hourly, so every
     // event lands in exactly two windows (Spark materializes both
-    // window assignments per row before the state-store agg — the
-    // state cost is windows×groups, bounded by the watermark evicting
-    // closed windows). The moving-average / rate-alert shape every
-    // monitoring pipeline needs; the oracle duplicates each event
-    // into its two hourly-aligned window starts.
+    // window assignments per row before the state-store agg). NOTE on
+    // state: this query runs in COMPLETE output mode, where Spark
+    // retains every window group for the life of the query and the
+    // watermark does NOT evict — the oracle relies on that to see all
+    // windows. A production monitoring pipeline would run
+    // append/update mode, where the watermark bounds state to open
+    // windows (WatermarkSpec demonstrates eviction on st01's shape).
+    // The moving-average / rate-alert shape every monitoring pipeline
+    // needs; the oracle duplicates each event into its two
+    // hourly-aligned window starts.
     "st06_stream_sliding" -> ((s, d) =>
       runStream(s, d, "st_events_sliding", copies = 1,
         outputMode = "complete") { df =>

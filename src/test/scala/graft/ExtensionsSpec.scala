@@ -194,6 +194,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ok == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents reliable-checkpoint path matches local") {
+    // the cluster story: Reliable(dir) must produce the same labels as
+    // the local-checkpoint default, and must actually write checkpoint
+    // data under the given dir (proof the strategy was exercised)
+    import graft.dedup.Dedup.CheckpointStrategy
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    val local = graft.dedup.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+      .toString
+    val reliable = graft.dedup.Dedup.connectedComponents(pairs,
+        checkpoint = CheckpointStrategy.Reliable(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files written under $dir")
+  }
+
   test("injected char_shingles rejects bad arity/width with a named error") {
     import org.apache.spark.sql.SparkSession
     val prev = TestSpark.spark

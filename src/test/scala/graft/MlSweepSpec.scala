@@ -26,6 +26,29 @@ class MlSweepSpec extends AnyFunSuite {
     data.unpersist(false)
   }
 
+  test("kmeansCostSweep full reference range at sf0.01 (opt-in: GRAFT_SLOW=1)") {
+    // the reference's production sweep scale (`KmeansVirus.scala:165-173`)
+    // on the mid testdata tier — ~minutes, so opt-in rather than in the
+    // default suite; CI/driver runs stay fast, the range stays exercised
+    assume(sys.env.contains("GRAFT_SLOW"), "set GRAFT_SLOW=1 to run")
+    val ks = (5 to 100 by 5).toSeq
+    val t0 = System.nanoTime()
+    val got = graft.ml.MlPipeline
+      .kmeansCostSweep(spark, "/root/testdata/sf0.01", ks)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.map(_.getInt(0)).toSeq == ks)
+    got.foreach(r => assert(r.getDouble(1) >= 0.0))
+    // monotone-ish: seeded WSSSE may wobble locally, but each step may
+    // not INCREASE cost by more than 5%, and the endpoints must order
+    got.map(_.getDouble(1)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a * 1.05, s"cost jumped $a -> $b")
+      case _ =>
+    }
+    assert(got.last.getDouble(1) <= got.head.getDouble(1))
+    assert(secs < 1200.0, s"sweep took $secs s — runtime sanity bound")
+  }
+
   test("kmeansCostSweep runs the reference's full 5..100-by-5 range") {
     val ks = (5 to 100 by 5).toSeq
     val got = graft.ml.MlPipeline

@@ -45,4 +45,48 @@ class WatermarkSpec extends AnyFunSuite {
         ("2024-01-01 01:00:00", "view", 1L)))
     } finally q.stop()
   }
+
+  test("append-mode sliding windows: watermark evicts closed state") {
+    // the state-bounding claim st06 CAN'T show (it runs complete mode,
+    // which retains every window): in append mode the 2h/1h sliding
+    // windows are dropped from the store once the watermark passes
+    // their end — state stays proportional to OPEN windows, not to
+    // stream history
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[TimedEv]
+    val agg = ms.toDS()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_slide")
+      .outputMode("append").start()
+    try {
+      ms.addData(TimedEv(t("00:10"), "click"), TimedEv(t("00:40"), "click"),
+        TimedEv(t("01:10"), "click"))
+      q.processAllAvailable()
+      // 4 open sliding windows in state ([23,01) [00,02) [01,03) [02,04)
+      // never materializes — only windows holding events), none closed
+      assert(spark.table("wm_slide").count() == 0)
+
+      ms.addData(TimedEv(t("05:30"), "click"))
+      q.processAllAvailable()
+      ms.addData(TimedEv(t("05:35"), "click"))
+      q.processAllAvailable() // second batch: eviction definitely applied
+      // watermark = 04:30 → the three windows ending ≤ 04:30 emitted,
+      // exactly once each
+      val emitted = spark.table("wm_slide")
+        .select(col("window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toSet
+      assert(emitted == Set(
+        ("2023-12-31 23:00:00", 2L),
+        ("2024-01-01 00:00:00", 3L),
+        ("2024-01-01 01:00:00", 1L)))
+      // and the store now holds only the two OPEN windows of the 05:xx
+      // events ([04,06) and [05,07)) — closed-window state is gone
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 3,
+        s"expected closed windows evicted from state, got $stateRows rows")
+    } finally q.stop()
+  }
 }

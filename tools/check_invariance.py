@@ -18,13 +18,23 @@ from check_oracle import rows_of
 def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     import json
-    names = sorted(json.load(open(f"{a_dir}/oracle_sql.json")))
-    # include the rows-only queries too: invariance is checkable even
-    # where no SQL oracle exists (seeded fits, sketches)
     import os
-    names = sorted(set(names) | {
-        n for n in os.listdir(a_dir)
-        if os.path.isdir(os.path.join(a_dir, n))})
+
+    # union BOTH dumps' query sets (oracle_sql.json keys + result
+    # subdirectories): a query present in only one dump — e.g. a newer
+    # build with extra queries on one side — must FAIL the missing
+    # side's read, not be silently skipped
+    def names_of(d):
+        names = set()
+        try:
+            names |= set(json.load(open(f"{d}/oracle_sql.json")))
+        except FileNotFoundError:
+            pass
+        names |= {n for n in os.listdir(d)
+                  if os.path.isdir(os.path.join(d, n))}
+        return names
+
+    names = sorted(names_of(a_dir) | names_of(b_dir))
     n_pass = n_fail = 0
     for name in names:
         try:
