@@ -7,57 +7,136 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: opaque `BINARY` payloads with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic FAKE of the decode step — but the
-  * Spark-side plumbing is real and tested: binary column construction,
-  * schema, batch-at-a-time `mapPartitions` over a typed Dataset (the
-  * Scala twin of a Pandas-UDF `mapInPandas` pipeline), and arithmetic
-  * features the SQL oracle reproduces.
+  * mm02/mm04 run a REAL image codec end-to-end: a deterministic
+  * encoder renders each document as a genuine PPM (P6) image — ASCII
+  * header + raw RGB plane, pixel bytes from a closed-form generator —
+  * and a real parser decodes it back (magic, whitespace-delimited
+  * dims/maxval, exact-length pixel plane, loud errors on
+  * malformation). The oracle reproduces the GENERATOR arithmetic in
+  * SQL, so the hash gate proves the encode→decode round trip is
+  * byte-correct, not just that two copies of the same stub agree.
+  * mm03/mm05 remain code-point batch-shape stand-ins for frame
+  * sampling / ASR chunking (one-record→many generators).
   *
-  * Scale: payloads never shuffle — both queries are per-row/partition
+  * Scale: payloads never shuffle — all queries are per-row/partition
   * map work; at 100 TB the binary column rides in parquet and only
   * small extracted features flow downstream.
   */
 object Multimodal {
 
   final case class MediaRecord(doc_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
-      fake_width: Int, fake_height: Int, checksum16: Long)
 
-  /** STUB decode — deterministic fake standing in for a real image
-    * decoder (no codec libraries in this environment). Geometry is
-    * derived from payload byte length, the checksum from the first 16
-    * CODE POINTS of the UTF-8 decode — matching the oracle's
-    * `ascii(substr(text,i,1))`, which is code-point-based; summing raw
-    * bytes would diverge on any non-ASCII payload. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length
-    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val sum = graft.functions.CodePoints.sum(s, maxCodePoints = 16)
-    MediaFeatures(r.doc_id, n, n % 640, (n * 7) % 480, sum)
+  /** Deterministic pixel generator — the synthetic sensor: byte `i`
+    * of document `d`'s RGB plane is `(d*31 + i*7) % 256`. This is the
+    * contract the SQL oracle recomputes; keep the two in lockstep. */
+  def pixelByte(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7) % 256).toInt
+
+  /** Image geometry for a document: width from the text's code-point
+    * length, height from the id (both oracle-expressible). */
+  def imgDims(docId: Long, textCodePoints: Int): (Int, Int) =
+    (4 + textCodePoints % 29, 3 + (docId % 17).toInt)
+
+  /** REAL PPM (P6) encoder: `P6\n{w} {h}\n255\n` + w*h RGB triples. */
+  def encodePpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < 3 * w * h) {
+      out(header.length + i) = pixelByte(docId, i).toByte
+      i += 1
+    }
+    out
   }
 
-  final case class Resized(doc_id: Long, orig_cp: Int, resized_cp: Int,
-      checksum: Long)
+  final case class PpmImage(width: Int, height: Int, maxVal: Int,
+      pixels: Array[Byte])
 
-  /** STUB resize — nearest-neighbor downsample with stride 4 over the
-    * payload's code points, standing in for an image resize kernel
-    * (take every k-th pixel). The kept-sample count and code-point
-    * checksum are the verifiable features; a production resizer swaps
-    * into the same one-record→one-record map slot. */
-  def resizeStub(r: MediaRecord): Resized = {
-    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val nCp = s.codePointCount(0, s.length)
-    val offsets = graft.functions.CodePoints.offsets(s)
-    var sum = 0L
-    var n = 0
-    var i = 0
-    while (i < nCp) {
-      sum += s.codePointAt(offsets(i))
-      n += 1
-      i += 4
+  /** REAL PPM (P6) parser: validates the magic, parses the
+    * whitespace/comment-delimited ASCII dims and maxval, and requires
+    * an exact-length pixel plane — truncated or malformed payloads
+    * throw, they don't produce garbage features. */
+  def decodePpm(payload: Array[Byte]): PpmImage = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PPM decode: $msg")
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      fail("bad magic (want P6)")
+    var pos = 2
+    def skipWs(): Unit = {
+      var more = true
+      while (more && pos < payload.length) payload(pos) match {
+        case ' ' | '\n' | '\r' | '\t' => pos += 1
+        case '#' => // PPM comment: to end of line
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        case _ => more = false
+      }
     }
-    Resized(r.doc_id, nCp, n, sum)
+    def parseInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < payload.length &&
+          payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0')
+        pos += 1
+        any = true
+      }
+      if (!any) fail(s"expected integer at byte $pos")
+      v
+    }
+    val w = parseInt()
+    val h = parseInt()
+    val mv = parseInt()
+    if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+    if (mv != 255) fail(s"unsupported maxval $mv (want 8-bit)")
+    // exactly ONE whitespace byte separates maxval from the plane
+    if (pos >= payload.length) fail("missing pixel plane")
+    pos += 1
+    val n = 3 * w * h
+    if (payload.length - pos != n)
+      fail(s"pixel plane is ${payload.length - pos} bytes, want $n")
+    PpmImage(w, h, mv,
+      java.util.Arrays.copyOfRange(payload, pos, pos + n))
+  }
+
+  final case class ImgFeatures(doc_id: Long, width: Int, height: Int,
+      max_val: Int, n_pixels: Int, checksum: Long)
+
+  /** mm02 worker: decode + feature-extract (dims, pixel-sum). */
+  def decodeFeatures(r: MediaRecord): ImgFeatures = {
+    val img = decodePpm(r.payload)
+    var sum = 0L
+    var i = 0
+    while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+    ImgFeatures(r.doc_id, img.width, img.height, img.maxVal,
+      img.width * img.height, sum)
+  }
+
+  final case class ResizedImg(doc_id: Long, out_width: Int,
+      out_height: Int, checksum: Long)
+
+  /** mm04 worker: decode, then REAL nearest-neighbor 2x downsample on
+    * the pixel grid — output pixel (x,y) = input pixel (2x,2y), all
+    * three channels — and checksum the resized plane. */
+  def resizeHalf(r: MediaRecord): ResizedImg = {
+    val img = decodePpm(r.payload)
+    val w2 = (img.width + 1) / 2
+    val h2 = (img.height + 1) / 2
+    var sum = 0L
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val base = ((2 * y) * img.width + 2 * x) * 3
+        sum += (img.pixels(base) & 0xFF) + (img.pixels(base + 1) & 0xFF) +
+          (img.pixels(base + 2) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    ResizedImg(r.doc_id, w2, h2, sum)
   }
 
   final case class Frame(doc_id: Long, frame_idx: Int, n_chars: Int,
@@ -109,6 +188,22 @@ object Multimodal {
     }
   }
 
+  /** Synthetic media table: (doc_id, payload) where payload is a real
+    * P6 image whose geometry derives from the document (width from
+    * code-point length, height from id) — the binary-column source
+    * mm02/mm04 decode. Width uses codePointCount to match DuckDB's
+    * `length(text)` (code points, not UTF-16 units or bytes). */
+  def mediaPayloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h) = imgDims(id, text.codePointCount(0, text.length))
+        MediaRecord(id, encodePpm(id, w, h))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // mm05: overlapping chunk extraction — the ASR/transcription
     // batch shape (stride < width ⇒ consecutive chunks share a
@@ -145,26 +240,24 @@ object Multimodal {
           sha2(col("payload"), 256).as("sha256"))
         .orderBy("doc_id")),
 
-    // mm02: typed-Dataset mapPartitions decode (stubbed) — the real
-    // plumbing a media feature-extraction pipeline needs.
+    // mm02: REAL codec round trip — render each document as a genuine
+    // PPM image (header + RGB plane), then parse it back and extract
+    // features per partition. The oracle recomputes the generator
+    // arithmetic, so a hash match proves the bytes round-tripped.
     "mm02_decode_features" -> ((s, d) => {
       import s.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MediaRecord]
-        .mapPartitions(_.map(decodeStub))
+      mediaPayloads(s, d)
+        .mapPartitions(_.map(decodeFeatures))
         .toDF()
         .orderBy("doc_id")
     }),
 
-    // mm04: resize (stubbed) — stride-4 nearest-neighbor downsample
-    // per payload; one-record→one-record map, payloads never shuffle.
+    // mm04: decode + real nearest-neighbor 2x downsample on the pixel
+    // grid; one-record→one-record map, payloads never shuffle.
     "mm04_resize" -> ((s, d) => {
       import s.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MediaRecord]
-        .mapPartitions(_.map(resizeStub))
+      mediaPayloads(s, d)
+        .mapPartitions(_.map(resizeHalf))
         .toDF()
         .orderBy("doc_id")
     })
@@ -209,23 +302,43 @@ object Multimodal {
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the mm02/mm04 oracles recompute the pixel GENERATOR (not the
+    // codec): geometry w = 4 + cp_len % 29, h = 3 + doc_id % 17,
+    // pixel byte i = (doc_id*31 + i*7) % 256 — see pixelByte/imgDims
     "mm04_resize" ->
-      """SELECT doc_id, length(text) AS orig_cp,
-        |  (length(text) + 3) // 4 AS resized_cp,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS w,
+        |    3 + (doc_id % 17) AS h
+        |  FROM documents
+        |), halved AS (
+        |  SELECT doc_id, w, h,
+        |    (w + 1) // 2 AS w2, (h + 1) // 2 AS h2
+        |  FROM dims
+        |)
+        |SELECT doc_id, w2 AS out_width, h2 AS out_height,
         |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(generate_series(1, (length(text) + 3) // 4),
-        |      j -> ascii(substr(text, (j - 1) * 4 + 1, 1))::BIGINT)),
+        |    list_transform(generate_series(0, 3 * w2 * h2 - 1),
+        |      k -> (doc_id * 31 +
+        |            ((2 * (k // (3 * w2)) * w +
+        |              2 * ((k % (3 * w2)) // 3)) * 3 + (k % 3)) * 7)
+        |           % 256)),
         |    (a, b) -> a + b) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM halved ORDER BY doc_id""".stripMargin,
 
     "mm02_decode_features" ->
-      """SELECT doc_id, octet_length(text::BLOB) AS n_bytes,
-        |  octet_length(text::BLOB) % 640 AS fake_width,
-        |  (octet_length(text::BLOB) * 7) % 480 AS fake_height,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS width,
+        |    3 + (doc_id % 17) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height, 255 AS max_val,
+        |  width * height AS n_pixels,
         |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(generate_series(1, least(16, length(text))),
-        |      i -> ascii(substr(text, i, 1))::BIGINT)),
-        |    (a, b) -> a + b) AS checksum16
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |    list_transform(generate_series(0, 3 * width * height - 1),
+        |      i -> (doc_id * 31 + i * 7) % 256)),
+        |    (a, b) -> a + b) AS checksum
+        |FROM dims ORDER BY doc_id""".stripMargin
   )
 }

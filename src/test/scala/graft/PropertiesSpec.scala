@@ -139,4 +139,59 @@ class PropertiesSpec extends AnyFunSuite {
         }
     })
   }
+
+  test("PPM codec round-trips encode→decode for any geometry") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      w <- Gen.chooseNum(1, 64)
+      h <- Gen.chooseNum(1, 64)
+    } yield (id, w, h)
+    runProp(Prop.forAll(gen) { case (id, w, h) =>
+      val img = Multimodal.decodePpm(Multimodal.encodePpm(id, w, h))
+      img.width == w && img.height == h && img.maxVal == 255 &&
+        img.pixels.length == 3 * w * h &&
+        img.pixels.indices.forall(i =>
+          (img.pixels(i) & 0xFF) == Multimodal.pixelByte(id, i))
+    })
+  }
+
+  test("PPM decoder rejects malformed payloads loudly") {
+    import graft.multimodal.Multimodal._
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val good = encodePpm(7L, 3, 2)
+    // real decoder behaviors: bad magic, truncated plane, trailing
+    // garbage, non-8-bit maxval, missing ints — all named errors
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](decodePpm(bytes)).getMessage
+    assert(err("P5\n3 2\n255\nxxx".getBytes(US_ASCII)).contains("magic"))
+    assert(err(good.dropRight(1)).contains("pixel plane"))
+    assert(err(good :+ 0.toByte).contains("pixel plane"))
+    assert(err("P6\n3 2\n65535\n".getBytes(US_ASCII)).contains("maxval"))
+    assert(err("P6\n \n".getBytes(US_ASCII)).contains("integer"))
+    // and a comment-bearing header (legal PPM) still parses
+    val withComment = ("P6\n# a comment\n3 2\n255\n".getBytes(US_ASCII)
+      ++ good.drop(good.length - 18))
+    assert(decodePpm(withComment).width == 3)
+  }
+
+  test("resizeHalf equals a naive per-pixel reference") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 100000L)
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+    } yield (id, w, h)
+    runProp(Prop.forAll(gen) { case (id, w, h) =>
+      val r = Multimodal.resizeHalf(
+        Multimodal.MediaRecord(id, Multimodal.encodePpm(id, w, h)))
+      val w2 = (w + 1) / 2
+      val h2 = (h + 1) / 2
+      val want = (for {
+        y <- 0 until h2; x <- 0 until w2; c <- 0 until 3
+      } yield Multimodal.pixelByte(id, ((2 * y) * w + 2 * x) * 3 + c)
+        .toLong).sum
+      r.out_width == w2 && r.out_height == h2 && r.checksum == want
+    })
+  }
 }
