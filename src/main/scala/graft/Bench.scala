@@ -40,7 +40,13 @@ object Bench {
           rand(2).cast("float"))).as("features"))
       new KMeans().setK(2).setSeed(1L).fit(tiny)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for single-query iteration
+    // (perf work shouldn't pay the full 100+-query suite per probe)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -51,7 +57,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // machine-readable artifact: the driver keeps only the tail of
+    // stdout, which truncates the per-query map mid-stream on a
+    // 100+-query surface — also write the full line to a file (path
+    // overridable) so rounds diff mechanically, not from prose
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      line + "\n")
     spark.stop()
   }
 }

@@ -182,7 +182,12 @@ object Dedup {
         if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
         df.checkpoint()
     }
-    val pairs = pairs0.cache()
+    // materialize the (often expensive) pair input ONCE before the
+    // union doubles it: a lazy .cache() here lets the union's two
+    // branches race — both can compute the pair-generation plan before
+    // either populates the cache (visible as "Block already exists"
+    // re-adds). The checkpoint is deterministic single execution.
+    val pairs = truncate(pairs0)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
@@ -216,7 +221,6 @@ object Dedup {
         .isEmpty
       labels = jumped.select("doc_id", "group_id")
     }
-    pairs.unpersist(false)
     edges.unpersist(false)
     if (!converged)
       // fail loudly: labels that are not the component minimum would

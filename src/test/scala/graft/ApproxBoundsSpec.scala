@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q19's sketches are engine-specific, so no DuckDB oracle can hash
+  * them — but their ERROR BOUNDS are not engine-specific. This spec is
+  * the automated within-bound check: every estimate must sit inside
+  * the bound its configuration promises, against the exact twins
+  * computed on the same data.
+  */
+class ApproxBoundsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  test("q19 sketch estimates sit within their configured error bounds") {
+    val approx = SparkEntry.queries("q19_approx")(spark, d)
+      .select(col("l_returnflag"),
+        col("approx_parts").cast("double"),
+        col("p50_approx").cast("double"),
+        col("p90_approx").cast("double"))
+    val exact = graft.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).cast("double").as("exact_parts"),
+        // percentile() is the exact aggregate — the sketch-free twin
+        expr("percentile(l_quantity, array(0.48, 0.52, 0.88, 0.92))")
+          .as("pcts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        col("pcts")(0).as("p50_lo"), col("pcts")(1).as("p50_hi"),
+        col("pcts")(2).as("p90_lo"), col("pcts")(3).as("p90_hi"))
+    val rows = approx.join(exact, "l_returnflag").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val (aParts, p50, p90) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val eParts = r.getDouble(4)
+      // HLL++ with default rsd = 0.05: |est − exact| ≤ 3·rsd·exact
+      // covers ≈99.7% of draws; the seed is fixed, so this is a
+      // regression gate, not a flaky sample
+      assert(math.abs(aParts - eParts) <= 3 * 0.05 * eParts,
+        s"$flag: approx_count_distinct $aParts vs exact $eParts " +
+          "outside 3*rsd bound")
+      // approx_percentile(accuracy=1000) guarantees rank error
+      // ≤ n/1000 = 0.001·n; the returned element therefore lies
+      // between the exact percentiles at q ∓ 0.02 (20x slack over the
+      // guarantee, still a tight semantic band on this data)
+      assert(r.getDouble(5) <= p50 && p50 <= r.getDouble(6),
+        s"$flag: p50 estimate $p50 outside exact [q48, q52] band " +
+          s"[${r.getDouble(5)}, ${r.getDouble(6)}]")
+      assert(r.getDouble(7) <= p90 && p90 <= r.getDouble(8),
+        s"$flag: p90 estimate $p90 outside exact [q88, q92] band " +
+          s"[${r.getDouble(7)}, ${r.getDouble(8)}]")
+    }
+  }
+}

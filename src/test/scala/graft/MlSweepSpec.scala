@@ -49,6 +49,30 @@ class MlSweepSpec extends AnyFunSuite {
     assert(secs < 1200.0, s"sweep took $secs s — runtime sanity bound")
   }
 
+  test("BinaryClassificationEvaluator AUC equals the oracle-checked closed form") {
+    // ties L7's production route (the evaluator used by ml03/ml04) to
+    // ml15's rank-statistic formula, which the DuckDB oracle verifies
+    // hash-exact: on the same scored table the two must agree — so the
+    // rows-only ml03/ml04 AUCs inherit the oracle's trust in the metric
+    val d = "/root/testdata/sf0.001"
+    val scored = SparkEntry.queries("ml12_logistic_score")(spark, d)
+      .select(col("vec_id"), col("score_6"))
+    val truth = Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        (col("label") % 2 === 1).cast("double").as("label"))
+    val joined = scored.join(truth, "vec_id")
+      .select(col("score_6").as("rawPrediction"), col("label"))
+    val evAuc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setRawPredictionCol("rawPrediction")
+      .evaluate(joined)
+    val closed = SparkEntry.queries("ml15_rank_auc")(spark, d)
+      .collect()(0).getDouble(2)
+    // distinct scores ≪ the evaluator's 1000 downsampling bins at this
+    // SF, so both are exact — agreement to rounding, not "close"
+    assert(math.abs(evAuc - closed) < 1e-6 + 5e-7,
+      s"evaluator $evAuc vs closed-form $closed")
+  }
+
   test("kmeansCostSweep runs the reference's full 5..100-by-5 range") {
     val ks = (5 to 100 by 5).toSeq
     val got = graft.ml.MlPipeline

@@ -97,6 +97,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("ml15 rank-AUC windows over the score-bucketed aggregate") {
+    // the scale claim: the single-partition cumulative window runs
+    // over the groupBy(score_6) aggregate (≤ ~1e6 rows by the sigmoid
+    // codomain), never over per-row scores — the bucketing aggregate
+    // must sit BELOW the window in the plan tree (printed after it)
+    val p = plan("ml15_rank_auc")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, s"expected a window in the plan:\n$p")
+    assert(p.indexOf("keys=[score_6", wIdx) > wIdx,
+      s"the score-bucket aggregate must feed the window:\n$p")
+  }
+
   test("q01 aggregate is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstFinal = p.indexOf("HashAggregate")
