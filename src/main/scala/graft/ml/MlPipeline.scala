@@ -38,6 +38,13 @@ object MlPipeline {
     * session fairly — on a cluster this is how a grid search keeps
     * executors busy while individual fits are small. Results keep
     * input order (each point is seeded → deterministic). */
+  /** Concurrent fit dispatch on the global pool. Measured round 4: a
+    * bounded 4-thread pool (4 fits × 8 partitions = exactly the 32
+    * task slots) is 25-40% SLOWER than full concurrency here — each
+    * fit alternates distributed jobs with driver-side phases
+    * (aggregation merge, model construction), and the extra in-flight
+    * fits fill those gaps. Keep dispatch unbounded; the per-fit
+    * partition layout (coalesce 8) is what bounds task pressure. */
   private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration

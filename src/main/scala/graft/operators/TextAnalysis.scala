@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables._
 import graft.functions.Funcs._
 import graft.functions.RollingFingerprint
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -354,8 +354,71 @@ object TextAnalysis {
               zip_with(col("v"), col("qv"),
                 (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
               lit(0.0), (a, e) => a + e) / size(col("v")), 9).as("mse_9"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // em03: product-quantization code assignment — the PQ half of
+    // IVF-PQ serving (em02 is the scalar-quant alternative; ss03 the
+    // IVF half): the 64-dim vector splits into 8 subvectors of 8 dims,
+    // each assigned to its nearest of k=4 fixed per-subspace centroids
+    // (vec_id < 4's subvectors, ml11's fixed-rows pattern — a k-means
+    // PQ TRAINING step would be the iterative twin). Closed-form:
+    // in-order L2 fold per (subvector, centroid), argmin via
+    // min(struct) with centroid-id tie-break. Scale: the codebook is
+    // M×k rows broadcast; vectors are sliced to 8-float subvectors
+    // BEFORE the M-way explode multiplies rows, and the only shuffle
+    // is the (vec_id, m)-keyed argmin aggregate — 64 codes per vector
+    // flow downstream, never the vector itself. This is how a 100 TB
+    // embedding store compresses to 8 bytes/vector/subspace for
+    // cache-resident ANN.
+    "em03_pq_assign" -> ((s, d) =>
+      pqAssign(s, d)
+        .select(col("vec_id"), col("m"), col("code"),
+          round(col("d2"), 6).as("d2_6"))
+        .orderBy("vec_id", "m"))
   )
+
+  /** PQ geometry shared by em03 and ss07: 64-dim → [[PqM]] subspaces
+    * of [[PqSub]] dims, k=[[PqK]] per-subspace centroids taken from
+    * vec_id < PqK (fixed rows, ml11's pattern). */
+  val PqM = 8
+  val PqSub = 8
+  val PqK = 4
+
+  /** Per-subspace codebook: (cid, m, center = 8-float slice). */
+  def pqCodebook(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("cemb"))
+      .select(col("cid"), col("m"),
+        slice(col("cemb"), col("m") * PqSub + 1, lit(PqSub)).as("center"))
+
+  /** In-order squared-L2 between two 8-float slices (engine-exact). */
+  def pqDist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, c) => (x.cast("double") - c.cast("double")) *
+          (x.cast("double") - c.cast("double"))),
+      lit(0.0), (e0, e) => e0 + e)
+
+  /** PQ code assignment: (vec_id, m, code, d2) — every vector's m-th
+    * subvector mapped to its nearest per-subspace centroid (argmin via
+    * min(struct), centroid-id tie-break). */
+  def pqAssign(s: SparkSession, d: String): DataFrame = {
+    val vecs = embeddings(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("emb"))
+      .select(col("vec_id"), col("m"),
+        slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)).as("subv"))
+    vecs.join(broadcast(pqCodebook(s, d)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        pqDist2(col("subv"), col("center")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"),
+        col("best.d2").as("d2"))
+  }
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
   private def countInSql(words: Seq[String]) =
@@ -567,6 +630,34 @@ object TextAnalysis {
         |    list_transform(generate_series(1, len(v)),
         |      i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))),
         |    (a, e) -> a + e) / len(v), 9) AS mse_9
-        |FROM qq ORDER BY vec_id""".stripMargin
+        |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "em03_pq_assign" ->
+      """WITH cb AS (
+        |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
+        |  FROM embeddings e,
+        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+        |  WHERE e.vec_id < 4
+        |), v AS (
+        |  SELECT e.vec_id, m.m AS m, e.embedding AS emb
+        |  FROM embeddings e,
+        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+        |), d AS (
+        |  SELECT v.vec_id, v.m, cb.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        i -> (CAST(v.emb[v.m * 8 + i] AS DOUBLE) -
+        |              CAST(cb.cemb[v.m * 8 + i] AS DOUBLE)) *
+        |             (CAST(v.emb[v.m * 8 + i] AS DOUBLE) -
+        |              CAST(cb.cemb[v.m * 8 + i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM v JOIN cb ON v.m = cb.m
+        |)
+        |SELECT vec_id, m, cid AS code, round(d2, 6) AS d2_6 FROM (
+        |  SELECT vec_id, m, cid, d2,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+        |      AS rn
+        |  FROM d)
+        |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin
   )
 }

@@ -201,6 +201,49 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss07: PQ asymmetric-distance (ADC) top-k — the compressed-
+    // serving path: the database side is ONLY em03's PQ codes (8
+    // one-byte codes per vector, never the vector), the query side
+    // builds a tiny per-subspace lookup table ||q_m − centroid(m,c)||²
+    // (queries × 8 × 4 rows, broadcast), and a vector's distance is
+    // the sum of 8 LUT hits. Distances are quantized to integer
+    // micro-units BEFORE the cross-subspace sum — integer addition is
+    // order-independent, so the groupBy sum needs no ordered fold to
+    // stay engine-exact (the float fold trick can't cross rows). At
+    // 100 TB this is the ANN shape that fits the index in executor
+    // memory: 8 bytes/vector beside 256 bytes/vector of floats.
+    "ss07_knn_pq" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val codes = TextAnalysis.pqAssign(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      val qsubs = embeddings(s, d).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"),
+          explode(sequence(lit(0), lit(TextAnalysis.PqM - 1))).as("m"),
+          col("embedding").as("qe"))
+        .select(col("query_id"), col("m"),
+          slice(col("qe"), col("m") * TextAnalysis.PqSub + 1,
+            lit(TextAnalysis.PqSub)).as("qsub"))
+      val lut = qsubs
+        .join(TextAnalysis.pqCodebook(s, d), Seq("m"))
+        .select(col("query_id"), col("m"), col("cid"),
+          // floor(x*1e6 + .5), not round(): identical double op in
+          // both engines at the .5 boundary (em02's trick)
+          floor(TextAnalysis.pqDist2(col("qsub"), col("center")) * 1e6
+            + 0.5).cast("long").as("ld2_u6"))
+      val scored = codes
+        .join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "adc_u6")
+        .orderBy("query_id", "rank")
+    }),
+
     // ss04: ANN quality evaluation — recall@k of the LSH path (ss02)
     // against the brute-force ground truth (ss01), per query. The
     // standard accept/reject metric for any approximate index: both
@@ -408,6 +451,50 @@ object Similarity {
          |  WHERE a.vec_id <> p.query_id
          |)
          |SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss07_knn_pq" ->
+      s"""WITH cb AS (
+         |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
+         |  FROM embeddings e,
+         |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+         |  WHERE e.vec_id < 4
+         |), dists AS (
+         |  SELECT e.vec_id, m.m AS m, cb.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, 8),
+         |        i -> (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
+         |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)) *
+         |             (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
+         |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)))),
+         |      (a, x) -> a + x) AS d2
+         |  FROM embeddings e,
+         |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+         |  JOIN cb ON cb.m = m.m
+         |), codes AS (
+         |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY d2, cid) AS rn
+         |    FROM dists)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT vec_id AS query_id, m, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+         |  FROM dists WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT l.query_id, c.neighbor_id,
+         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+         |  WHERE c.neighbor_id <> l.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, rank, neighbor_id, adc_u6 FROM (
+         |  SELECT query_id, neighbor_id, adc_u6,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_u6, neighbor_id) AS rank
+         |  FROM adc)
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
   )

@@ -53,4 +53,35 @@ class ApproxBoundsSpec extends AnyFunSuite {
           s"[${r.getDouble(7)}, ${r.getDouble(8)}]")
     }
   }
+
+  test("ss07 PQ-ADC recall@10 vs exact L2 clears its floor") {
+    // the ss04 pattern for the PQ path: ADC ranks by an 8-bytes-per-
+    // vector code, so it's lossy by design — this pins the measured
+    // quality so a codebook/assignment regression (or a silent change
+    // in the distance quantization) fails a test, not just a bench
+    import org.apache.spark.sql.expressions.Window
+    val pq = SparkEntry.queries("ss07_knn_pq")(spark, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val d2 = aggregate(zip_with(col("qv"), col("v"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = e.select(col("vec_id").as("neighbor_id"), col("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      .select("query_id", "neighbor_id")
+    val hits = pq.intersect(exact).count()
+    val recall = hits.toDouble / exact.count()
+    // deterministic data + fixed codebook → a fixed number (measured
+    // 0.20 at sf0.001: 50 vectors, k=4 coarse codebook); the floor
+    // sits just below so any assignment/LUT regression trips it
+    assert(recall >= 0.19, f"PQ ADC recall@10 = $recall%.2f < 0.19")
+  }
 }
