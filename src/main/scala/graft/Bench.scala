@@ -44,6 +44,17 @@ object Bench {
     // (perf work shouldn't pay the full 100+-query suite per probe)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        // fail loudly: a typo'd filter would otherwise bench ZERO
+        // queries and overwrite the artifact with an empty map
+        System.err.println(
+          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
@@ -63,9 +74,11 @@ object Bench {
     // machine-readable artifact: the driver keeps only the tail of
     // stdout, which truncates the per-query map mid-stream on a
     // 100+-query surface — also write the full line to a file (path
-    // overridable) so rounds diff mechanically, not from prose
+    // overridable) so rounds diff mechanically, not from prose. A
+    // filtered run defaults to a separate path so a perf probe never
+    // clobbers the full-suite artifact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench_out.json")
+      if (only.isDefined) "bench_out_partial.json" else "bench_out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       line + "\n")
     spark.stop()

@@ -175,12 +175,25 @@ object Dedup {
     * pipeline's near-dup-removal stage. */
   def connectedComponents(pairs0: DataFrame, maxRounds: Int = 8,
       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
+    // Reliable: set the checkpoint dir ONCE per invocation (Spark
+    // qualifies it and appends a UUID subdir, so comparing against the
+    // caller's raw path can never match — a per-truncate guard would
+    // silently re-set it and scatter every round into a fresh dir)
+    checkpoint match {
+      case CheckpointStrategy.Reliable(dir) =>
+        pairs0.sparkSession.sparkContext.setCheckpointDir(dir)
+      case _ => ()
+    }
     def truncate(df: DataFrame): DataFrame = checkpoint match {
       case CheckpointStrategy.Local => df.localCheckpoint()
-      case CheckpointStrategy.Reliable(dir) =>
-        val sc = df.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
-        df.checkpoint()
+      case CheckpointStrategy.Reliable(_) =>
+        // persist first: reliable checkpoint materializes the plan in
+        // one job and writes files in a SECOND job — uncached, that
+        // recomputes the whole round's join plan twice
+        df.persist()
+        val out = df.checkpoint()
+        df.unpersist(false)
+        out
     }
     // materialize the (often expensive) pair input ONCE before the
     // union doubles it: a lazy .cache() here lets the union's two

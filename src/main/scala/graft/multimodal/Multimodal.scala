@@ -89,12 +89,21 @@ object Multimodal {
     val w = parseInt()
     val h = parseInt()
     val mv = parseInt()
-    if (w <= 0 || h <= 0) fail(s"bad dims ${w}x$h")
+    // dim cap also guards the 3*w*h Int arithmetic below: 2^15 each
+    // side keeps the plane size < 2^33... so compute in Long and cap
+    if (w <= 0 || h <= 0 || w > 0x8000 || h > 0x8000)
+      fail(s"bad dims ${w}x$h")
     if (mv != 255) fail(s"unsupported maxval $mv (want 8-bit)")
-    // exactly ONE whitespace byte separates maxval from the plane
+    // exactly ONE whitespace byte separates maxval from the plane —
+    // and it must BE whitespace, or the header is malformed
     if (pos >= payload.length) fail("missing pixel plane")
-    pos += 1
-    val n = 3 * w * h
+    payload(pos) match {
+      case ' ' | '\n' | '\r' | '\t' => pos += 1
+      case b => fail(s"expected whitespace after maxval, got byte $b")
+    }
+    val nL = 3L * w * h
+    if (nL > Int.MaxValue - pos) fail(s"pixel plane too large ($nL)")
+    val n = nL.toInt
     if (payload.length - pos != n)
       fail(s"pixel plane is ${payload.length - pos} bytes, want $n")
     PpmImage(w, h, mv,

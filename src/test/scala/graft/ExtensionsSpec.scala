@@ -211,9 +211,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(reliable == local)
     assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L))
-    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      .filter(java.nio.file.Files.isRegularFile(_)).count()
-    assert(wrote > 0, s"no checkpoint files written under $dir")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      val wrote = walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally walk.close()
+    // clean the temp checkpoint tree so repeated suite runs don't pile
+    // up checkpoint files on disk
+    val rm = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      rm.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    } finally rm.close()
   }
 
   test("injected char_shingles rejects bad arity/width with a named error") {

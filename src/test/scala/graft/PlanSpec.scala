@@ -109,6 +109,18 @@ class PlanSpec extends AnyFunSuite {
       s"the score-bucket aggregate must feed the window:\n$p")
   }
 
+  test("ss07 PQ search broadcasts the LUT and plans no cartesian") {
+    // the compressed-serving claim: the query-side lookup table is the
+    // broadcast side (codes stream), and nothing degenerates into a
+    // nested-loop/cartesian join
+    val p = plan("ss07_knn_pq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected the PQ LUT broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"PQ search must stay an equi-join:\n$p")
+  }
+
   test("q01 aggregate is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstFinal = p.indexOf("HashAggregate")

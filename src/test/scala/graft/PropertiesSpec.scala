@@ -169,6 +169,13 @@ class PropertiesSpec extends AnyFunSuite {
     assert(err(good :+ 0.toByte).contains("pixel plane"))
     assert(err("P6\n3 2\n65535\n".getBytes(US_ASCII)).contains("maxval"))
     assert(err("P6\n \n".getBytes(US_ASCII)).contains("integer"))
+    // non-whitespace separator after maxval must not decode silently
+    val badSep = ("P6\n3 2\n255X".getBytes(US_ASCII)
+      ++ good.drop(good.length - 18))
+    assert(err(badSep).contains("whitespace"))
+    // absurd header dims are rejected before any Int overflow
+    assert(err("P6\n100000 100000\n255\n".getBytes(US_ASCII))
+      .contains("bad dims"))
     // and a comment-bearing header (legal PPM) still parses
     val withComment = ("P6\n# a comment\n3 2\n255\n".getBytes(US_ASCII)
       ++ good.drop(good.length - 18))
