@@ -375,6 +375,33 @@ object TextAnalysis {
         .select(col("vec_id"), col("m"), col("code"),
           round(col("d2"), 6).as("d2_6"))
         .orderBy("vec_id", "m"))
+    ,
+
+    // em04: PQ codebook RECENTER — the training half of a per-subspace
+    // k-means step (em03 assign + em04 recenter = one Lloyd iteration
+    // per subspace, exactly the ml11+ml14 closed-form decomposition):
+    // given em03's codes, recompute each (subspace, code) centroid per
+    // dimension. The shuffle carries (m, code, dim)-keyed partial sums
+    // — M×k×8 = 256 cells regardless of corpus size; vectors never
+    // move. This is how a production PQ codebook trains at 100 TB:
+    // iterate assign/recenter with only cell-sized state shuffling.
+    "em04_pq_recenter" -> ((s, d) => {
+      val asg = pqAssign(s, d).select(col("vec_id"), col("m"), col("code"))
+      val subs = embeddings(s, d)
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+          col("embedding").as("emb"))
+        .select(col("vec_id"), col("m"),
+          slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)).as("subv"))
+      subs.join(asg, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("subv")))
+        .withColumnsRenamed(Map("pos" -> "dim", "col" -> "v"))
+        .withColumn("v", col("v").cast("double"))
+        .groupBy("m", "code", "dim")
+        .agg(round(avg("v"), 6).as("mean_v"),
+          count(lit(1)).as("n_members"))
+        .orderBy("m", "code", "dim")
+    })
   )
 
   /** PQ geometry shared by em03 and ss07: 64-dim → [[PqM]] subspaces
@@ -658,6 +685,43 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
         |      AS rn
         |  FROM d)
-        |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin
+        |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin,
+
+    "em04_pq_recenter" ->
+      """WITH cb AS (
+        |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
+        |  FROM embeddings e,
+        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+        |  WHERE e.vec_id < 4
+        |), dists AS (
+        |  SELECT e.vec_id, m.m AS m, cb.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(generate_series(1, 8),
+        |        i -> (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
+        |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)) *
+        |             (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
+        |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS d2
+        |  FROM embeddings e,
+        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
+        |  JOIN cb ON cb.m = m.m
+        |), codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d2, cid) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1
+        |), sub AS (
+        |  SELECT c.m, c.code, i.i - 1 AS dim,
+        |    CAST(e.embedding[c.m * 8 + i.i] AS DOUBLE) AS v
+        |  FROM codes c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id,
+        |    LATERAL unnest(generate_series(1, 8)) AS i(i)
+        |)
+        |SELECT m, code, dim, round(avg(v), 6) AS mean_v,
+        |  CAST(count(*) AS BIGINT) AS n_members
+        |FROM sub GROUP BY 1, 2, 3
+        |ORDER BY m, code, dim""".stripMargin
   )
 }
