@@ -45,12 +45,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // fail loudly on an empty or typo'd filter: either would
+      // otherwise bench ZERO queries and write an empty-map artifact
       val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty) {
-        // fail loudly: a typo'd filter would otherwise bench ZERO
-        // queries and overwrite the artifact with an empty map
+      if (names.isEmpty || unknown.nonEmpty) {
         System.err.println(
-          s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.mkString(", ")}")
+          if (names.isEmpty) "[bench] SPARK_GRAFT_BENCH_ONLY is set but empty"
+          else s"[bench] unknown SPARK_GRAFT_BENCH_ONLY names: ${unknown.mkString(", ")}")
         spark.stop()
         sys.exit(1)
       }

@@ -235,6 +235,13 @@ object Dedup {
       labels = jumped.select("doc_id", "group_id")
     }
     edges.unpersist(false)
+    // NOTE: the localCheckpoint blocks (pairs + per-round labels) have
+    // no public unpersist — truncated lineage makes them non-evictable
+    // until the ContextCleaner GCs the dropped RDD references. That is
+    // bounded here (labels are keys-only and rounds are O(log d)), but
+    // a very long-lived driver looping CC over many inputs should
+    // prefer Reliable(dir), whose files live outside block-manager
+    // memory.
     if (!converged)
       // fail loudly: labels that are not the component minimum would
       // silently under-deduplicate everything downstream

@@ -80,6 +80,9 @@ object Multimodal {
       while (pos < payload.length &&
           payload(pos) >= '0' && payload(pos) <= '9') {
         v = v * 10 + (payload(pos) - '0')
+        // overflow guard: a long digit run must fail, not wrap Int and
+        // sneak a bogus value past the dim/maxval checks below
+        if (v > 100000000) fail("integer too large in header")
         pos += 1
         any = true
       }

@@ -451,6 +451,38 @@ object TextAnalysis {
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 
+  /** Shared PQ oracle CTEs (`pq_cb` -> `pq_dists` -> `pq_codes`),
+    * interpolating [[PqM]]/[[PqSub]]/[[PqK]] so the SQL geometry can
+    * never drift from the Scala side. Consumed by em03/em04 here and
+    * ss07 in `similarity/Similarity.scala` -- the same
+    * share-the-fragment convention as `Funcs.dotProductSql`. */
+  val pqSqlCtes: String =
+    s"""pq_cb AS (
+       |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+       |  WHERE e.vec_id < $PqK
+       |), pq_dists AS (
+       |  SELECT e.vec_id, m.m AS m, cb.cid,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, $PqSub),
+       |        i -> (CAST(e.embedding[m.m * $PqSub + i] AS DOUBLE) -
+       |              CAST(cb.cemb[m.m * $PqSub + i] AS DOUBLE)) *
+       |             (CAST(e.embedding[m.m * $PqSub + i] AS DOUBLE) -
+       |              CAST(cb.cemb[m.m * $PqSub + i] AS DOUBLE)))),
+       |      (a, x) -> a + x) AS d2
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+       |  JOIN pq_cb cb ON cb.m = m.m
+       |), pq_codes AS (
+       |  SELECT vec_id, m, cid AS code, d2 FROM (
+       |    SELECT vec_id, m, cid, d2,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY d2, cid) AS rn
+       |    FROM pq_dists)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ta01_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,
@@ -660,68 +692,21 @@ object TextAnalysis {
         |FROM qq ORDER BY vec_id""".stripMargin,
 
     "em03_pq_assign" ->
-      """WITH cb AS (
-        |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
-        |  FROM embeddings e,
-        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-        |  WHERE e.vec_id < 4
-        |), v AS (
-        |  SELECT e.vec_id, m.m AS m, e.embedding AS emb
-        |  FROM embeddings e,
-        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-        |), d AS (
-        |  SELECT v.vec_id, v.m, cb.cid,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(generate_series(1, 8),
-        |        i -> (CAST(v.emb[v.m * 8 + i] AS DOUBLE) -
-        |              CAST(cb.cemb[v.m * 8 + i] AS DOUBLE)) *
-        |             (CAST(v.emb[v.m * 8 + i] AS DOUBLE) -
-        |              CAST(cb.cemb[v.m * 8 + i] AS DOUBLE)))),
-        |      (a, x) -> a + x) AS d2
-        |  FROM v JOIN cb ON v.m = cb.m
-        |)
-        |SELECT vec_id, m, cid AS code, round(d2, 6) AS d2_6 FROM (
-        |  SELECT vec_id, m, cid, d2,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
-        |      AS rn
-        |  FROM d)
-        |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin,
+      s"""WITH $pqSqlCtes
+         |SELECT vec_id, m, code, round(d2, 6) AS d2_6
+         |FROM pq_codes ORDER BY vec_id, m""".stripMargin,
 
     "em04_pq_recenter" ->
-      """WITH cb AS (
-        |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
-        |  FROM embeddings e,
-        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-        |  WHERE e.vec_id < 4
-        |), dists AS (
-        |  SELECT e.vec_id, m.m AS m, cb.cid,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(generate_series(1, 8),
-        |        i -> (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
-        |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)) *
-        |             (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
-        |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)))),
-        |      (a, x) -> a + x) AS d2
-        |  FROM embeddings e,
-        |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-        |  JOIN cb ON cb.m = m.m
-        |), codes AS (
-        |  SELECT vec_id, m, cid AS code FROM (
-        |    SELECT vec_id, m, cid,
-        |      row_number() OVER (PARTITION BY vec_id, m
-        |        ORDER BY d2, cid) AS rn
-        |    FROM dists)
-        |  WHERE rn = 1
-        |), sub AS (
-        |  SELECT c.m, c.code, i.i - 1 AS dim,
-        |    CAST(e.embedding[c.m * 8 + i.i] AS DOUBLE) AS v
-        |  FROM codes c
-        |  JOIN embeddings e ON e.vec_id = c.vec_id,
-        |    LATERAL unnest(generate_series(1, 8)) AS i(i)
-        |)
-        |SELECT m, code, dim, round(avg(v), 6) AS mean_v,
-        |  CAST(count(*) AS BIGINT) AS n_members
-        |FROM sub GROUP BY 1, 2, 3
-        |ORDER BY m, code, dim""".stripMargin
+      s"""WITH $pqSqlCtes, sub AS (
+         |  SELECT c.m, c.code, i.i - 1 AS dim,
+         |    CAST(e.embedding[c.m * $PqSub + i.i] AS DOUBLE) AS v
+         |  FROM pq_codes c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id,
+         |    LATERAL unnest(generate_series(1, $PqSub)) AS i(i)
+         |)
+         |SELECT m, code, dim, round(avg(v), 6) AS mean_v,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM sub GROUP BY 1, 2, 3
+         |ORDER BY m, code, dim""".stripMargin
   )
 }

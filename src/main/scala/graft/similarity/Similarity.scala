@@ -35,7 +35,10 @@ object Similarity {
     call_function("vec_dot", a, b)
   }
 
-  private val NumQueries = 5
+  /** Package-visible so specs (ApproxBoundsSpec's PQ recall ground
+    * truth) derive their query set from the same constant instead of
+    * hardcoding a copy that silently drifts. */
+  private[graft] val NumQueries = 5
   private val NumPlanes = 4
   private val NumTables = 3
   private val TopK = 10
@@ -455,39 +458,15 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     "ss07_knn_pq" ->
-      s"""WITH cb AS (
-         |  SELECT e.vec_id AS cid, m.m AS m, e.embedding AS cemb
-         |  FROM embeddings e,
-         |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-         |  WHERE e.vec_id < 4
-         |), dists AS (
-         |  SELECT e.vec_id, m.m AS m, cb.cid,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(generate_series(1, 8),
-         |        i -> (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
-         |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)) *
-         |             (CAST(e.embedding[m.m * 8 + i] AS DOUBLE) -
-         |              CAST(cb.cemb[m.m * 8 + i] AS DOUBLE)))),
-         |      (a, x) -> a + x) AS d2
-         |  FROM embeddings e,
-         |    LATERAL unnest(generate_series(0, 7)) AS m(m)
-         |  JOIN cb ON cb.m = m.m
-         |), codes AS (
-         |  SELECT vec_id AS neighbor_id, m, cid AS code FROM (
-         |    SELECT vec_id, m, cid,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |        ORDER BY d2, cid) AS rn
-         |    FROM dists)
-         |  WHERE rn = 1
-         |), lut AS (
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
          |  SELECT vec_id AS query_id, m, cid,
          |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
-         |  FROM dists WHERE vec_id < $NumQueries
+         |  FROM pq_dists WHERE vec_id < $NumQueries
          |), adc AS (
-         |  SELECT l.query_id, c.neighbor_id,
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
          |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
-         |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
-         |  WHERE c.neighbor_id <> l.query_id
+         |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+         |  WHERE c.vec_id <> l.query_id
          |  GROUP BY 1, 2
          |)
          |SELECT query_id, rank, neighbor_id, adc_u6 FROM (

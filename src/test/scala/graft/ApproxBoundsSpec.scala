@@ -65,7 +65,7 @@ class ApproxBoundsSpec extends AnyFunSuite {
     val e = Tables.embeddings(spark, d)
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast("double")).as("v"))
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(col("vec_id") < graft.similarity.Similarity.NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val d2 = aggregate(zip_with(col("qv"), col("v"),
       (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
