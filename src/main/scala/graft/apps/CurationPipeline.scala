@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   *   3. quality + language + repetition gate — heuristic score
   *      threshold, stopword-profile language allowlist, and the
   *      Gopher-style duplicate-bigram-fraction cap;
-  *   4. stats — per-stage survivor counts for audit.
+  *   4. content-stable split assignment + stats for audit;
+  *   5. embedding compression — PQ codes for the survivors, the
+  *      8-bytes-per-vector shape ss07's ADC search serves from.
   *
   * Everything is the same oracle-checked operator the query surface
-  * exposes (dd01/dd03/dd07/ta02/ta03/ta11) — this app only composes
-  * them.
+  * exposes (dd01/dd03/dd07/ta02/ta03/ta11/ta09/em03) — this app only
+  * composes them.
   * Each stage's survivors flow as (doc_id)-keyed frames; text payloads
   * are re-joined once at the end, so the wide column never rides
   * through the dedup shuffles (at 100 TB the payload stays in parquet
@@ -28,7 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  final case class Result(curated: DataFrame, stats: DataFrame)
+  final case class Result(curated: DataFrame, stats: DataFrame,
+      compressed: DataFrame)
 
   def run(spark: SparkSession, dir: String,
           minQuality: Double = 0.3,
@@ -79,14 +82,30 @@ object CurationPipeline {
     val nFinal = curated.count()
     docs.unpersist(false)
 
+    // 5. embedding compression for the survivors: PQ codes (the
+    // oracle-checked em03 assignment) pivoted to one row per vector —
+    // 8 one-byte codes instead of 256 bytes of floats ride to the ANN
+    // index (ss07 serves directly off this shape). m-sorted before the
+    // pivot so the code order is positional, not shuffle-dependent.
+    val compressed = curated.select("doc_id")
+      .join(TextAnalysis.pqAssign(spark, dir)
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("m"), col("code")))).as("mc"))
+        .select(col("vec_id").as("doc_id"),
+          transform(col("mc"), x => x.getField("code").cast("byte"))
+            .as("pq_codes")),
+        Seq("doc_id"))
+    val nCompressed = compressed.count()
+
     import spark.implicits._
     val stats = Seq(
       ("input", total),
       ("after_exact_dedup", nExact),
       ("after_near_dedup", nNear),
-      ("after_quality_lang_gate", nFinal))
+      ("after_quality_lang_gate", nFinal),
+      ("compressed_embeddings", nCompressed))
       .toDF("stage", "n_docs")
-    Result(curated, stats)
+    Result(curated, stats, compressed)
   }
 
   /** CLI: runMain graft.apps.CurationPipeline <sfDir> <outDir> */
@@ -101,6 +120,7 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
+    r.compressed.write.mode("overwrite").parquet(s"$outDir/pq_codes")
     r.stats.coalesce(1).write.mode("overwrite")
       .json(s"$outDir/stats")
     r.stats.show(false)

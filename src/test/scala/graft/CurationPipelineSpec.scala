@@ -56,6 +56,30 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(again.curated.count() == result.curated.count())
   }
 
+  test("PQ compression covers survivors with positional 8-code arrays") {
+    val comp = result.compressed.cache()
+    // one code row per survivor that has an embedding (id spaces align
+    // in the synthetic tables), never more than the curated set
+    assert(comp.count() > 0 && comp.count() <= result.curated.count())
+    assert(comp.groupBy("doc_id").count().filter(col("count") > 1)
+      .count() == 0)
+    // every array is the full M=8 subspace codes, each in [0, k)
+    assert(comp.filter(size(col("pq_codes")) =!=
+      graft.operators.TextAnalysis.PqM).count() == 0)
+    assert(comp.filter(exists(col("pq_codes"),
+      c => c < 0 || c >= graft.operators.TextAnalysis.PqK)).count() == 0)
+    // positional: element m must equal em03's code for subspace m
+    val flat = comp.select(col("doc_id"),
+      posexplode(col("pq_codes")))
+      .withColumnsRenamed(Map("pos" -> "m", "col" -> "code_arr"))
+    val em03 = graft.operators.TextAnalysis.pqAssign(spark, d)
+      .select(col("vec_id").as("doc_id"), col("m"),
+        col("code").cast("byte").as("code_ref"))
+    assert(flat.join(em03, Seq("doc_id", "m"))
+      .filter(col("code_arr") =!= col("code_ref")).count() == 0)
+    comp.unpersist(false)
+  }
+
   test("split assignment is content-stable and covers every survivor") {
     val c = result.curated
     assert(c.filter(!col("split").isin("train", "valid", "test"))
