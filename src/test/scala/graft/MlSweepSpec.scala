@@ -49,6 +49,19 @@ class MlSweepSpec extends AnyFunSuite {
     assert(secs < 1200.0, s"sweep took $secs s — runtime sanity bound")
   }
 
+  test("kmeansCostSweep covers the reference's 30..160-by-10 range too " +
+      "(opt-in: GRAFT_SLOW=1)") {
+    // the reference's SECOND production range (`SVMDT.scala:240-247`)
+    assume(sys.env.contains("GRAFT_SLOW"), "set GRAFT_SLOW=1 to run")
+    val ks = (30 to 160 by 10).toSeq
+    val got = graft.ml.MlPipeline
+      .kmeansCostSweep(spark, "/root/testdata/sf0.01", ks)
+      .collect()
+    assert(got.map(_.getInt(0)).toSeq == ks)
+    got.foreach(r => assert(r.getDouble(1) >= 0.0))
+    assert(got.last.getDouble(1) <= got.head.getDouble(1))
+  }
+
   test("BinaryClassificationEvaluator AUC equals the oracle-checked closed form") {
     // ties L7's production route (the evaluator used by ml03/ml04) to
     // ml15's rank-statistic formula, which the DuckDB oracle verifies
