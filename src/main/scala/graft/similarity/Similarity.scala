@@ -40,6 +40,8 @@ object Similarity {
     * hardcoding a copy that silently drifts. */
   private[graft] val NumQueries = 5
   private val NumPlanes = 4
+  private val IvfCents = 8
+  private val IvfProbe = 2
   private val NumTables = 3
   private val TopK = 10
 
@@ -69,6 +71,52 @@ object Similarity {
           * expr("shiftleft(1L, cast(plane_id AS INT))")).as("bit"))
       .groupBy("vec_id", "table_id")
       .agg(sum("bit").as("bucket"))
+  }
+
+  /** IVF coarse-quantizer layout shared by ss03 and ss08:
+    * (assigned, probes) = (every vector's cell, each query's nprobe
+    * nearest cells). One broadcast cross join + map-side-combined
+    * argmax per vector; probes are a tiny broadcastable table. */
+  private def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+    val cents = e.filter(col("vec_id") < IvfCents)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+        col("nrm").as("cn"))
+    val centScores = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(
+        dot(s, col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
+    val assigned = centScores
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"))
+    val probeW = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val probes = centScores.filter(col("vec_id") < NumQueries)
+      .withColumn("rk", row_number().over(probeW))
+      .filter(col("rk") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    (assigned, probes)
+  }
+
+  /** Per-query PQ lookup table (query_id, m, cid, ld2_u6): subspace
+    * distances to every codebook centroid, quantized to integer
+    * micro-units (order-independent cross-subspace sums). Shared by
+    * ss07 and ss08. */
+  private def pqLut(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TextAnalysis._
+    embeddings(s, d).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("qe"))
+      .select(col("query_id"), col("m"),
+        slice(col("qe"), col("m") * PqSub + 1, lit(PqSub)).as("qsub"))
+      .join(pqCodebook(s, d), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        // floor(x*1e6 + .5), not round(): identical double op in both
+        // engines at the .5 boundary (em02's trick)
+        floor(pqDist2(col("qsub"), col("center")) * 1e6 + 0.5)
+          .cast("long").as("ld2_u6"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -130,30 +178,14 @@ object Similarity {
     // the table written partitioned by cell, a probe reads 2
     // partitions (see BucketLayoutSpec for the pruning proof).
     "ss03_knn_ivf" -> ((s, d) => {
-      val NumCents = 8
-      val NProbe = 2
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
-      val cents = e.filter(col("vec_id") < NumCents)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
-          col("nrm").as("cn"))
-      val centScores = e.crossJoin(broadcast(cents))
-        .withColumn("cos_c", round(
-          dot(s, col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
       // nearest centroid per vector: lexicographic max of
       // (cos, -cent_id) — partial aggregation collapses the 8
       // candidate rows map-side, so the shuffle carries one row/vector
-      val assigned = centScores
-        .groupBy("vec_id")
-        .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("best"))
-        .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"))
-        .join(e, Seq("vec_id"))
-      val probeW = Window.partitionBy("vec_id")
-        .orderBy(col("cos_c").desc, col("cent_id").asc)
-      val probes = centScores.filter(col("vec_id") < NumQueries)
-        .withColumn("rk", row_number().over(probeW))
-        .filter(col("rk") <= NProbe)
-        .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+      // (see ivfCells)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val (assigned0, probes) = ivfCells(s, d)
+      val assigned = assigned0.join(e, Seq("vec_id"))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           col("nrm").as("qn"))
@@ -216,23 +248,9 @@ object Similarity {
     // 100 TB this is the ANN shape that fits the index in executor
     // memory: 8 bytes/vector beside 256 bytes/vector of floats.
     "ss07_knn_pq" -> ((s, d) => {
-      import graft.operators.TextAnalysis
-      val codes = TextAnalysis.pqAssign(s, d)
+      val codes = graft.operators.TextAnalysis.pqAssign(s, d)
         .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
-      val qsubs = embeddings(s, d).filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"),
-          explode(sequence(lit(0), lit(TextAnalysis.PqM - 1))).as("m"),
-          col("embedding").as("qe"))
-        .select(col("query_id"), col("m"),
-          slice(col("qe"), col("m") * TextAnalysis.PqSub + 1,
-            lit(TextAnalysis.PqSub)).as("qsub"))
-      val lut = qsubs
-        .join(TextAnalysis.pqCodebook(s, d), Seq("m"))
-        .select(col("query_id"), col("m"), col("cid"),
-          // floor(x*1e6 + .5), not round(): identical double op in
-          // both engines at the .5 boundary (em02's trick)
-          floor(TextAnalysis.pqDist2(col("qsub"), col("center")) * 1e6
-            + 0.5).cast("long").as("ld2_u6"))
+      val lut = pqLut(s, d)
       val scored = codes
         .join(broadcast(lut),
           codes("m") === lut("m") && codes("code") === lut("cid"))
@@ -244,6 +262,40 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select("query_id", "rank", "neighbor_id", "adc_u6")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ss08: IVF-PQ — THE production ANN composition (coarse quantizer
+    // prunes the search to nprobe cells, PQ codes replace vectors for
+    // the distance math): candidates = members of the query's nprobe
+    // nearest cells (ss03's layout), scored by ADC over em03's codes
+    // (ss07's math). At 100 TB the index is cells × 8-byte codes —
+    // both the candidate generation (cell equi-join against a
+    // broadcast probe list) and the scoring (broadcast LUT hits +
+    // integer sums) touch nothing vector-sized after the one-time
+    // assignment pass.
+    "ss08_knn_ivfpq" -> ((s, d) => {
+      val (assigned, probes) = ivfCells(s, d)
+      val cand = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell"))
+      val codes = graft.operators.TextAnalysis.pqAssign(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      val lut = pqLut(s, d)
+        .select(col("query_id").as("lq"), col("m").as("lm"),
+          col("cid"), col("ld2_u6"))
+      val scored = cand.join(codes, Seq("neighbor_id"))
+        .join(broadcast(lut),
+          col("query_id") === col("lq") && col("m") === col("lm") &&
+            col("code") === col("cid"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cell", "adc_u6")
         .orderBy("query_id", "rank")
     }),
 
@@ -297,6 +349,32 @@ object Similarity {
   )
 
   private def dotSql(x: String, y: String) = dotProductSql(x, y)
+
+  /** Shared IVF oracle CTEs (`ivf_cents` → `ivf_scores` →
+    * `ivf_assigned` / `ivf_probes`), interpolating IvfCents/IvfProbe/
+    * NumQueries — consumed by ss03 and ss08 so the cell geometry can
+    * never drift between them. A def (not val) so map-initialization
+    * order can't capture null. */
+  private def ivfSqlCtes: String =
+    s"""ivf_cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+       |  WHERE vec_id < $IvfCents
+       |), ivf_scores AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ${cosSql("e.embedding", "c.cent")} AS cos_c
+       |  FROM embeddings e CROSS JOIN ivf_cents c
+       |), ivf_assigned AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
+       |    FROM ivf_scores) WHERE rk = 1
+       |), ivf_probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |    SELECT vec_id, cent_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
+       |    FROM ivf_scores WHERE vec_id < $NumQueries)
+       |  WHERE rk <= $IvfProbe
+       |)""".stripMargin
 
   private def cosSql(x: String, y: String) =
     s"round(${dotSql(x, y)} / (sqrt(${dotSql(x, x)}) * sqrt(${dotSql(y, y)})), 6)"
@@ -424,36 +502,46 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     "ss03_knn_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-         |  WHERE vec_id < 8
-         |), cent_scores AS (
-         |  SELECT e.vec_id, c.cent_id,
-         |    ${cosSql("e.embedding", "c.cent")} AS cos_c
-         |  FROM embeddings e CROSS JOIN cents c
-         |), assigned AS (
-         |  SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT vec_id, cent_id, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
-         |    FROM cent_scores) WHERE rk = 1
-         |), probes AS (
-         |  SELECT vec_id AS query_id, cent_id AS cell FROM (
-         |    SELECT vec_id, cent_id, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC) AS rk
-         |    FROM cent_scores WHERE vec_id < $NumQueries) WHERE rk <= 2
-         |), ranked AS (
+      s"""WITH $ivfSqlCtes, ranked AS (
          |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
          |    ${cosSql("q.embedding", "n.embedding")} AS cos,
          |    row_number() OVER (PARTITION BY p.query_id
          |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC,
          |        a.vec_id ASC) AS rank
-         |  FROM probes p
-         |  JOIN assigned a USING (cell)
+         |  FROM ivf_probes p
+         |  JOIN ivf_assigned a USING (cell)
          |  JOIN embeddings q ON q.vec_id = p.query_id
          |  JOIN embeddings n ON n.vec_id = a.vec_id
          |  WHERE a.vec_id <> p.query_id
          |)
          |SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss08_knn_ivfpq" ->
+      s"""WITH $ivfSqlCtes,
+         |${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
+         |  SELECT vec_id AS query_id, m, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+         |  FROM pq_dists WHERE vec_id < $NumQueries
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+         |  FROM ivf_probes p JOIN ivf_assigned a USING (cell)
+         |  WHERE a.vec_id <> p.query_id
+         |), adc AS (
+         |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
+         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+         |  FROM cand cd
+         |  JOIN pq_codes c ON c.vec_id = cd.neighbor_id
+         |  JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m
+         |    AND l.cid = c.code
+         |  GROUP BY 1, 2, 3
+         |)
+         |SELECT query_id, rank, neighbor_id, cell, adc_u6 FROM (
+         |  SELECT query_id, neighbor_id, cell, adc_u6,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_u6, neighbor_id) AS rank
+         |  FROM adc)
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
