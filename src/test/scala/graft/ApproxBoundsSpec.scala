@@ -84,4 +84,19 @@ class ApproxBoundsSpec extends AnyFunSuite {
     // sits just below so any assignment/LUT regression trips it
     assert(recall >= 0.19, f"PQ ADC recall@10 = $recall%.2f < 0.19")
   }
+
+  test("ss08 IVF-PQ agrees with ss07 on every shared pair") {
+    // the cell pruning must change WHICH pairs are scored, never the
+    // ADC value of a pair — identical integer distances wherever both
+    // top-k lists contain the same (query, neighbor)
+    val pq = SparkEntry.queries("ss07_knn_pq")(spark, d)
+      .select(col("query_id"), col("neighbor_id"), col("adc_u6"))
+    val ivfpq = SparkEntry.queries("ss08_knn_ivfpq")(spark, d)
+      .select(col("query_id"), col("neighbor_id"),
+        col("adc_u6").as("adc_pruned"))
+    val joined = ivfpq.join(pq, Seq("query_id", "neighbor_id"), "inner")
+    assert(joined.count() > 0, "expected overlap between the two top-k lists")
+    assert(joined.filter(col("adc_u6") =!= col("adc_pruned")).count() == 0,
+      "ADC distance diverged between ss07 and ss08 on a shared pair")
+  }
 }
