@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   *     (band, band-key) pairs — never compares all pairs;
   *   - SimHash is per-row bit arithmetic (zero shuffle);
   *   - exact Jaccard is the verify step you run on LSH candidates; the
-  *     all-pairs form here is deliberately bounded to a sampled subset
-  *     (`doc_id % 5 = 0`) because an unrestricted all-pairs join can
-  *     never scale — at 100 TB you'd only ever run it per-bucket.
+  *     all-pairs form here is deliberately bounded to a FIXED-SIZE
+  *     deterministic sample (hash-ordered top-[[SampleN]]) because an
+  *     unrestricted all-pairs join can never scale — at 100 TB you'd
+  *     only ever run it per-bucket. Fixed SIZE, not fixed rate: a
+  *     `% k` sample grows with the corpus and its pair count grows
+  *     quadratically; a top-N sample caps the pair work at N²/2
+  *     forever, and the only corpus-dependent cost is the one-pass
+  *     hash-ordered top-N scan (per-partition top-N + a K-row merge,
+  *     no shuffle of the corpus).
   *
   * Hashing is content-defined via md5 (identical in Spark and DuckDB)
   * reduced to fixed-width hex prefixes, so every value below is
@@ -29,6 +35,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1
+
+  /** Fixed SAMPLE SIZE for the calibration/recall-reference queries
+    * (dd05/dd06): a deterministic hash-ordered top-N, so the all-pairs
+    * verify math is exercised on ≤ N²/2 pairs REGARDLESS of corpus
+    * size. (A fixed-RATE sample like `id % 5 = 0` grows linearly with
+    * the corpus and its pair count quadratically — fine at one SF,
+    * quadratic death at 100×.) */
+  private[graft] val SampleN = 500
+
+  /** Deterministic fixed-size sample: hash-ordered top-N over the id.
+    * Plans as per-partition TakeOrdered + an N-row merge — one scan,
+    * no corpus shuffle — and the SQL oracle reproduces it with
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT N`. The id
+    * tie-break is unreachable (distinct ids hash distinctly) but keeps
+    * the ordering total by construction. */
+  private[graft] def hashSample(df: DataFrame, idCol: String): DataFrame =
+    df.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(SampleN)
 
   /** Fused native dot product (bit-identical to Funcs.dotProduct —
     * see VecDot); register() is idempotent per session. */
@@ -290,10 +313,13 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // dd05: exact word-bigram Jaccard on a sampled subset — the
-    // verify-stage of near-dup detection (run per-LSH-bucket at scale).
+    // dd05: exact word-bigram Jaccard on a FIXED-SIZE sampled subset —
+    // the verify-stage of near-dup detection (run per-LSH-bucket at
+    // scale). Cost bound is corpus-independent: ≤ SampleN²/2 pairs no
+    // matter how big the corpus grows; only the hash-ordered top-N
+    // scan sees the full table, once.
     "dd05_ngram_jaccard" -> ((s, d) => {
-      val sub = documents(s, d).filter(col("doc_id") % 5 === 0)
+      val sub = hashSample(documents(s, d), "doc_id")
       // materialize the exploded bigram set once — it feeds three
       // consumers (sizes + both join sides), and Spark would otherwise
       // re-tokenize and re-explode the corpus for each (on a cluster:
@@ -493,13 +519,15 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // dd06: embedding-cosine near-dup pairs on a sampled subset
-    // (in-order double fold → bit-identical to the oracle).
+    // dd06: embedding-cosine near-dup pairs on a FIXED-SIZE sampled
+    // subset (in-order double fold → bit-identical to the oracle).
+    // Same corpus-independent ≤ SampleN²/2 pair bound as dd05; the
+    // unsampled production path is dd08's bucketed equi-join.
     "dd06_embedding_dup" -> ((s, d) => {
       // norms are precomputed per vector, not per pair — sqrt(dot(v,v))
       // is a pure function of v, so the rounded cosine is unchanged
       // while the pair join does 1 fold instead of 3
-      val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      val sub = hashSample(embeddings(s, d), "vec_id")
         .select(col("vec_id"), col("embedding"),
           sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -578,9 +606,10 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin,
 
     "dd05_ngram_jaccard" ->
-      """WITH sub AS (
+      s"""WITH sub AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        |  FROM documents WHERE doc_id % 5 = 0
+        |  FROM (SELECT doc_id, text FROM documents
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $SampleN)
         |), sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    generate_series(1, greatest(len(toks) - 1, 1)),
@@ -811,7 +840,8 @@ object Dedup {
 
     "dd06_embedding_dup" ->
       s"""WITH sub AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SampleN
          |), pairs AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(${dotSql("a.embedding", "b.embedding")} /

@@ -319,16 +319,20 @@ object Similarity {
         .orderBy("query_id")
     }),
 
-    // ss06: pairwise-cosine HISTOGRAM over a vector sample — the
-    // threshold-calibration query: before committing a dedup cutoff
+    // ss06: pairwise-cosine HISTOGRAM over a FIXED-SIZE vector sample —
+    // the threshold-calibration query: before committing a dedup cutoff
     // (dd08's 0.2) or an ANN radius corpus-wide, look at the actual
     // similarity distribution on a sample and place the threshold in
-    // the valley. 20 bins over [-1,1]; per-bin mean is derived
-    // sum/count with the sum in DECIMAL (the rounded cosines have ≤6
-    // decimals, so decimal accumulation is exact and order-free —
-    // a double sum would vary with partitioning).
+    // the valley. The sample is a deterministic hash-ordered top-N
+    // (Dedup.hashSample), so the pair join below is bounded at N²/2
+    // REGARDLESS of corpus size — a fixed-rate `% k` sample would grow
+    // the pair count quadratically at 100×. 20 bins over [-1,1];
+    // per-bin mean is derived sum/count with the sum in DECIMAL (the
+    // rounded cosines have ≤6 decimals, so decimal accumulation is
+    // exact and order-free — a double sum would vary with
+    // partitioning).
     "ss06_cos_histogram" -> ((s, d) => {
-      val sub = embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      val sub = graft.dedup.Dedup.hashSample(embeddings(s, d), "vec_id")
         .select(col("vec_id"), col("embedding"),
           sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -429,7 +433,9 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "ss06_cos_histogram" ->
       s"""WITH sub AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${graft.dedup.Dedup.SampleN}
          |), pairs AS (
          |  SELECT round(${dotSql("a.embedding", "b.embedding")} /
          |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *

@@ -121,6 +121,32 @@ class PlanSpec extends AnyFunSuite {
       s"PQ search must stay an equi-join:\n$p")
   }
 
+  test("dd05/dd06/ss06 bound the calibration sample BEFORE the pair join") {
+    // the 100×-scale claim: the all-pairs calibration queries sample a
+    // fixed SIZE (hash-ordered top-N, planned as TakeOrderedAndProject
+    // — per-partition top-N + an N-row merge, no corpus sort), and the
+    // limit sits below the pair join, so pair work is ≤ N²/2 no matter
+    // the corpus size. dd05 checkpoints the sampled+exploded side, so
+    // assert on its pre-checkpoint plan; dd06/ss06 keep the sample
+    // inline in the executed plan.
+    for (q <- Seq("dd06_embedding_dup", "ss06_cos_histogram")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected the fixed-size hash-ordered sample:\n$p")
+      val joinIdx = p.linesIterator.indexWhere(l =>
+        l.contains("Join") || l.contains("CartesianProduct"))
+      val takeIdx = p.linesIterator.indexWhere(
+        _.contains("TakeOrderedAndProject"))
+      assert(joinIdx >= 0 && takeIdx > joinIdx,
+        s"$q: the top-N sample must sit BELOW the pair join:\n$p")
+    }
+    val dd05Sample = graft.dedup.Dedup.hashSample(
+      graft.Tables.documents(spark, d), "doc_id")
+    val p = dd05Sample.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"dd05 sample: expected TakeOrderedAndProject:\n$p")
+  }
+
   test("q01 aggregate is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstFinal = p.indexOf("HashAggregate")
