@@ -24,7 +24,7 @@ object JsonLines {
     * (`mode("overwrite")` replaces the tree atomically-enough for this
     * single-writer harness). A fresh `createTempDirectory` per
     * invocation leaked one full corpus copy per verify/bench run. */
-  private def stagingDir(format: String): String = {
+  private[graft] def stagingDir(format: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_io", format)
     java.nio.file.Files.createDirectories(p.getParent)

@@ -40,8 +40,8 @@ object Similarity {
     * hardcoding a copy that silently drifts. */
   private[graft] val NumQueries = 5
   private val NumPlanes = 4
-  private val IvfCents = 8
-  private val IvfProbe = 2
+  private[graft] val IvfCents = 8
+  private[graft] val IvfProbe = 2
   private val NumTables = 3
   private val TopK = 10
 
@@ -117,6 +117,35 @@ object Similarity {
         // engines at the .5 boundary (em02's trick)
         floor(pqDist2(col("qsub"), col("center")) * 1e6 + 0.5)
           .cast("long").as("ld2_u6"))
+  }
+
+  /** ss09's build and serve halves, shared with BucketLayoutSpec:
+    * WRITE em03's PQ codes partitioned by their IVF cell (the one-time
+    * index build — io03's hive-layout pattern applied to the ANN
+    * index), then return the PRUNED read of only the probe list's
+    * cells (the serve path), plus the probe table and the probed cell
+    * ids. The pruning is directory-level (PartitionFilters): a probe
+    * reads nprobe/IvfCents of the index files, which at 100 TB is the
+    * difference between touching the whole code table and touching
+    * only the cells the coarse quantizer selected. The probe-cell
+    * collect is queries × nprobe rows by construction — the tiny
+    * driver-side artifact every serving layer materializes to turn a
+    * probe set into partition predicates. */
+  private[graft] def pqCellIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[Long]) = {
+    val (assigned, probes) = ivfCells(s, d)
+    val out = graft.io.JsonLines.stagingDir("pq_by_cell")
+    graft.operators.TextAnalysis.pqAssign(s, d)
+      .select(col("vec_id"), col("m"), col("code"))
+      .join(assigned, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val idx = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, m INT, code LONG, cell LONG"))
+      .parquet(out)
+      .filter(col("cell").isin(cells: _*))
+    (idx, probes, cells)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,6 +315,39 @@ object Similarity {
         .select(col("query_id").as("lq"), col("m").as("lm"),
           col("cid"), col("ld2_u6"))
       val scored = cand.join(codes, Seq("neighbor_id"))
+        .join(broadcast(lut),
+          col("query_id") === col("lq") && col("m") === col("lm") &&
+            col("code") === col("cid"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cell", "adc_u6")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ss09: the SERVED IVF-PQ — the missing last step of the 100 TB
+    // index story, as a driver-checked query: the PQ code table is
+    // MATERIALIZED partitioned by IVF cell (index build), and the
+    // probe is answered by READING BACK only its nprobe cell
+    // partitions (directory-level PartitionFilters — BucketLayoutSpec
+    // asserts the pruned read touches exactly the probed cells), then
+    // scored with ss07's ADC math. Output and oracle are identical to
+    // ss08, which computes the same geometry inline — a hash match
+    // proves the build→serve round trip through the layout loses
+    // nothing.
+    "ss09_knn_ivfpq_served" -> ((s, d) => {
+      val (idx, probes, _) = pqCellIndex(s, d)
+      val cand = idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("m"), col("code"))
+      val lut = pqLut(s, d)
+        .select(col("query_id").as("lq"), col("m").as("lm"),
+          col("cid"), col("ld2_u6"))
+      val scored = cand
         .join(broadcast(lut),
           col("query_id") === col("lq") && col("m") === col("lm") &&
             col("code") === col("cid"))
@@ -524,7 +586,36 @@ object Similarity {
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
-    "ss08_knn_ivfpq" ->
+    "ss07_knn_pq" ->
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
+         |  SELECT vec_id AS query_id, m, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+         |  FROM pq_dists WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+         |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, rank, neighbor_id, adc_u6 FROM (
+         |  SELECT query_id, neighbor_id, adc_u6,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_u6, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // ss09 serves the SAME answer as ss08 through the materialized
+    // cell-partitioned layout, so they share one oracle text — any
+    // divergence between inline geometry and the served layout is a
+    // hash mismatch on one of the two.
+    "ss09_knn_ivfpq_served" -> ivfPqServeSql,
+    "ss08_knn_ivfpq" -> ivfPqServeSql
+  )
+
+  /** ss08's oracle SQL, shared verbatim with ss09 (see the map). */
+  private def ivfPqServeSql: String =
       s"""WITH $ivfSqlCtes,
          |${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
          |  SELECT vec_id AS query_id, m, cid,
@@ -549,26 +640,5 @@ object Similarity {
          |      ORDER BY adc_u6, neighbor_id) AS rank
          |  FROM adc)
          |WHERE rank <= $TopK
-         |ORDER BY query_id, rank""".stripMargin,
-
-    "ss07_knn_pq" ->
-      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
-         |  SELECT vec_id AS query_id, m, cid,
-         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
-         |  FROM pq_dists WHERE vec_id < $NumQueries
-         |), adc AS (
-         |  SELECT l.query_id, c.vec_id AS neighbor_id,
-         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
-         |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
-         |  WHERE c.vec_id <> l.query_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT query_id, rank, neighbor_id, adc_u6 FROM (
-         |  SELECT query_id, neighbor_id, adc_u6,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_u6, neighbor_id) AS rank
-         |  FROM adc)
-         |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
-  )
 }

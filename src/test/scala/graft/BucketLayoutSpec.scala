@@ -31,4 +31,37 @@ class BucketLayoutSpec extends AnyFunSuite {
     val pruned = back.count()
     assert(pruned > 0 && pruned < total / 8)
   }
+
+  test("ss09 probe read touches ONLY the probed cell partitions") {
+    val d = "/root/testdata/sf0.001"
+    val (idx, probes, cells) = similarity.Similarity.pqCellIndex(spark, d)
+    // the serve-side read prunes at the directory level, not post-scan
+    assert(idx.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"))
+    // "number of partitions read" — the scan's driver-side metric,
+    // populated when partition pruning selects the directories
+    // (DataFrame.inputFiles would list the WHOLE relation, filters
+    // ignored — it cannot prove pruning)
+    def partitionsRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numPartitions").value
+      }.getOrElse(fail("no file scan in plan"))
+    }
+    assert(partitionsRead(idx) == cells.size,
+      s"ss09's read must touch exactly the ${cells.size} probed cells")
+    // a SINGLE query's serve reads exactly its nprobe cells — a strict
+    // subset of the written index (the union over 5 queries above may
+    // legitimately cover most cells)
+    val q0 = probes.filter(col("query_id") === 0)
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(q0.size == similarity.Similarity.IvfProbe)
+    assert(q0.size < similarity.Similarity.IvfCents)
+    val one = spark.read.parquet(
+        graft.io.JsonLines.stagingDir("pq_by_cell"))
+      .filter(col("cell").isin(q0.toSeq: _*))
+    assert(partitionsRead(one) == q0.size,
+      s"single-query serve must read exactly ${q0.size} partitions")
+  }
 }
