@@ -148,6 +148,27 @@ object Similarity {
     (idx, probes, cells)
   }
 
+  /** recall@k of `approxName`'s neighbor list against the brute-force
+    * ground truth (ss01), per query — one shape for every approximate
+    * index (ss04 = LSH, ss10 = PQ/ADC, ss11 = IVF-PQ). Left join so a
+    * query whose approximate list is short still reports its k. */
+  private def recallOf(approxName: String)(
+      s: SparkSession, d: String): DataFrame = {
+    val truth = queries("ss01_knn_brute")(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = queries(approxName)(s, d)
+      .select(col("query_id"), col("neighbor_id").as("a_neighbor"))
+    truth.join(approx,
+        truth("query_id") === approx("query_id") &&
+          col("neighbor_id") === col("a_neighbor"), "left")
+      .groupBy(truth("query_id").as("query_id"))
+      .agg(count(lit(1)).as("k"),
+        count(col("a_neighbor")).as("n_found"))
+      .withColumn("recall_at_k",
+        round(col("n_found").cast("double") / col("k"), 6))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ss01: brute-force cosine top-k — exact baseline. Norms are
     // precomputed per vector (pure function of the vector → identical
@@ -365,21 +386,16 @@ object Similarity {
     // against the brute-force ground truth (ss01), per query. The
     // standard accept/reject metric for any approximate index: both
     // sides are the library's own oracle-checked queries, composed.
-    "ss04_lsh_recall" -> ((s, d) => {
-      val truth = queries("ss01_knn_brute")(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-      val approx = queries("ss02_knn_lsh")(s, d)
-        .select(col("query_id"), col("neighbor_id").as("a_neighbor"))
-      truth.join(approx,
-          truth("query_id") === approx("query_id") &&
-            col("neighbor_id") === col("a_neighbor"), "left")
-        .groupBy(truth("query_id").as("query_id"))
-        .agg(count(lit(1)).as("k"),
-          count(col("a_neighbor")).as("n_found"))
-        .withColumn("recall_at_k",
-          round(col("n_found").cast("double") / col("k"), 6))
-        .orderBy("query_id")
-    }),
+    "ss04_lsh_recall" -> (recallOf("ss02_knn_lsh") _),
+
+    // ss10/ss11: the same recall gate applied to the PQ serving stack —
+    // ADC alone (ss07: compression loss only) and IVF-PQ (ss08:
+    // compression + nprobe pruning loss). Driver-checked per round, so
+    // a codebook/geometry regression surfaces as a recall diff here,
+    // not only as a spec floor (ApproxBoundsSpec pins the floor; these
+    // make the measured value part of the oracle-checked surface).
+    "ss10_pq_recall" -> (recallOf("ss07_knn_pq") _),
+    "ss11_ivfpq_recall" -> (recallOf("ss08_knn_ivfpq") _),
 
     // ss06: pairwise-cosine HISTOGRAM over a FIXED-SIZE vector sample —
     // the threshold-calibration query: before committing a dedup cutoff
@@ -587,22 +603,8 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     "ss07_knn_pq" ->
-      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
-         |  SELECT vec_id AS query_id, m, cid,
-         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
-         |  FROM pq_dists WHERE vec_id < $NumQueries
-         |), adc AS (
-         |  SELECT l.query_id, c.vec_id AS neighbor_id,
-         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
-         |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
-         |  WHERE c.vec_id <> l.query_id
-         |  GROUP BY 1, 2
-         |)
-         |SELECT query_id, rank, neighbor_id, adc_u6 FROM (
-         |  SELECT query_id, neighbor_id, adc_u6,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_u6, neighbor_id) AS rank
-         |  FROM adc)
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, $pqAdcRankedSql
+         |SELECT query_id, rank, neighbor_id, adc_u6 FROM pq_ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
@@ -611,34 +613,95 @@ object Similarity {
     // divergence between inline geometry and the served layout is a
     // hash mismatch on one of the two.
     "ss09_knn_ivfpq_served" -> ivfPqServeSql,
-    "ss08_knn_ivfpq" -> ivfPqServeSql
+    "ss08_knn_ivfpq" -> ivfPqServeSql,
+
+    // ss10/ss11 recall oracles compose the SAME ranked fragments as
+    // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's
+    // bf_ranked ground truth — one geometry text, three gates.
+    "ss10_pq_recall" ->
+      s"""WITH $bruteRankedCte,
+         |${graft.operators.TextAnalysis.pqSqlCtes}, $pqAdcRankedSql,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= $TopK
+         |), approx AS (
+         |  SELECT query_id, neighbor_id FROM pq_ranked WHERE rank <= $TopK
+         |)
+         |$recallSelectSql""".stripMargin,
+
+    "ss11_ivfpq_recall" ->
+      s"""WITH $bruteRankedCte, $ivfSqlCtes,
+         |${graft.operators.TextAnalysis.pqSqlCtes}, $ivfPqAdcRankedSql,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= $TopK
+         |), approx AS (
+         |  SELECT query_id, neighbor_id FROM ivfpq_ranked WHERE rank <= $TopK
+         |)
+         |$recallSelectSql""".stripMargin
   )
+
+  /** The per-query-id recall aggregation shared by ss04/ss10/ss11
+    * (expects `truth` and `approx` CTEs of (query_id, neighbor_id)). */
+  private def recallSelectSql: String =
+    """SELECT t.query_id, count(*) AS k, count(a.neighbor_id) AS n_found,
+      |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+      |    AS recall_at_k
+      |FROM truth t LEFT JOIN approx a
+      |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |GROUP BY t.query_id
+      |ORDER BY t.query_id""".stripMargin
+
+  /** lut → adc → pq_ranked: the ADC scoring fragments of the ss07
+    * oracle, shared with ss10's recall oracle. Expects pqSqlCtes. */
+  private def pqAdcRankedSql: String =
+    s"""lut AS (
+       |  SELECT vec_id AS query_id, m, cid,
+       |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+       |  FROM pq_dists WHERE vec_id < $NumQueries
+       |), adc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+       |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |), pq_ranked AS (
+       |  SELECT query_id, neighbor_id, adc_u6,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_u6, neighbor_id) AS rank
+       |  FROM adc
+       |)""".stripMargin
+
+  /** lut → cand → adc → ivfpq_ranked: the cell-pruned ADC fragments of
+    * the ss08/ss09 oracle, shared with ss11's recall oracle. Expects
+    * ivfSqlCtes + pqSqlCtes. */
+  private def ivfPqAdcRankedSql: String =
+    s"""lut AS (
+       |  SELECT vec_id AS query_id, m, cid,
+       |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+       |  FROM pq_dists WHERE vec_id < $NumQueries
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
+       |  FROM ivf_probes p JOIN ivf_assigned a USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |), adc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
+       |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+       |  FROM cand cd
+       |  JOIN pq_codes c ON c.vec_id = cd.neighbor_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m
+       |    AND l.cid = c.code
+       |  GROUP BY 1, 2, 3
+       |), ivfpq_ranked AS (
+       |  SELECT query_id, neighbor_id, cell, adc_u6,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_u6, neighbor_id) AS rank
+       |  FROM adc
+       |)""".stripMargin
 
   /** ss08's oracle SQL, shared verbatim with ss09 (see the map). */
   private def ivfPqServeSql: String =
       s"""WITH $ivfSqlCtes,
-         |${graft.operators.TextAnalysis.pqSqlCtes}, lut AS (
-         |  SELECT vec_id AS query_id, m, cid,
-         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
-         |  FROM pq_dists WHERE vec_id < $NumQueries
-         |), cand AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell
-         |  FROM ivf_probes p JOIN ivf_assigned a USING (cell)
-         |  WHERE a.vec_id <> p.query_id
-         |), adc AS (
-         |  SELECT cd.query_id, cd.neighbor_id, cd.cell,
-         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
-         |  FROM cand cd
-         |  JOIN pq_codes c ON c.vec_id = cd.neighbor_id
-         |  JOIN lut l ON l.query_id = cd.query_id AND l.m = c.m
-         |    AND l.cid = c.code
-         |  GROUP BY 1, 2, 3
-         |)
-         |SELECT query_id, rank, neighbor_id, cell, adc_u6 FROM (
-         |  SELECT query_id, neighbor_id, cell, adc_u6,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_u6, neighbor_id) AS rank
-         |  FROM adc)
+         |${graft.operators.TextAnalysis.pqSqlCtes}, $ivfPqAdcRankedSql
+         |SELECT query_id, rank, neighbor_id, cell, adc_u6 FROM ivfpq_ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
 }

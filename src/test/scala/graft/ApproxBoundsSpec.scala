@@ -79,11 +79,20 @@ class ApproxBoundsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id")
     val hits = pq.intersect(exact).count()
     val recall = hits.toDouble / exact.count()
-    // deterministic data + fixed codebook → a fixed number (measured
-    // 0.20 at sf0.001: 50 vectors, k=4 coarse codebook); the floor
-    // sits just below so any assignment/LUT regression trips it
-    assert(recall >= 0.19, f"PQ ADC recall@10 = $recall%.2f < 0.19")
+    // deterministic data + fixed codebook → an EXACT per-fixture
+    // number, pinned in FIXTURES.md §"Measured per-fixture constants"
+    // (update BOTH on regeneration). Exact equality, not a floor: a
+    // floor just under the measurement goes vacuous the moment the
+    // fixture shifts, and stays silent if quality silently improves
+    // for the wrong reason (e.g. the pruning stopped pruning).
+    assert(recall == PqRecallAt10Sf0001,
+      f"PQ ADC recall@10 = $recall%.2f, expected $PqRecallAt10Sf0001 " +
+        "(fixture changed? update FIXTURES.md's measured constant)")
   }
+
+  /** Measured on /root/testdata/sf0.001 (see FIXTURES.md §"Measured
+    * per-fixture constants"): 5 queries × top-10, 10/50 ADC hits. */
+  private val PqRecallAt10Sf0001 = 0.20
 
   test("ss08 IVF-PQ agrees with ss07 on every shared pair") {
     // the cell pruning must change WHICH pairs are scored, never the
