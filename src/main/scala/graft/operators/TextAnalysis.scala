@@ -401,6 +401,46 @@ object TextAnalysis {
         .agg(round(avg("v"), 6).as("mean_v"),
           count(lit(1)).as("n_members"))
         .orderBy("m", "code", "dim")
+    }),
+
+    // em05: ITERATED PQ training — the production codebook loop em03+
+    // em04 take one step of, unrolled to PqTrainSteps Lloyd iterations
+    // (assign → recenter, twice) so the whole run stays SQL-expressible
+    // as chained CTEs and the FINAL codebook is hash-exact. Engine-
+    // exactness across iterations (where em04's rounded avg() would
+    // compound): member coordinates are quantized to integer micro-
+    // units BEFORE summing — integer sums are order-free across
+    // partitions — and each center is ONE double division at the end.
+    // Scale shape per step: the assignment shuffle carries one row per
+    // (vector, subspace); the recenter shuffle carries (m, code, dim)
+    // cells — 256 rows regardless of corpus size; lineage is truncated
+    // between steps (the CC loop's lesson).
+    "em05_pq_train" -> ((s, d) => {
+      val (cb, _) = pqTrain(s, d)
+      cb.select(col("m"), col("cid").as("code"), col("n_members"),
+          posexplode(col("center")))
+        .withColumnsRenamed(Map("pos" -> "dim", "col" -> "c"))
+        .select(col("m"), col("code"), col("dim"),
+          floor(col("c") * 1e6 + 0.5).cast("long").as("c_u6"),
+          col("n_members"))
+        .orderBy("m", "code", "dim")
+    }),
+
+    // em06: the training CURVE of em05 under the same hash gate —
+    // total quantization SSE (integer micro-units, order-free sum)
+    // after each assignment pass. ApproxBoundsSpec asserts the Lloyd
+    // guarantee (non-increasing within quantization slack); the driver
+    // hash pins the exact values so a silent convergence regression
+    // shows up as a diff, not a vibe.
+    "em06_pq_train_sse" -> ((s, d) => {
+      val (_, asgs) = pqTrain(s, d)
+      asgs.zipWithIndex.map { case (a, i) =>
+        a.select(lit(i).as("step"),
+          floor(col("d2") * 1e6 + 0.5).cast("long").as("d2_u6"))
+      }.reduce(_ union _)
+        .groupBy("step")
+        .agg(sum("d2_u6").as("sse_u6"))
+        .orderBy("step")
     })
   )
 
@@ -447,6 +487,93 @@ object TextAnalysis {
         col("best.d2").as("d2"))
   }
 
+  /** Unrolled Lloyd iterations for em05/em06: assign → recenter,
+    * [[PqTrainSteps]] times. Fixed and unrolled (not convergence-
+    * looped) so the whole run is SQL-expressible as chained CTEs and
+    * therefore hash-exact under the DuckDB gate; the CC loop
+    * (`dedup/Dedup.scala`) is the convergence-loop pattern a
+    * production run would swap in. */
+  val PqTrainSteps = 2
+
+  /** (vec_id, m, subv: array<double>) — the training view: each
+    * vector sliced to its M subvectors, cast to double once. */
+  private def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("emb"))
+      .select(col("vec_id"), col("m"),
+        transform(slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)),
+          x => x.cast("double")).as("subv"))
+
+  /** One assignment pass against an arbitrary codebook (m, cid,
+    * center: array<double>): argmin via min(struct) with cid
+    * tie-break, in-order L2 fold — pqAssign generalized beyond the
+    * seed codebook. */
+  private def pqAssignTo(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        aggregate(zip_with(col("subv"), col("center"),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (a, e) => a + e).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"),
+        col("best.d2").as("d2"))
+
+  /** One recenter pass: each (m, code) center := the exact mean of
+    * its members' micro-unit-quantized coordinates. Integer sums are
+    * order-free across partitions, and the mean is ONE double
+    * division at the end — so iterating stays engine-exact, where
+    * chaining em04's rounded avg() would compound float-fold drift.
+    * Codes that lost every member keep their previous center (left
+    * join + coalesce) — the standard empty-cluster fallback, and
+    * expressible identically in the SQL oracle. */
+  private def pqRecenter(subs: DataFrame, asg: DataFrame,
+      cbPrev: DataFrame): DataFrame = {
+    val cells = subs
+      .join(asg.select("vec_id", "m", "code"), Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("subv")))
+      .withColumnsRenamed(Map("pos" -> "dim", "col" -> "v"))
+      .select(col("m"), col("code"), col("dim"),
+        floor(col("v") * 1e6 + 0.5).cast("long").as("v_u6"))
+      .groupBy("m", "code", "dim")
+      .agg(sum("v_u6").as("sum_u6"), count(lit(1)).as("n"))
+    val means = cells
+      .groupBy("m", "code")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("sum_u6"), col("n")))),
+          x => x.getField("sum_u6").cast("double") /
+            (x.getField("n") * lit(1e6))).as("center"),
+        min("n").as("n_members"))
+    cbPrev.select(col("m"), col("cid"), col("center").as("prev_center"))
+      .join(means.select(col("m"), col("code").as("cid"),
+        col("center"), col("n_members")), Seq("m", "cid"), "left")
+      .select(col("m"), col("cid"),
+        coalesce(col("center"), col("prev_center")).as("center"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
+  /** The unrolled training loop: returns (final codebook with
+    * n_members, the PqTrainSteps+1 assignment passes — one per SSE
+    * point). Lineage is localCheckpoint-truncated between steps: the
+    * loop otherwise embeds the previous step's plan into the next
+    * (the 2^rounds blowup the CC loop documents). */
+  private[graft] def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val subs = pqSubvectors(s, d).localCheckpoint()
+    var cb = pqCodebook(s, d).select(col("m"), col("cid"),
+      transform(col("center"), x => x.cast("double")).as("center"))
+    val asgs = Seq.newBuilder[DataFrame]
+    for (_ <- 0 until PqTrainSteps) {
+      val asg = pqAssignTo(subs, cb).localCheckpoint()
+      asgs += asg
+      cb = pqRecenter(subs, asg, cb).localCheckpoint()
+    }
+    asgs += pqAssignTo(subs, cb).localCheckpoint() // final SSE pass
+    (cb, asgs.result())
+  }
+
   private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
@@ -482,6 +609,71 @@ object TextAnalysis {
        |    FROM pq_dists)
        |  WHERE rn = 1
        |)""".stripMargin
+
+  /** Chained-CTE oracle of the unrolled em05/em06 training loop:
+    * pt_subs + cb0, then per step t: dist{t}/asg{t} (assignment) and
+    * cells{t+1}/cb{t+1} (recenter), ending with the final SSE
+    * assignment dist{T}/asg{T}. Mirrors pqSubvectors/pqAssignTo/
+    * pqRecenter term for term — in-order L2 folds, micro-unit integer
+    * sums, one double division per center, left-join empty-cluster
+    * fallback. */
+  private def pqTrainSqlCtes: String = {
+    def step(t: Int) =
+      s"""dist$t AS (
+         |  SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSub),
+         |        i -> (s.subv[i] - c.center[i]) *
+         |             (s.subv[i] - c.center[i]))),
+         |      (a, x) -> a + x) AS d2
+         |  FROM pt_subs s JOIN cb$t c ON c.m = s.m
+         |), asg$t AS (
+         |  SELECT vec_id, m, cid AS code, d2 FROM (
+         |    SELECT vec_id, m, cid, d2, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+         |    FROM dist$t)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def recenter(t: Int) =
+      s"""cells${t + 1} AS (
+         |  SELECT s.m, a.code, i.i AS dim,
+         |    CAST(sum(CAST(floor(s.subv[i.i] * 1000000 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sum_u6,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pt_subs s
+         |  JOIN asg$t a ON a.vec_id = s.vec_id AND a.m = s.m,
+         |    LATERAL unnest(generate_series(1, $PqSub)) AS i(i)
+         |  GROUP BY 1, 2, 3
+         |), cb${t + 1} AS (
+         |  SELECT c0.m, c0.cid,
+         |    COALESCE(mn.center, c0.center) AS center,
+         |    CAST(COALESCE(mn.n_members, 0) AS BIGINT) AS n_members
+         |  FROM cb$t c0 LEFT JOIN (
+         |    SELECT m, code AS cid,
+         |      list(CAST(sum_u6 AS DOUBLE) / (n * 1000000.0)
+         |        ORDER BY dim) AS center,
+         |      CAST(min(n) AS BIGINT) AS n_members
+         |    FROM cells${t + 1} GROUP BY m, code) mn
+         |    ON mn.m = c0.m AND mn.cid = c0.cid
+         |)""".stripMargin
+    val chain = (0 until PqTrainSteps)
+      .map(t => s"${step(t)}, ${recenter(t)}")
+      .mkString(", ") + s", ${step(PqTrainSteps)}"
+    s"""pt_subs AS (
+       |  SELECT e.vec_id, m.m AS m,
+       |    list_transform(generate_series(1, $PqSub),
+       |      i -> CAST(e.embedding[m.m * $PqSub + i] AS DOUBLE)) AS subv
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+       |), cb0 AS (
+       |  SELECT m.m AS m, e.vec_id AS cid,
+       |    list_transform(generate_series(1, $PqSub),
+       |      i -> CAST(e.embedding[m.m * $PqSub + i] AS DOUBLE)) AS center
+       |  FROM embeddings e,
+       |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+       |  WHERE e.vec_id < $PqK
+       |), $chain""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ta01_token_stats" ->
@@ -707,6 +899,26 @@ object TextAnalysis {
          |SELECT m, code, dim, round(avg(v), 6) AS mean_v,
          |  CAST(count(*) AS BIGINT) AS n_members
          |FROM sub GROUP BY 1, 2, 3
-         |ORDER BY m, code, dim""".stripMargin
+         |ORDER BY m, code, dim""".stripMargin,
+
+    "em05_pq_train" ->
+      s"""WITH $pqTrainSqlCtes
+         |SELECT m, cid AS code, i.i - 1 AS dim,
+         |  CAST(floor(center[i.i] * 1000000 + 0.5) AS BIGINT) AS c_u6,
+         |  n_members
+         |FROM cb$PqTrainSteps,
+         |  LATERAL unnest(generate_series(1, $PqSub)) AS i(i)
+         |ORDER BY m, code, dim""".stripMargin,
+
+    "em06_pq_train_sse" ->
+      s"""WITH $pqTrainSqlCtes
+         |SELECT step, CAST(sse_u6 AS BIGINT) AS sse_u6 FROM (
+         |${(0 to PqTrainSteps).map(t =>
+              s"""  SELECT $t AS step,
+                 |    sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT)) AS sse_u6
+                 |  FROM asg$t""".stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)
+         |ORDER BY step""".stripMargin
   )
 }

@@ -94,6 +94,24 @@ class ApproxBoundsSpec extends AnyFunSuite {
     * per-fixture constants"): 5 queries × top-10, 10/50 ADC hits. */
   private val PqRecallAt10Sf0001 = 0.20
 
+  test("em06 PQ training SSE is non-increasing across Lloyd steps") {
+    val sse = SparkEntry.queries("em06_pq_train_sse")(spark, d)
+      .orderBy("step").collect().map(_.getLong(1))
+    assert(sse.length == graft.operators.TextAnalysis.PqTrainSteps + 1)
+    // slack: each SSE point is a sum of floor-quantized micro-unit
+    // terms (±0.5/term) and centers are means of micro-quantized
+    // coordinates (≤ 0.5e-6 shift/dim) — both effects bounded by one
+    // u6 unit per (vector, subspace) term
+    val nTerms = Tables.embeddings(spark, d).count() *
+      graft.operators.TextAnalysis.PqM
+    for (t <- 0 until sse.length - 1)
+      assert(sse(t + 1) <= sse(t) + nTerms,
+        s"SSE increased at step ${t + 1}: ${sse.mkString(", ")}")
+    // the first recenter from the 4-point seed codebook must strictly
+    // improve — a no-op step means the recenter isn't feeding back
+    assert(sse(1) < sse(0), s"step 1 did not improve: ${sse.mkString(", ")}")
+  }
+
   test("ss08 IVF-PQ agrees with ss07 on every shared pair") {
     // the cell pruning must change WHICH pairs are scored, never the
     // ADC value of a pair — identical integer distances wherever both
