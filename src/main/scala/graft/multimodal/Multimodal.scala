@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   * malformation). The oracle reproduces the GENERATOR arithmetic in
   * SQL, so the hash gate proves the encode→decode round trip is
   * byte-correct, not just that two copies of the same stub agree.
-  * mm03/mm05 remain code-point batch-shape stand-ins for frame
-  * sampling / ASR chunking (one-record→many generators).
+  * mm06 runs the same real-codec pattern for AUDIO: a deterministic
+  * generator renders each document as a genuine RIFF/WAVE file (RIFF
+  * header, fmt chunk, an unknown LIST chunk the parser must skip,
+  * 16-bit PCM data chunk), a real parser validates and decodes it,
+  * and frame windows are sampled from the DECODED PCM — the
+  * frame-sampling shape over a real container. mm03/mm05 remain the
+  * code-point batch-shape stand-ins (one-record→many generators)
+  * whose production decoder would swap in exactly like mm06's.
   *
   * Scale: payloads never shuffle — all queries are per-row/partition
   * map work; at 100 TB the binary column rides in parquet and only
@@ -200,6 +206,188 @@ object Multimodal {
     }
   }
 
+  // ---- mm06: real RIFF/WAVE codec ----------------------------------
+
+  /** Deterministic PCM generator — the synthetic microphone: sample
+    * value of document `d`, frame `i`, channel `c` is
+    * `((d*37 + i*11 + c*5) % 65536) - 32768` (full int16 range). The
+    * SQL oracle recomputes exactly this. */
+  def sampleValue(docId: Long, frame: Int, ch: Int): Int =
+    (((docId * 37 + frame.toLong * 11 + ch.toLong * 5) % 65536) - 32768).toInt
+
+  /** WAV geometry for a document: sample rate and channel count from
+    * the id, frame count from the text's code-point length (all
+    * oracle-expressible). */
+  def wavGeometry(docId: Long, textCodePoints: Int): (Int, Int, Int) =
+    (8000 + 4000 * (docId % 3).toInt, // sample rate
+      1 + (docId % 2).toInt, // channels
+      16 + textCodePoints % 101) // frames
+
+  /** REAL RIFF/WAVE encoder: RIFF header, canonical 16-byte fmt chunk
+    * (PCM, 16-bit), an even-sized LIST chunk of junk bytes (so the
+    * parser's unknown-chunk skip is exercised on every payload), and
+    * the interleaved little-endian PCM data chunk. */
+  def encodeWav(docId: Long, sampleRate: Int, channels: Int,
+      nFrames: Int): Array[Byte] = {
+    val listSize = 2 * (docId % 5).toInt // even ⇒ no RIFF pad byte
+    val dataSize = nFrames * channels * 2
+    val riffSize = 4 + (8 + 16) + (8 + listSize) + (8 + dataSize)
+    val out = new Array[Byte](8 + riffSize)
+    var pos = 0
+    def putTag(tag: String): Unit = {
+      var i = 0
+      while (i < 4) { out(pos) = tag.charAt(i).toByte; pos += 1; i += 1 }
+    }
+    def putLE32(v: Long): Unit = {
+      out(pos) = (v & 0xFF).toByte
+      out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      out(pos + 2) = ((v >> 16) & 0xFF).toByte
+      out(pos + 3) = ((v >> 24) & 0xFF).toByte
+      pos += 4
+    }
+    def putLE16(v: Int): Unit = {
+      out(pos) = (v & 0xFF).toByte
+      out(pos + 1) = ((v >> 8) & 0xFF).toByte
+      pos += 2
+    }
+    putTag("RIFF"); putLE32(riffSize.toLong); putTag("WAVE")
+    putTag("fmt "); putLE32(16L)
+    putLE16(1) // PCM
+    putLE16(channels)
+    putLE32(sampleRate.toLong)
+    putLE32(sampleRate.toLong * channels * 2) // byte rate
+    putLE16(channels * 2) // block align
+    putLE16(16) // bits per sample
+    putTag("LIST"); putLE32(listSize.toLong)
+    var j = 0
+    while (j < listSize) {
+      out(pos) = ((docId + j) % 256).toByte; pos += 1; j += 1
+    }
+    putTag("data"); putLE32(dataSize.toLong)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < channels) {
+        putLE16(sampleValue(docId, i, c) & 0xFFFF)
+        c += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  final case class WavAudio(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, pcm: Array[Byte])
+
+  /** REAL RIFF/WAVE parser: validates the RIFF magic and declared
+    * size, requires a canonical PCM/16-bit fmt chunk BEFORE the data
+    * chunk, checks byte-rate/block-align consistency and exact data
+    * length, skips unknown chunks (with the RIFF odd-size pad rule),
+    * and throws loudly on any malformation — truncated or corrupt
+    * payloads never produce garbage features. */
+  def decodeWav(p: Array[Byte]): WavAudio = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"WAV decode: $msg")
+    def u16(off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long =
+      (p(off) & 0xFFL) | ((p(off + 1) & 0xFFL) << 8) |
+        ((p(off + 2) & 0xFFL) << 16) | ((p(off + 3) & 0xFFL) << 24)
+    def tag(off: Int): String =
+      new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (p.length < 12 || tag(0) != "RIFF") fail("bad magic (want RIFF)")
+    if (u32(4) != p.length - 8)
+      fail(s"RIFF size ${u32(4)} != payload ${p.length - 8}")
+    if (tag(8) != "WAVE") fail("bad form type (want WAVE)")
+    var pos = 12
+    var channels = 0
+    var sampleRate = 0
+    var blockAlign = 0
+    var pcm: Array[Byte] = null
+    while (pos + 8 <= p.length) {
+      val id = tag(pos)
+      val sizeL = u32(pos + 4)
+      pos += 8
+      if (sizeL > p.length - pos) fail(s"chunk $id overruns payload")
+      val size = sizeL.toInt
+      id match {
+        case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too short ($size)")
+          if (u16(pos) != 1) fail(s"unsupported audio format ${u16(pos)}")
+          channels = u16(pos + 2)
+          sampleRate = u32(pos + 4).toInt
+          blockAlign = u16(pos + 12)
+          if (channels <= 0 || sampleRate <= 0) fail("bad fmt geometry")
+          if (u16(pos + 14) != 16)
+            fail(s"unsupported bits/sample ${u16(pos + 14)} (want 16)")
+          if (blockAlign != channels * 2)
+            fail(s"block align $blockAlign != channels*2")
+          if (u32(pos + 8) != sampleRate.toLong * blockAlign)
+            fail("byte rate inconsistent with rate*blockAlign")
+        case "data" =>
+          if (blockAlign == 0) fail("data chunk before fmt")
+          if (size % blockAlign != 0)
+            fail(s"data size $size not frame-aligned ($blockAlign)")
+          pcm = java.util.Arrays.copyOfRange(p, pos, pos + size)
+        case _ => () // unknown chunk (LIST here): skip
+      }
+      pos += size + (size % 2) // RIFF chunks are word-aligned
+    }
+    if (pos != p.length) fail("trailing bytes after last chunk")
+    if (pcm == null) fail("missing data chunk")
+    WavAudio(sampleRate, channels, 16, pcm)
+  }
+
+  final case class AudioWindow(doc_id: Long, window_idx: Int,
+      sample_rate: Int, n_channels: Int, n_frames: Int, checksum: Long,
+      duration_us: Long)
+
+  private val WavWindowFrames = 32
+
+  /** mm06 worker: decode the container, then sample every 2nd
+    * 32-frame window from the DECODED PCM — per-window feature is the
+    * signed-sample checksum across channels; duration is derived from
+    * the decoded frame count and rate (integer µs, engine-exact). */
+  def sampleWavWindows(r: MediaRecord): Iterator[AudioWindow] = {
+    val wav = decodeWav(r.payload)
+    val blockAlign = wav.channels * 2
+    val totalFrames = wav.pcm.length / blockAlign
+    val durationUs = totalFrames.toLong * 1000000L / wav.sampleRate
+    val nWin = (totalFrames + WavWindowFrames - 1) / WavWindowFrames
+    Iterator.range(0, nWin).filter(_ % 2 == 0).map { w =>
+      val from = w * WavWindowFrames
+      val until = math.min(from + WavWindowFrames, totalFrames)
+      var sum = 0L
+      var i = from
+      while (i < until) {
+        var c = 0
+        while (c < wav.channels) {
+          val off = (i * wav.channels + c) * 2
+          sum += (wav.pcm(off + 1).toInt << 8) | (wav.pcm(off) & 0xFF)
+          c += 1
+        }
+        i += 1
+      }
+      AudioWindow(r.doc_id, w, wav.sampleRate, wav.channels,
+        until - from, sum, durationUs)
+    }
+  }
+
+  /** Synthetic audio table: (doc_id, payload) where payload is a real
+    * RIFF/WAVE file whose geometry derives from the document — the
+    * binary-column source mm06 decodes. */
+  def wavPayloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (rate, ch, frames) =
+          wavGeometry(id, text.codePointCount(0, text.length))
+        MediaRecord(id, encodeWav(id, rate, ch, frames))
+      }
+  }
+
   /** Synthetic media table: (doc_id, payload) where payload is a real
     * P6 image whose geometry derives from the document (width from
     * code-point length, height from id) — the binary-column source
@@ -272,6 +460,23 @@ object Multimodal {
         .mapPartitions(_.map(resizeHalf))
         .toDF()
         .orderBy("doc_id")
+    }),
+
+    // mm06: frame sampling over a REAL container — each document is
+    // rendered as a genuine RIFF/WAVE file (fmt + skipped LIST + PCM
+    // data chunks) and every feature below comes from the PARSED
+    // payload: rate/channels from the fmt chunk, duration from the
+    // decoded frame count, checksums from the decoded little-endian
+    // int16 samples. The oracle recomputes the PCM generator, so the
+    // hash match proves the container round trip byte-exact — the
+    // mm02 pattern applied to the one-record→many-windows audio
+    // shape. Payloads never shuffle; only window features flow.
+    "mm06_wav_frames" -> ((s, d) => {
+      import s.implicits._
+      wavPayloads(s, d)
+        .mapPartitions(_.flatMap(sampleWavWindows))
+        .toDF()
+        .orderBy("doc_id", "window_idx")
     })
   )
 
@@ -337,6 +542,41 @@ object Multimodal {
         |           % 256)),
         |    (a, b) -> a + b) AS checksum
         |FROM halved ORDER BY doc_id""".stripMargin,
+
+    // the mm06 oracle recomputes the PCM GENERATOR (not the codec):
+    // rate = 8000 + 4000*(id%3), channels = 1 + id%2, frames =
+    // 16 + len%101, sample(i,c) = ((id*37 + i*11 + c*5) % 65536) -
+    // 32768 — see sampleValue/wavGeometry
+    "mm06_wav_frames" ->
+      """WITH geom AS (
+        |  SELECT doc_id,
+        |    8000 + 4000 * (doc_id % 3) AS sample_rate,
+        |    1 + (doc_id % 2) AS n_channels,
+        |    16 + (length(text) % 101) AS total_frames
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, sample_rate, n_channels, total_frames,
+        |    w.w AS window_idx
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0,
+        |      (total_frames + 31) // 32 - 1)) AS w(w)
+        |  WHERE w.w % 2 = 0
+        |)
+        |SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(n_channels AS INT) AS n_channels,
+        |  CAST(least(total_frames - window_idx * 32, 32) AS INT)
+        |    AS n_frames,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(0,
+        |      least(total_frames - window_idx * 32, 32) * n_channels - 1),
+        |      k -> ((doc_id * 37
+        |             + (window_idx * 32 + k // n_channels) * 11
+        |             + (k % n_channels) * 5) % 65536) - 32768)),
+        |    (a, b) -> a + b) AS checksum,
+        |  (total_frames * 1000000) // sample_rate AS duration_us
+        |FROM wins
+        |ORDER BY doc_id, window_idx""".stripMargin,
 
     "mm02_decode_features" ->
       """WITH dims AS (

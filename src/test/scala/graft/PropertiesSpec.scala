@@ -182,6 +182,58 @@ class PropertiesSpec extends AnyFunSuite {
     assert(decodePpm(withComment).width == 3)
   }
 
+  test("WAV codec round-trips encode→decode for any geometry") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      rate <- Gen.oneOf(8000, 12000, 16000, 44100)
+      ch <- Gen.chooseNum(1, 4)
+      frames <- Gen.chooseNum(1, 300)
+    } yield (id, rate, ch, frames)
+    runProp(Prop.forAll(gen) { case (id, rate, ch, frames) =>
+      val wav = Multimodal.decodeWav(
+        Multimodal.encodeWav(id, rate, ch, frames))
+      wav.sampleRate == rate && wav.channels == ch &&
+        wav.bitsPerSample == 16 &&
+        wav.pcm.length == frames * ch * 2 &&
+        (0 until frames).forall { i =>
+          (0 until ch).forall { c =>
+            val off = (i * ch + c) * 2
+            val v = (wav.pcm(off + 1).toInt << 8) | (wav.pcm(off) & 0xFF)
+            v == Multimodal.sampleValue(id, i, c)
+          }
+        }
+    })
+  }
+
+  test("WAV decoder rejects malformed payloads loudly") {
+    import graft.multimodal.Multimodal._
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val good = encodeWav(7L, 8000, 2, 5)
+    def err(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](decodeWav(bytes)).getMessage
+    // bad magic / form type
+    assert(err("JUNKxxxxxxxx".getBytes(US_ASCII)).contains("magic"))
+    // truncation breaks the declared RIFF size (named error, not OOB)
+    assert(err(good.dropRight(1)).contains("RIFF size"))
+    assert(err(good :+ 0.toByte).contains("RIFF size"))
+    // corrupt the WAVE form tag in place
+    val badForm = good.clone(); badForm(8) = 'X'.toByte
+    assert(err(badForm).contains("form type"))
+    // non-PCM audio format (fmt chunk starts at byte 20)
+    val badFmt = good.clone(); badFmt(20) = 3.toByte
+    assert(err(badFmt).contains("audio format"))
+    // 8-bit samples are rejected (bits/sample at fmt offset +14)
+    val bad8 = good.clone(); bad8(34) = 8.toByte
+    assert(err(bad8).contains("bits/sample"))
+    // a data chunk with no preceding fmt must fail, not NPE: rewrite
+    // the fmt tag to an unknown chunk so only data remains
+    val noFmt = good.clone()
+    noFmt(12) = 'j'.toByte; noFmt(13) = 'u'.toByte
+    noFmt(14) = 'n'.toByte; noFmt(15) = 'k'.toByte
+    assert(err(noFmt).contains("before fmt"))
+  }
+
   test("resizeHalf equals a naive per-pixel reference") {
     import graft.multimodal.Multimodal
     val gen = for {
