@@ -33,10 +33,15 @@ object CurationPipeline {
   final case class Result(curated: DataFrame, stats: DataFrame,
       compressed: DataFrame)
 
+  /** @param checkpoint lineage-truncation strategy for the CC stage;
+    *   None (default) resolves `spark.graft.cc.checkpoint` from the
+    *   session conf (`local` | `reliable:<dir>`), so a cluster run
+    *   selects reliable checkpointing without code changes. */
   def run(spark: SparkSession, dir: String,
           minQuality: Double = 0.3,
           langs: Seq[String] = Seq("en", "de", "es"),
-          maxDupBigramFrac: Double = 0.2): Result = {
+          maxDupBigramFrac: Double = 0.2,
+          checkpoint: Option[Dedup.CheckpointStrategy] = None): Result = {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
 
@@ -57,7 +62,9 @@ object CurationPipeline {
     val pairs = Dedup.candidatePairs(spark, dir)
       .join(exactKeep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(exactKeep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-    val groups = Dedup.connectedComponents(pairs)
+    val groups = Dedup.connectedComponents(pairs,
+      checkpoint = checkpoint.getOrElse(
+        Dedup.CheckpointStrategy.fromConf(spark)))
     val nearDupLosers = groups.filter(col("doc_id") =!= col("group_id"))
       .select("doc_id")
     val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -87,6 +94,11 @@ object CurationPipeline {
     // 8 one-byte codes instead of 256 bytes of floats ride to the ANN
     // index (ss07 serves directly off this shape). m-sorted before the
     // pivot so the code order is positional, not shuffle-dependent.
+    // CONTRACT: the embeddings table's vec_id IS the documents table's
+    // doc_id (one embedding per document, same key space — TESTDATA's
+    // layout). The join is LEFT + loudly asserted below: if the id
+    // spaces ever diverge, the run fails with a count instead of
+    // silently shrinking the compressed set to the intersection.
     val compressed = curated.select("doc_id")
       .join(TextAnalysis.pqAssign(spark, dir)
         .groupBy("vec_id")
@@ -94,8 +106,17 @@ object CurationPipeline {
         .select(col("vec_id").as("doc_id"),
           transform(col("mc"), x => x.getField("code").cast("byte"))
             .as("pq_codes")),
-        Seq("doc_id"))
-    val nCompressed = compressed.count()
+        Seq("doc_id"), "left")
+    val cRow = compressed
+      .agg(count(lit(1)).as("n"),
+        count(when(col("pq_codes").isNull, 1)).as("n_missing"))
+      .head()
+    val (nCompressed, nMissing) = (cRow.getLong(0), cRow.getLong(1))
+    if (nMissing > 0)
+      throw new IllegalStateException(
+        s"$nMissing of $nCompressed curated documents have no embedding " +
+          "row — the doc_id==vec_id contract between documents and " +
+          "embeddings is broken")
 
     import spark.implicits._
     val stats = Seq(

@@ -185,6 +185,23 @@ object Dedup {
   object CheckpointStrategy {
     case object Local extends CheckpointStrategy
     final case class Reliable(dir: String) extends CheckpointStrategy
+
+    /** Session-level resolution: `spark.graft.cc.checkpoint` =
+      * `local` (default) | `reliable:<dir>`. Every CC-based query
+      * (dd07/dd13) and the curation pipeline route through this, so a
+      * cluster run selects reliable checkpointing with one conf — no
+      * code change. Unknown values fail loudly: a typo'd strategy
+      * silently running Local on a multi-hour job is exactly the
+      * failure mode the conf exists to prevent. */
+    def fromConf(s: SparkSession): CheckpointStrategy =
+      s.conf.get("spark.graft.cc.checkpoint", "local") match {
+        case "local" => Local
+        case r if r.startsWith("reliable:") && r.length > "reliable:".length =>
+          Reliable(r.substring("reliable:".length))
+        case other => throw new IllegalArgumentException(
+          "spark.graft.cc.checkpoint must be 'local' or " +
+            s"'reliable:<dir>', got '$other'")
+      }
   }
 
   /** Connected components over undirected (doc_a, doc_b) pairs →
@@ -218,6 +235,20 @@ object Dedup {
         df.unpersist(false)
         out
     }
+    // drops the block-manager storage behind a SUPERSEDED checkpointed
+    // frame: localCheckpoint blocks have truncated lineage, so they are
+    // non-evictable and would otherwise pile up one per round until the
+    // ContextCleaner GCs them — a driver looping CC over many inputs
+    // accumulates block-manager memory. Only safe on intermediates that
+    // nothing will read again (an unpersisted localCheckpoint CANNOT
+    // recompute); for Reliable the data lives in files and this merely
+    // drops a transient cached copy.
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
     // materialize the (often expensive) pair input ONCE before the
     // union doubles it: a lazy .cache() here lets the union's two
     // branches race — both can compute the pair-generation plan before
@@ -255,16 +286,19 @@ object Dedup {
           coalesce(col("p_group"), col("group_id")).as("group_id")))
       converged = jumped.filter(col("group_id") =!= col("old_group"))
         .isEmpty
+      // the previous round's labels checkpoint is fully superseded the
+      // moment jumped materialized (truncate is eager) — release its
+      // blocks now instead of letting rounds pile up in block-manager
+      // memory until GC
+      release(labels)
       labels = jumped.select("doc_id", "group_id")
     }
     edges.unpersist(false)
-    // NOTE: the localCheckpoint blocks (pairs + per-round labels) have
-    // no public unpersist — truncated lineage makes them non-evictable
-    // until the ContextCleaner GCs the dropped RDD references. That is
-    // bounded here (labels are keys-only and rounds are O(log d)), but
-    // a very long-lived driver looping CC over many inputs should
-    // prefer Reliable(dir), whose files live outside block-manager
-    // memory.
+    // pairs fed only edges (cached, and now dropped) and the RETURNED
+    // labels frame is itself a checkpoint, so the pair blocks are
+    // unreachable from any future computation — release them too. The
+    // final labels checkpoint is the return value and must stay.
+    release(pairs)
     if (!converged)
       // fail loudly: labels that are not the component minimum would
       // silently under-deduplicate everything downstream
@@ -456,7 +490,8 @@ object Dedup {
     // count on the round's already-materialized checkpoint, so it adds
     // no extra pass over the data.
     "dd07_dup_groups" -> ((s, d) =>
-      connectedComponents(candidatePairs(s, d)).orderBy("doc_id")),
+      connectedComponents(candidatePairs(s, d),
+        checkpoint = CheckpointStrategy.fromConf(s)).orderBy("doc_id")),
 
     // dd08: embedding near-dup at scale — the UNSAMPLED version of
     // dd06: candidate pairs come only from within a random-hyperplane
@@ -480,7 +515,8 @@ object Dedup {
       val pairs = embeddingDupPairs(s, d)
         .filter(col("cos") >= 0.35)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-      connectedComponents(pairs)
+      connectedComponents(pairs,
+          checkpoint = CheckpointStrategy.fromConf(s))
         .select(col("doc_id").as("vec_id"), col("group_id"))
         .orderBy("vec_id")
     }),

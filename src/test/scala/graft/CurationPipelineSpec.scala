@@ -56,6 +56,31 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(again.curated.count() == result.curated.count())
   }
 
+  test("reliable checkpointing is selectable via the session conf") {
+    // the cluster path: spark.graft.cc.checkpoint=reliable:<dir> must
+    // route the pipeline's CC stage through reliable checkpoints (file
+    // artifacts in the dir prove it ran) and change nothing about the
+    // answer
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_cc_ck_").toString
+    spark.conf.set("spark.graft.cc.checkpoint", s"reliable:$ckDir")
+    try {
+      val rel = CurationPipeline.run(spark, d)
+      assert(rel.curated.select("doc_id").exceptAll(
+        result.curated.select("doc_id")).count() == 0)
+      assert(rel.curated.count() == result.curated.count())
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable checkpoint wrote no files")
+    } finally spark.conf.unset("spark.graft.cc.checkpoint")
+    // and a typo'd strategy fails loudly instead of silently running
+    // Local on what the caller believed was a fault-tolerant run
+    spark.conf.set("spark.graft.cc.checkpoint", "reliabel:/x")
+    try intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.CheckpointStrategy.fromConf(spark)
+    } finally spark.conf.unset("spark.graft.cc.checkpoint")
+  }
+
   test("PQ compression covers survivors with positional 8-code arrays") {
     val comp = result.compressed.cache()
     // one code row per survivor that has an embedding (id spaces align
