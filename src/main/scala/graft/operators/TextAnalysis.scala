@@ -373,7 +373,10 @@ object TextAnalysis {
     "em03_pq_assign" -> ((s, d) =>
       pqAssign(s, d)
         .select(col("vec_id"), col("m"), col("code"),
-          round(col("d2"), 6).as("d2_6"))
+          // floor(x*1e6 + .5), not round(): round() is not engine-
+          // exact at the .5 double boundary (pqLut's trick) — a tie on
+          // future data would diverge Spark vs DuckDB
+          floor(col("d2") * 1e6 + 0.5).cast("long").as("d2_u6"))
         .orderBy("vec_id", "m"))
     ,
 
@@ -885,7 +888,8 @@ object TextAnalysis {
 
     "em03_pq_assign" ->
       s"""WITH $pqSqlCtes
-         |SELECT vec_id, m, code, round(d2, 6) AS d2_6
+         |SELECT vec_id, m, code,
+         |  CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2_u6
          |FROM pq_codes ORDER BY vec_id, m""".stripMargin,
 
     "em04_pq_recenter" ->
