@@ -11,6 +11,37 @@ import org.apache.spark.sql.SparkSession
   * expression work (fingerprints, cosines, minhashes) being measured.
   */
 object Bench {
+
+  /** The virus-pipeline end-to-end wall time (feature selection →
+    * best-of-10 k-means → report + all four file artifacts over the
+    * full reference corpus) as a bench entry, so the one headline
+    * workload outside the query surface gets a per-round series and
+    * stage-level regressions surface mechanically. Skipped when the
+    * corpus is absent or a query filter is active (a filtered perf
+    * probe shouldn't pay the ~30 s pipeline), and on failure it
+    * reports -1 rather than silently vanishing from the artifact. */
+  private def pipelineEntry(spark: org.apache.spark.sql.SparkSession,
+      only: Option[Set[String]]): Seq[(String, Double)] = {
+    val name = "pipeline_virus_e2e"
+    val logs = sys.env.getOrElse("SPARK_GRAFT_API_LOGS",
+      "/root/reference/api_logs")
+    if (only.isDefined || !new java.io.File(logs).isDirectory) return Nil
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_bench_pipeline").toString
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        val a = graft.apps.VirusPipeline.run(spark, logs)
+        graft.apps.VirusPipeline.writeArtifacts(a, out)
+        a.clusterReport.select("line").collect()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,7 +96,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    } ++ pipelineEntry(spark, only)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
