@@ -428,6 +428,46 @@ object MlPipeline {
               (col("np") * col("nn")).cast("double"), 6)).as("auc"))
     }),
 
+    // ml16: the PRECISION-RECALL CURVE over ml12's scores — ml13 is
+    // one operating point, ml15 is the rank summary; this is the curve
+    // a threshold actually gets chosen from. Same bounded-aggregate
+    // trick as ml15: scores bucket to ≤ 1,000,001 (score_6) rows
+    // first, then the 9 candidate thresholds (k/10, k = 1..9) join
+    // against THAT — the per-threshold confusion counts are sums over
+    // the bucket table, so the corpus is scanned once regardless of
+    // how many thresholds the sweep wants. Integer counts + one exact
+    // division per metric (ml13's engine-exact forms, NULL on
+    // degenerate denominators).
+    "ml16_pr_curve" -> ((s, d) => {
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("score_6"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("is_pos"))
+      val byScore = scored.join(truth, "vec_id")
+        .groupBy("score_6")
+        .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("is_pos"), 0L).otherwise(1L)).as("n_neg"))
+      val thr = s.range(1, 10).select(col("id").cast("int").as("thr_10"))
+      // t = k/10 as one double division — identical bits on both
+      // engines (a 0.1-step literal would tempt decimal/double drift)
+      val t = col("thr_10").cast("double") / lit(10.0)
+      byScore.crossJoin(broadcast(thr))
+        .groupBy("thr_10")
+        .agg(
+          sum(when(col("score_6") >= t, col("n_pos")).otherwise(0L)).as("tp"),
+          sum(when(col("score_6") >= t, col("n_neg")).otherwise(0L)).as("fp"),
+          sum(when(col("score_6") < t, col("n_pos")).otherwise(0L)).as("fn"))
+        .select(col("thr_10"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0, lit(null)).otherwise(
+            col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+          when(col("tp") + col("fn") === 0, lit(null)).otherwise(
+            col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"),
+          when(col("tp") * 2 + col("fp") + col("fn") === 0, lit(null))
+            .otherwise((col("tp") * 2).cast("double") /
+              (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+        .orderBy("thr_10")
+    }),
+
     // ml12: logistic scoring against a fixed weight vector (serving-
     // time inference for L5's model family, closed-form like ml11):
     // margin = w·x (in-order fold), score = sigmoid(margin). The
@@ -582,6 +622,41 @@ object MlPipeline {
          |SELECT vec_id, round(margin, 6) AS margin_6,
          |  round(1.0 / (1.0 + exp(-margin)), 6) AS score_6,
          |  margin > 0.0 AS predicted
-         |FROM m ORDER BY vec_id""".stripMargin
+         |FROM m ORDER BY vec_id""".stripMargin,
+
+    "ml16_pr_curve" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    round(1.0 / (1.0 + exp(-(
+         |      ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |    ))), 6) AS score_6,
+         |    e.label % 2 = 1 AS is_pos
+         |  FROM embeddings e CROSS JOIN w
+         |), g AS (
+         |  SELECT score_6,
+         |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+         |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
+         |  FROM m GROUP BY score_6
+         |), c AS (
+         |  SELECT k.k AS thr_10,
+         |    CAST(sum(CASE WHEN score_6 >= CAST(k.k AS DOUBLE) / 10.0
+         |      THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score_6 >= CAST(k.k AS DOUBLE) / 10.0
+         |      THEN n_neg ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score_6 < CAST(k.k AS DOUBLE) / 10.0
+         |      THEN n_pos ELSE 0 END) AS BIGINT) AS fn
+         |  FROM g CROSS JOIN (
+         |    SELECT unnest(generate_series(1, 9)) AS k) k
+         |  GROUP BY 1)
+         |SELECT thr_10, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |       ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+         |FROM c ORDER BY thr_10""".stripMargin
   )
 }

@@ -312,6 +312,42 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta15: BIGRAM language-model scoring — ta14's unigram filter
+    // upgraded to context-conditional probabilities with add-one
+    // (Laplace) smoothing: logp(w1 w2) = ln(c(w1,w2)+1) − ln(c(w1)+V).
+    // Catches fluent-nonsense docs whose unigrams look normal but
+    // whose transitions are improbable. Scale shape: corpus pass 1 is
+    // one hash aggregate to bigram counts + one to context counts
+    // (both vocabulary-sized); the scoring pass joins the stream
+    // against the bigram-prob table keyed by bigram — a plain equi-
+    // join, NOT broadcast, because a 100 TB corpus's bigram vocab can
+    // exceed executor memory (the unigram table of ta14 broadcasts;
+    // this one shuffles vocab-sized keys, never documents).
+    "ta15_bigram_logprob" -> ((s, d) => {
+      val bgs = documents(s, d)
+        .select(col("doc_id"),
+          explode(wordBigrams(tokens(col("text")))).as("bg"))
+      val counts = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
+      val ctx = bgs
+        .select(substring_index(col("bg"), " ", 1).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("cw"))
+      val vocab = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .agg(countDistinct("token").as("v"))
+      val probs = counts
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(ctx, "w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("bg"),
+          (log((col("c") + 1).cast("double")) -
+            log((col("cw") + col("v")).cast("double"))).as("logp"))
+      bgs.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // em01: per-dimension embedding statistics — columnar vector
     // analytics (mean/min/max per dimension), rounded.
     "em01_dim_stats" -> ((s, d) =>
@@ -885,6 +921,34 @@ object TextAnalysis {
         |      i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))),
         |    (a, e) -> a + e) / len(v), 9) AS mse_9
         |FROM qq ORDER BY vec_id""".stripMargin,
+
+    "ta15_bigram_logprob" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), bgs AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(toks) - 1, 1)),
+         |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS bg
+         |  FROM base
+         |), counts AS (
+         |  SELECT bg, count(*) AS c FROM bgs GROUP BY bg
+         |), ctx AS (
+         |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cw
+         |  FROM bgs GROUP BY 1
+         |), vocab AS (
+         |  SELECT count(DISTINCT token) AS v FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents)
+         |), probs AS (
+         |  SELECT counts.bg,
+         |    ln(CAST(counts.c + 1 AS DOUBLE)) -
+         |      ln(CAST(ctx.cw + (SELECT v FROM vocab) AS DOUBLE)) AS logp
+         |  FROM counts
+         |  JOIN ctx ON ctx.w1 = split_part(counts.bg, ' ', 1)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(logp), 6) AS avg_logp
+         |FROM bgs JOIN probs USING (bg)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "em03_pq_assign" ->
       s"""WITH $pqSqlCtes

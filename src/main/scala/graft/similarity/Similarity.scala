@@ -382,6 +382,33 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss12: RANGE search (radius query) — the other standard ANN
+    // operation beside top-k: every neighbor within cosine ≥ 0.2 of
+    // the query, found through the SAME IVF pruning as ss03/ss08 (the
+    // probe list bounds the candidates to nprobe cells before any
+    // distance math; result size is data-dependent by definition, so
+    // there is no rank window at all — just the pruned scan + filter).
+    // At 100 TB this is dedup-by-radius / near-duplicate expansion
+    // around a seed set, served off the same cell layout as ss09.
+    "ss12_range_search" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val (assigned0, probes) = ivfCells(s, d)
+      val assigned = assigned0.join(e, Seq("vec_id"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .filter(col("cos") >= 0.2)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("cos"))
+        .orderBy("query_id", "neighbor_id")
+    }),
+
     // ss04: ANN quality evaluation — recall@k of the LSH path (ss02)
     // against the brute-force ground truth (ss01), per query. The
     // standard accept/reject metric for any approximate index: both
@@ -614,6 +641,18 @@ object Similarity {
     // hash mismatch on one of the two.
     "ss09_knn_ivfpq_served" -> ivfPqServeSql,
     "ss08_knn_ivfpq" -> ivfPqServeSql,
+
+    "ss12_range_search" ->
+      s"""WITH $ivfSqlCtes
+         |SELECT p.query_id, a.vec_id AS neighbor_id, a.cell,
+         |  ${cosSql("q.embedding", "n.embedding")} AS cos
+         |FROM ivf_probes p
+         |JOIN ivf_assigned a USING (cell)
+         |JOIN embeddings q ON q.vec_id = p.query_id
+         |JOIN embeddings n ON n.vec_id = a.vec_id
+         |WHERE a.vec_id <> p.query_id
+         |  AND ${cosSql("q.embedding", "n.embedding")} >= 0.2
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's

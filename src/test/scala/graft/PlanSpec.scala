@@ -147,6 +147,35 @@ class PlanSpec extends AnyFunSuite {
       s"dd05 sample: expected TakeOrderedAndProject:\n$p")
   }
 
+  test("ss09/ss12 serve paths broadcast the probe side, no nested loops") {
+    for (q <- Seq("ss09_knn_ivfpq_served", "ss12_range_search")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: expected the probe/LUT side as a broadcast equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: serving must never plan a cartesian:\n$p")
+      // the ONLY tolerated nested-loop is the deliberate broadcast
+      // CROSS of every vector against the tiny centroid set (ivfCells'
+      // 8-row build side — ss01/ss03's documented shape); anything
+      // else (e.g. a non-equi pair join) is a plan regression
+      val nlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(nlj.forall(_.contains("Cross")),
+        s"$q: non-cross nested loop crept in:\n$p")
+    }
+  }
+
+  test("ml16 thresholds sweep the score-bucketed aggregate, not raw rows") {
+    // the ml15 boundedness argument extended: the 9-threshold cross
+    // join must sit above the groupBy(score_6) aggregate — sweeping
+    // thresholds over raw scores would rescan the corpus per threshold
+    val p = plan("ml16_pr_curve")
+    val joinIdx = p.linesIterator.indexWhere(_.contains("Join"))
+    val aggIdx = p.linesIterator.indexWhere(_.contains("keys=[score_6"))
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      s"the score-bucket aggregate must feed the threshold join:\n$p")
+  }
+
   test("q01 aggregate is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstFinal = p.indexOf("HashAggregate")
