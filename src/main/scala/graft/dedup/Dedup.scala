@@ -555,6 +555,30 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // dd14: MinHash sketch MERGE — the algebraic property that makes
+    // MinHash a distributed sketch: the signature of a UNION of
+    // shingle sets is the elementwise MIN of the members' signatures.
+    // Spark computes collection-level (per-source) sketches by merging
+    // the per-document signatures; the ORACLE computes them from the
+    // definition (min over the union's hashes) — so the hash gate
+    // PROVES the merge law end-to-end, not that two copies of the same
+    // shortcut agree. At 100 TB this is how sketches maintain: shards
+    // sketch locally, combiners elementwise-min, and collection-level
+    // similarity/containment runs on 16 longs per collection without
+    // ever revisiting text (partial aggregation does the merging
+    // map-side — the shuffle carries one signature per source per
+    // partition).
+    "dd14_sketch_merge" -> ((s, d) => {
+      val sigs = withSigBank(s, d)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      sigs.join(src, "doc_id")
+        .select(col("source"), posexplode(col("sig_")))
+        .withColumnsRenamed(Map("pos" -> "j", "col" -> "mh"))
+        .groupBy("source", "j")
+        .agg(min("mh").as("minhash"))
+        .orderBy("source", "j")
+    }),
+
     // dd06: embedding-cosine near-dup pairs on a FIXED-SIZE sampled
     // subset (in-order double fold → bit-identical to the oracle).
     // Same corpus-independent ≤ SampleN²/2 pair bound as dd05; the
@@ -665,6 +689,19 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE), 6) >= 0.06
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // computes the per-source sketch FROM THE DEFINITION (min over the
+    // union's shingle hashes) — Spark merges per-doc sketches instead,
+    // so a hash match proves the merge law
+    "dd14_sketch_merge" ->
+      s"""WITH $sigCte
+         |SELECT d.source, p.j,
+         |  min((h.h * p.a + p.b) % ${P}) AS minhash
+         |FROM hs h
+         |JOIN documents d ON d.doc_id = h.doc_id
+         |CROSS JOIN params p
+         |GROUP BY d.source, p.j
+         |ORDER BY source, j""".stripMargin,
 
     "dd10_lsh_verified" ->
       s"""WITH $sigCte,

@@ -182,6 +182,41 @@ object JsonLines {
       docFacts(s.read.schema(DocSchema).parquet(s"$root/compact"))
     }),
 
+    // io08: single-partition BACKFILL via dynamic partition overwrite —
+    // the other routine maintenance job a date-partitioned 100 TB
+    // table needs (io07 is compaction): re-deriving one day must
+    // replace exactly that day's directory and nothing else. Static
+    // overwrite (the default) would wipe the WHOLE table and leave
+    // only the backfilled day — so the oracle compare against per-day
+    // facts of the full source is precisely the test: if any other
+    // partition were dropped or duplicated, the counts diverge. The
+    // backfill writes only the target day's rows, so job cost scales
+    // with the day, not the table.
+    "io08_partition_backfill" -> ((s, d) => {
+      val out = stagingDir("events_by_day")
+      val src = graft.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), to_date(col("ts")).as("day"))
+      src.write.mode("overwrite").partitionBy("day").parquet(out)
+      // deterministic backfill target: the earliest day
+      val day0 = src.agg(min("day")).head().getDate(0)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try src.filter(col("day") === lit(day0))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(out)
+        .withColumn("day", col("day").cast("date"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("day")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -236,6 +271,11 @@ object JsonLines {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "io08_partition_backfill" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "io05_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
