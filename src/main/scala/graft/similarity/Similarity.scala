@@ -382,6 +382,36 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss13: k-NN GRAPH construction — the batch twin of the query
+    // paths: top-3 in-bucket neighbors for EVERY vector (a knn JOIN,
+    // not a 5-query probe), the building block of graph-based dedup,
+    // HNSW-style index bootstrapping, and label propagation. Scale
+    // shape: candidates come from the LSH bucket equi-self-join (per-
+    // bucket pair counts controlled by the plane count — never
+    // corpus²), and the per-source rank is a row_number window that
+    // Spark executes with WindowGroupLimit: each task keeps only k
+    // rows per source BEFORE the shuffle, so the exchange carries
+    // O(k·|V|) rows, not the candidate multiset.
+    "ss13_knn_graph" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val withB = e.join(buckets(s, d), Seq("vec_id"))
+      val a = withB.select(col("vec_id").as("src"),
+        col("embedding").as("ea"), col("nrm").as("na"), col("bucket"))
+      val b = withB.select(col("vec_id").as("dst"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("bucket"))
+      val scored = a.join(b, Seq("bucket"))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("cos", round(
+          dot(s, col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      val w = Window.partitionBy("src")
+        .orderBy(col("cos").desc, col("dst").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("src", "rank", "dst", "cos")
+        .orderBy("src", "rank")
+    }),
+
     // ss12: RANGE search (radius query) — the other standard ANN
     // operation beside top-k: every neighbor within cosine ≥ 0.2 of
     // the query, found through the SAME IVF pruning as ss03/ss08 (the
@@ -653,6 +683,25 @@ object Similarity {
          |WHERE a.vec_id <> p.query_id
          |  AND ${cosSql("q.embedding", "n.embedding")} >= 0.2
          |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "ss13_knn_graph" ->
+      s"""WITH $bucketsCte, scored AS (
+         |  SELECT ab.vec_id AS src, bb.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM buckets ab
+         |  JOIN buckets bb ON bb.bucket = ab.bucket
+         |    AND bb.vec_id <> ab.vec_id
+         |  JOIN embeddings a ON a.vec_id = ab.vec_id
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |), ranked AS (
+         |  SELECT src, dst, cos,
+         |    row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rank
+         |  FROM scored
+         |)
+         |SELECT src, rank, dst, cos FROM ranked
+         |WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
 
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's

@@ -165,6 +165,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ss13 knn-graph rank pushes per-task top-k (WindowGroupLimit)") {
+    // the O(k·|V|) exchange claim: the row_number ≤ 3 filter must
+    // compile to a partial WindowGroupLimit below the shuffle, so each
+    // task forwards only k rows per source instead of the candidate
+    // multiset
+    val p = plan("ss13_knn_graph")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected per-task top-k pruning below the rank window:\n$p")
+  }
+
   test("ml16 thresholds sweep the score-bucketed aggregate, not raw rows") {
     // the ml15 boundedness argument extended: the 9-threshold cross
     // join must sit above the groupBy(score_6) aggregate — sweeping
