@@ -45,6 +45,10 @@ object Similarity {
   private val NumTables = 3
   private val TopK = 10
 
+  /** ss14's shortlist size: the ADC stage keeps this many candidates
+    * per query before the exact re-rank trims to [[TopK]]. */
+  private[graft] val RerankC = 30
+
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
     * single-table special case of [[multiBuckets]] (table 0 uses
@@ -382,6 +386,48 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss14: ADC shortlist + EXACT re-rank — the standard two-stage PQ
+    // serving refinement: stage 1 scores compressed codes only (ss07's
+    // math) and keeps a C=30 shortlist per query; stage 2 fetches the
+    // TRUE vectors for just those C rows and re-ranks by exact cosine.
+    // This recovers most of the recall PQ compression loses while the
+    // expensive exact math touches C rows per query instead of the
+    // corpus — at 100 TB the full vectors live in the store and only
+    // the shortlist's rows are ever read (ApproxBoundsSpec asserts the
+    // re-rank's recall dominates raw ADC's).
+    "ss14_pq_rerank" -> ((s, d) => {
+      val codes = graft.operators.TextAnalysis.pqAssign(s, d)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      val lut = pqLut(s, d)
+      val adc = codes
+        .join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val wAdc = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      val shortlist = adc.withColumn("crank", row_number().over(wAdc))
+        .filter(col("crank") <= RerankC)
+        .select("query_id", "neighbor_id")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val exact = shortlist
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
     // ss13: k-NN GRAPH construction — the batch twin of the query
     // paths: top-3 in-bucket neighbors for EVERY vector (a knn JOIN,
     // not a 5-query probe), the building block of graph-based dedup,
@@ -702,6 +748,27 @@ object Similarity {
          |SELECT src, rank, dst, cos FROM ranked
          |WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+
+    "ss14_pq_rerank" ->
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, $pqAdcRankedSql,
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM pq_ranked
+         |  WHERE rank <= $RerankC
+         |), exact AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM exact
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
 
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's

@@ -94,6 +94,24 @@ class ApproxBoundsSpec extends AnyFunSuite {
     * per-fixture constants"): 5 queries × top-10, 10/50 ADC hits. */
   private val PqRecallAt10Sf0001 = 0.20
 
+  test("ss14 exact re-rank recall dominates raw ADC recall") {
+    // the point of the two-stage serve: re-ranking the C=30 ADC
+    // shortlist with true distances must never LOSE recall vs taking
+    // ADC's own top-10 (it can only promote true neighbors the
+    // compressed metric misranked within the shortlist)
+    def recallOf(name: String): Double = {
+      val truth = SparkEntry.queries("ss01_knn_brute")(spark, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SparkEntry.queries(name)(spark, d)
+        .select(col("query_id"), col("neighbor_id"))
+      truth.intersect(approx).count().toDouble / truth.count()
+    }
+    val adc = recallOf("ss07_knn_pq")
+    val reranked = recallOf("ss14_pq_rerank")
+    assert(reranked >= adc,
+      f"re-rank recall $reranked%.2f fell below raw ADC $adc%.2f")
+  }
+
   test("em06 PQ training SSE is non-increasing across Lloyd steps") {
     val sse = SparkEntry.queries("em06_pq_train_sse")(spark, d)
       .orderBy("step").collect().map(_.getLong(1))
