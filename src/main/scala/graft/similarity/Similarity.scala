@@ -386,6 +386,53 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // em07: RESIDUAL PQ encoding — the refinement production IVF-PQ
+    // actually ships: quantize each vector's residual against its IVF
+    // cell centroid (r = v − cent(cell)) instead of the raw vector.
+    // When the coarse quantizer captures real structure, residuals
+    // concentrate near the origin and the same 8-byte budget spends
+    // its resolution where the data is. Honest measured NEGATIVE on
+    // this fixture: the synthetic embeddings are quasi-random and the
+    // seed "centroids" are arbitrary data rows, so residual SSE is
+    // ~1.48× em03's raw SSE (sf0.01) — residual encoding pays off
+    // only with a trained coarse quantizer (em05's loop is the
+    // training path), which is exactly why FAISS trains both stages
+    // jointly. The operator and its oracle are the production shapes
+    // regardless: broadcast centroids, slice-before-explode,
+    // (vec_id, m)-keyed argmin — residual subtraction is one extra
+    // per-row zip, nothing new shuffles.
+    "em07_pq_residual" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{PqM, PqSub, PqK}
+      val (assigned, _) = ivfCells(s, d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < IvfCents)
+        .select(col("vec_id").as("cell"), col("embedding").as("cent"))
+      val res = e.join(assigned, Seq("vec_id"))
+        .join(broadcast(cents), Seq("cell"))
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cent"),
+            (x, c) => x.cast("double") - c.cast("double")).as("r"))
+      val rsub = res
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+        .select(col("vec_id"), col("m"),
+          slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("subv"))
+      val rcb = rsub
+        .filter(col("vec_id") >= IvfCents && col("vec_id") < IvfCents + PqK)
+        .select((col("vec_id") - IvfCents).as("cid"), col("m"),
+          col("subv").as("center"))
+      rsub.join(broadcast(rcb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          aggregate(zip_with(col("subv"), col("center"),
+            (x, c) => (x - c) * (x - c)), lit(0.0), (a, e0) => a + e0)
+            .as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("code"),
+          floor(col("best.d2") * 1e6 + 0.5).cast("long").as("d2_u6"))
+        .orderBy("vec_id", "m")
+    }),
+
     // ss14: ADC shortlist + EXACT re-rank — the standard two-stage PQ
     // serving refinement: stage 1 scores compressed codes only (ss07's
     // math) and keeps a C=30 shortlist per query; stage 2 fetches the
@@ -748,6 +795,46 @@ object Similarity {
          |SELECT src, rank, dst, cos FROM ranked
          |WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
+
+    "em07_pq_residual" -> {
+      import graft.operators.TextAnalysis.{PqM, PqSub, PqK}
+      val dims = PqM * PqSub
+      s"""WITH $ivfSqlCtes, res AS (
+         |  SELECT e.vec_id,
+         |    list_transform(generate_series(1, $dims), i ->
+         |      CAST(e.embedding[i] AS DOUBLE) -
+         |      CAST(c.embedding[i] AS DOUBLE)) AS r
+         |  FROM embeddings e
+         |  JOIN ivf_assigned a ON a.vec_id = e.vec_id
+         |  JOIN embeddings c ON c.vec_id = a.cell
+         |), rsub AS (
+         |  SELECT r.vec_id, m.m AS m,
+         |    list_transform(generate_series(1, $PqSub),
+         |      i -> r.r[m.m * $PqSub + i]) AS subv
+         |  FROM res r,
+         |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+         |), rcb AS (
+         |  SELECT vec_id - $IvfCents AS cid, m, subv AS center
+         |  FROM rsub
+         |  WHERE vec_id >= $IvfCents AND vec_id < ${IvfCents + PqK}
+         |), rdist AS (
+         |  SELECT s.vec_id, s.m, c.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSub),
+         |        i -> (s.subv[i] - c.center[i]) *
+         |             (s.subv[i] - c.center[i]))),
+         |      (a, x) -> a + x) AS d2
+         |  FROM rsub s JOIN rcb c ON c.m = s.m
+         |)
+         |SELECT vec_id, m, code,
+         |  CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS d2_u6
+         |FROM (
+         |  SELECT vec_id, m, cid AS code, d2, row_number() OVER (
+         |    PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+         |  FROM rdist)
+         |WHERE rn = 1
+         |ORDER BY vec_id, m""".stripMargin
+    },
 
     "ss14_pq_rerank" ->
       s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, $pqAdcRankedSql,
