@@ -468,6 +468,33 @@ object MlPipeline {
         .orderBy("thr_10")
     }),
 
+    // ml17: CALIBRATION (reliability) curve — the third leg of the
+    // eval family (ml15 ranks, ml16 thresholds, this one asks whether
+    // the scores MEAN anything): decile-bin the sigmoid scores and
+    // compare each bin's mean predicted probability to its empirical
+    // positive rate. Engine-exact by construction: scores carry ≤6
+    // decimals, so the per-bin mean goes through an exact DECIMAL sum
+    // (ss06's trick — order-free, no float fold), and the positive
+    // rate is integer/integer. One aggregate over the scored table;
+    // 10 rows out regardless of corpus.
+    "ml17_calibration" -> ((s, d) => {
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("score_6"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("is_pos"))
+      scored.join(truth, "vec_id")
+        .withColumn("bin",
+          least(floor(col("score_6") * 10).cast("long"), lit(9L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+          (sum(col("score_6").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("mean_score"),
+          (sum(when(col("is_pos"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("pos_rate"))
+        .orderBy("bin")
+    }),
+
     // ml12: logistic scoring against a fixed weight vector (serving-
     // time inference for L5's model family, closed-form like ml11):
     // margin = w·x (in-order fold), score = sigmoid(margin). The
@@ -623,6 +650,26 @@ object MlPipeline {
          |  round(1.0 / (1.0 + exp(-margin)), 6) AS score_6,
          |  margin > 0.0 AS predicted
          |FROM m ORDER BY vec_id""".stripMargin,
+
+    "ml17_calibration" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    round(1.0 / (1.0 + exp(-(
+         |      ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |    ))), 6) AS score_6,
+         |    e.label % 2 = 1 AS is_pos
+         |  FROM embeddings e CROSS JOIN w
+         |)
+         |SELECT CAST(least(floor(score_6 * 10), 9) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CAST(score_6 AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS mean_score,
+         |  CAST(count(CASE WHEN is_pos THEN 1 END) AS DOUBLE) / count(*)
+         |    AS pos_rate
+         |FROM m GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "ml16_pr_curve" ->
       s"""WITH w AS (

@@ -436,6 +436,30 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // q28: SCD-2 dimension build — turn an event stream into validity
+    // intervals (the slowly-changing-dimension shape every warehouse
+    // maintains): collapse consecutive same-type runs per user, then
+    // valid_from/valid_to via lead; the open (current) row keeps NULL
+    // valid_to. One shuffle on user_id, then two window passes over
+    // per-user partitions — the run-collapse filter shrinks the frame
+    // BEFORE the interval pass, so the second window reads change
+    // rows, not the stream. Timestamps flow as integer micros
+    // (unix_micros/epoch_us — the established nanos-truncation
+    // convention), so ordering and equality are engine-exact.
+    "q28_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to_us", lead("ts_us", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    }),
+
     // q20: pivot — long→wide reshape with an explicit value list (an
     // implicit list would add a distinct-scan job and make column
     // order nondeterministic). One partial+final aggregate; each
@@ -751,6 +775,22 @@ object Relational {
         |FROM base
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q28_scd2_intervals" ->
+      """WITH ordered AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, ts_us, event_id, event_type FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS valid_to_us
+        |FROM changes
+        |ORDER BY user_id, valid_from_us""".stripMargin,
 
     "q20_pivot" ->
       """SELECT user_id,
