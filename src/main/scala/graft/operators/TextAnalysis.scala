@@ -324,9 +324,15 @@ object TextAnalysis {
     // exceed executor memory (the unigram table of ta14 broadcasts;
     // this one shuffles vocab-sized keys, never documents).
     "ta15_bigram_logprob" -> ((s, d) => {
+      // materialize the exploded bigram stream once — it feeds THREE
+      // consumers (bigram counts, context counts, the scoring join),
+      // and Spark would otherwise re-tokenize and re-explode the
+      // corpus for each (dd05's measured lesson; on a cluster this
+      // slot is a parquet checkpoint)
       val bgs = documents(s, d)
         .select(col("doc_id"),
           explode(wordBigrams(tokens(col("text")))).as("bg"))
+        .localCheckpoint()
       val counts = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
       val ctx = bgs
         .select(substring_index(col("bg"), " ", 1).as("w1"))
