@@ -21,7 +21,14 @@ object Explain {
         // single-aggregate regression
         "q23_keep_latest", "io03_partitioned_parquet",
         "io05_bucketed_join", "ml11_kmeans_assign", "ta12_top_terms",
-        "q27_linreg")
+        "q27_linreg",
+        // round-5 scale-critical plans: the partition-pruned serve
+        // (PartitionFilters on the cell read), the fixed-size
+        // calibration sample (TakeOrderedAndProject below the pair
+        // join), the per-task top-k knn graph (WindowGroupLimit), and
+        // the bucketed threshold sweep (aggregate below the join)
+        "ss09_knn_ivfpq_served", "dd05_ngram_jaccard", "ss13_knn_graph",
+        "ml16_pr_curve")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")
