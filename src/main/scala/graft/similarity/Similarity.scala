@@ -137,7 +137,11 @@ object Similarity {
     * probe set into partition predicates. */
   private[graft] def pqCellIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, Seq[Long]) = {
-    val (assigned, probes) = ivfCells(s, d)
+    val (assigned, probes0) = ivfCells(s, d)
+    // the probe list is consumed twice (the cell collect below AND the
+    // scoring join in ss09) — materialize once, or the corpus-sized
+    // centroid-scoring plan behind it runs per consumer
+    val probes = probes0.localCheckpoint()
     val out = graft.io.JsonLines.stagingDir("pq_by_cell")
     graft.operators.TextAnalysis.pqAssign(s, d)
       .select(col("vec_id"), col("m"), col("code"))
