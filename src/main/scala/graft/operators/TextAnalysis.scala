@@ -720,6 +720,28 @@ object TextAnalysis {
        |), $chain""".stripMargin
   }
 
+  /** `scored` CTE mirroring [[scored]] (doc_id, n_tokens,
+    * quality_score, predicted_lang) — shared with the streaming gate's
+    * oracle (st08) so the batch and streaming gates can't drift. */
+  private[graft] def scoredSqlCte: String =
+    s"""scored AS (
+       |  SELECT doc_id,
+       |    CAST(len($toksSql) AS INT) AS n_tokens,
+       |    round(0.5 * (CAST(${countInSql(Stopwords)} AS DOUBLE)
+       |        / CAST(len($toksSql) AS DOUBLE))
+       |      + 0.3 * least((CAST(list_reduce(list_prepend(0::BIGINT,
+       |          list_transform($toksSql, t -> length(t)::BIGINT)),
+       |          (a, b) -> a + b) AS DOUBLE)
+       |          / CAST(len($toksSql) AS DOUBLE)) / 8.0, 1.0)
+       |      + 0.2 * least(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0), 6)
+       |      AS quality_score,
+       |    CASE WHEN ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(1)._2)}
+       |          AND ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'en'
+       |         WHEN ${countInSql(Profiles(1)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'de'
+       |         ELSE 'es' END AS predicted_lang
+       |  FROM documents
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ta01_token_stats" ->
       s"""SELECT doc_id, len($toksSql) AS n_tokens,

@@ -88,10 +88,55 @@ object EventStream {
     ss.table(sinkName)
   }
 
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("text", StringType)))
+
+  /** The documents twin of [[runStream]]: a parquet file stream over
+    * the documents table, drained to a memory sink. */
+  private def runDocStream(spark: SparkSession, dir: String,
+      sinkName: String)(build: DataFrame => DataFrame): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val stream = build(
+        ss.readStream.schema(docsSchema).parquet(srcDir.toString))
+      q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(sinkName).start()
+      q.processAllAvailable()
+    } finally {
+      if (q != null) try q.stop() catch { case _: Exception => }
+      java.nio.file.Files.deleteIfExists(srcDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(srcDir)
+    }
+    ss.table(sinkName)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // st01: the streaming twin of q11 — executed through a real
     // StreamingQuery (memory sink), oracle-checked like any batch op.
     "st01_stream_hourly" -> ((s, d) => hourlyTotals(s, d)),
+
+    // st08: the streaming INGEST GATE — TextAnalysis.scored (the exact
+    // projection the batch curation pipeline gates on) applied to a
+    // real document file stream, filtering on arrival instead of in a
+    // nightly batch. Stateless per-row scoring ⇒ append mode with no
+    // watermark or state store; at 100 TB-scale ingest this runs on
+    // the arriving-files directory and only survivors ever land in the
+    // corpus. The oracle shares TextAnalysis's scored CTE, so the
+    // batch and streaming gates provably agree.
+    "st08_stream_quality_gate" -> ((s, d) =>
+      runDocStream(s, d, "st_doc_gate") { df =>
+        graft.operators.TextAnalysis.scored(df)
+          .filter(col("quality_score") >= 0.3 &&
+            col("predicted_lang").isin("en", "de", "es"))
+          .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
+      }.orderBy("doc_id")),
 
     // st02: streaming deduplication — the source is staged TWICE (two
     // files with identical rows), and `dropDuplicatesWithinWatermark`
@@ -217,6 +262,14 @@ object EventStream {
       }.orderBy("event_id")))
 
   val oracles: Map[String, String] = Map(
+    "st08_stream_quality_gate" ->
+      s"""WITH ${graft.operators.TextAnalysis.scoredSqlCte}
+         |SELECT doc_id, n_tokens, quality_score, predicted_lang
+         |FROM scored
+         |WHERE quality_score >= 0.3
+         |  AND predicted_lang IN ('en', 'de', 'es')
+         |ORDER BY doc_id""".stripMargin,
+
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
