@@ -99,6 +99,11 @@ object CurationPipeline {
     // layout). The join is LEFT + loudly asserted below: if the id
     // spaces ever diverge, the run fails with a count instead of
     // silently shrinking the compressed set to the intersection.
+    // each survivor also carries its IVF cell, so the compressed table
+    // IS the ss09 serving layout: written partitioned by cell (see
+    // main), a probe reads nprobe directories of codes — the curation
+    // output plugs straight into the partition-pruned ANN serve.
+    val (cells, _) = graft.similarity.Similarity.ivfCells(spark, dir)
     val compressed = curated.select("doc_id")
       .join(TextAnalysis.pqAssign(spark, dir)
         .groupBy("vec_id")
@@ -106,6 +111,8 @@ object CurationPipeline {
         .select(col("vec_id").as("doc_id"),
           transform(col("mc"), x => x.getField("code").cast("byte"))
             .as("pq_codes")),
+        Seq("doc_id"), "left")
+      .join(cells.select(col("vec_id").as("doc_id"), col("cell")),
         Seq("doc_id"), "left")
     val cRow = compressed
       .agg(count(lit(1)).as("n"),
@@ -141,7 +148,10 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     r.curated.write.mode("overwrite").parquet(s"$outDir/curated")
-    r.compressed.write.mode("overwrite").parquet(s"$outDir/pq_codes")
+    // the ss09 serving layout: cell-partitioned codes, so an ANN probe
+    // reads nprobe directories (PartitionFilters) of 8-byte codes
+    r.compressed.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/pq_codes")
     r.stats.coalesce(1).write.mode("overwrite")
       .json(s"$outDir/stats")
     r.stats.show(false)

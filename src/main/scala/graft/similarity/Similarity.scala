@@ -81,7 +81,7 @@ object Similarity {
     * (assigned, probes) = (every vector's cell, each query's nprobe
     * nearest cells). One broadcast cross join + map-side-combined
     * argmax per vector; probes are a tiny broadcastable table. */
-  private def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
     val cents = e.filter(col("vec_id") < IvfCents)

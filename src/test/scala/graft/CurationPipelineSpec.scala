@@ -93,6 +93,10 @@ class CurationPipelineSpec extends AnyFunSuite {
       graft.operators.TextAnalysis.PqM).count() == 0)
     assert(comp.filter(exists(col("pq_codes"),
       c => c < 0 || c >= graft.operators.TextAnalysis.PqK)).count() == 0)
+    // every survivor carries a valid IVF cell — the partition key of
+    // the ss09 serving layout main() writes
+    assert(comp.filter(col("cell").isNull || col("cell") < 0 ||
+      col("cell") >= graft.similarity.Similarity.IvfCents).count() == 0)
     // positional: element m must equal em03's code for subspace m
     val flat = comp.select(col("doc_id"),
       posexplode(col("pq_codes")))
