@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   * header, fmt chunk, an unknown LIST chunk the parser must skip,
   * 16-bit PCM data chunk), a real parser validates and decodes it,
   * and frame windows are sampled from the DECODED PCM — the
-  * frame-sampling shape over a real container. mm03/mm05 remain the
-  * code-point batch-shape stand-ins (one-record→many generators)
-  * whose production decoder would swap in exactly like mm06's.
+  * frame-sampling shape over a real container.
+  *
+  * The former code-point stand-ins are RETIRED: mm03 now walks a real
+  * multi-frame container (concatenated P6 images — frame sizes
+  * differ, so finding frame k requires parsing headers 0..k-1) and
+  * mm05 cuts overlapping ASR-style windows from the DECODED PCM of
+  * the WAV payloads. Every multimodal feature in the driver surface
+  * derives from parsed bytes of a real format.
   *
   * Scale: payloads never shuffle — all queries are per-row/partition
   * map work; at 100 TB the binary column rides in parquet and only
@@ -43,33 +48,42 @@ object Multimodal {
   def imgDims(docId: Long, textCodePoints: Int): (Int, Int) =
     (4 + textCodePoints % 29, 3 + (docId % 17).toInt)
 
-  /** REAL PPM (P6) encoder: `P6\n{w} {h}\n255\n` + w*h RGB triples. */
-  def encodePpm(docId: Long, w: Int, h: Int): Array[Byte] = {
+  /** REAL PPM (P6) encoder: `P6\n{w} {h}\n255\n` + w*h RGB triples
+    * from an arbitrary pixel generator (mm02 uses [[pixelByte]]; the
+    * mm03 video container encodes one segment per frame). */
+  def encodePpmFrame(w: Int, h: Int, pix: Int => Int): Array[Byte] = {
     val header = s"P6\n$w $h\n255\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](header.length + 3 * w * h)
     System.arraycopy(header, 0, out, 0, header.length)
     var i = 0
     while (i < 3 * w * h) {
-      out(header.length + i) = pixelByte(docId, i).toByte
+      out(header.length + i) = pix(i).toByte
       i += 1
     }
     out
   }
 
+  def encodePpm(docId: Long, w: Int, h: Int): Array[Byte] =
+    encodePpmFrame(w, h, pixelByte(docId, _))
+
   final case class PpmImage(width: Int, height: Int, maxVal: Int,
       pixels: Array[Byte])
 
-  /** REAL PPM (P6) parser: validates the magic, parses the
-    * whitespace/comment-delimited ASCII dims and maxval, and requires
-    * an exact-length pixel plane — truncated or malformed payloads
-    * throw, they don't produce garbage features. */
-  def decodePpm(payload: Array[Byte]): PpmImage = {
+  /** REAL PPM (P6) parser for ONE image starting at `start`: validates
+    * the magic, parses the whitespace/comment-delimited ASCII dims and
+    * maxval, requires the full pixel plane, and returns the image plus
+    * the offset just past it — a container of concatenated frames
+    * (mm03) walks segments with this; [[decodePpm]] additionally
+    * requires full consumption. Malformed payloads throw, they don't
+    * produce garbage features. */
+  def parsePpmAt(payload: Array[Byte], start: Int): (PpmImage, Int) = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"PPM decode: $msg")
-    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
-      fail("bad magic (want P6)")
-    var pos = 2
+    if (payload.length < start + 2 || payload(start) != 'P' ||
+        payload(start + 1) != '6')
+      fail(s"bad magic at byte $start (want P6)")
+    var pos = start + 2
     def skipWs(): Unit = {
       var more = true
       while (more && pos < payload.length) payload(pos) match {
@@ -113,10 +127,19 @@ object Multimodal {
     val nL = 3L * w * h
     if (nL > Int.MaxValue - pos) fail(s"pixel plane too large ($nL)")
     val n = nL.toInt
-    if (payload.length - pos != n)
+    if (payload.length - pos < n)
       fail(s"pixel plane is ${payload.length - pos} bytes, want $n")
-    PpmImage(w, h, mv,
-      java.util.Arrays.copyOfRange(payload, pos, pos + n))
+    (PpmImage(w, h, mv,
+      java.util.Arrays.copyOfRange(payload, pos, pos + n)), pos + n)
+  }
+
+  /** Single-image decode: one frame, full consumption required. */
+  def decodePpm(payload: Array[Byte]): PpmImage = {
+    val (img, end) = parsePpmAt(payload, 0)
+    if (end != payload.length)
+      throw new IllegalArgumentException(
+        s"PPM decode: pixel plane has ${payload.length - end} trailing bytes")
+    img
   }
 
   final case class ImgFeatures(doc_id: Long, width: Int, height: Int,
@@ -157,52 +180,100 @@ object Multimodal {
     ResizedImg(r.doc_id, w2, h2, sum)
   }
 
-  final case class Frame(doc_id: Long, frame_idx: Int, n_chars: Int,
-      checksum: Long)
+  // ---- mm03: real multi-frame PPM (video) container -----------------
 
-  /** STUB frame decoder — stands in for a video frame-sampler: the
-    * payload is treated as consecutive 32-codepoint "frames", every
-    * 3rd frame is sampled, and the per-frame feature is a code-point
-    * checksum. The flatMap one-record→many-frames batch shape, typed
-    * Dataset plumbing, and partition-local iteration are the real
-    * parts; a production decoder swaps in here unchanged. */
-  def sampleFrames(r: MediaRecord): Iterator[Frame] = {
-    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    // code-point boundaries (frames are characters, not UTF-16 units,
-    // to match the oracle's substr semantics)
-    val nCp = s.codePointCount(0, s.length)
-    val offsets = graft.functions.CodePoints.offsets(s)
-    val nFrames = (nCp + 31) / 32
-    Iterator.range(0, nFrames).filter(_ % 3 == 0).map { f =>
-      val from = offsets(f * 32)
-      val until = offsets(math.min(f * 32 + 32, nCp))
-      val chunk = s.substring(from, until)
-      Frame(r.doc_id, f, chunk.codePointCount(0, chunk.length),
-        graft.functions.CodePoints.sum(chunk))
+  /** Frame count / per-frame geometry / per-frame pixel generator of
+    * the synthetic video container — all oracle-expressible. */
+  def videoFrameCount(docId: Long): Int = 1 + (docId % 7).toInt
+  def videoDims(docId: Long, frame: Int, textCodePoints: Int): (Int, Int) =
+    (3 + (textCodePoints + frame) % 13, 2 + ((docId + frame) % 5).toInt)
+  def videoPixel(docId: Long, frame: Int, i: Int): Int =
+    ((docId * 31 + frame.toLong * 17 + i.toLong * 7) % 256).toInt
+
+  /** REAL video-ish container encoder: the payload is a concatenation
+    * of genuine P6 images, one per frame — the moral equivalent of an
+    * MJPEG stream, parseable only by actually walking the headers
+    * (frame sizes differ, so offsets are not computable up front). */
+  def encodeVideo(docId: Long, textCodePoints: Int): Array[Byte] = {
+    val frames = (0 until videoFrameCount(docId)).map { f =>
+      val (w, h) = videoDims(docId, f, textCodePoints)
+      encodePpmFrame(w, h, videoPixel(docId, f, _))
+    }
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var pos = 0
+    frames.foreach { fr =>
+      System.arraycopy(fr, 0, out, pos, fr.length); pos += fr.length
+    }
+    out
+  }
+
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, checksum: Long)
+
+  /** mm03 worker: REAL container walk — parse consecutive P6 segments
+    * with [[parsePpmAt]] (each header read decides where the next
+    * frame starts), sample every 3rd frame, and checksum its DECODED
+    * pixel plane. One record → many frames, partition-local. */
+  def sampleVideoFrames(r: MediaRecord): Iterator[VideoFrame] = {
+    val frames = Iterator.unfold(0) { pos =>
+      if (pos >= r.payload.length) None
+      else {
+        val (img, next) = parsePpmAt(r.payload, pos)
+        Some((img, next))
+      }
+    }
+    frames.zipWithIndex.filter(_._2 % 3 == 0).map { case (img, f) =>
+      var sum = 0L
+      var i = 0
+      while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+      VideoFrame(r.doc_id, f, img.width, img.height, sum)
     }
   }
 
-  final case class Chunk(doc_id: Long, chunk_idx: Int, n_cp: Int,
+  /** Synthetic video table: (doc_id, payload = concatenated P6
+    * frames), geometry derived from the document. */
+  def videoPayloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, encodeVideo(id, text.codePointCount(0, text.length)))
+      }
+  }
+
+  // ---- mm05: overlapping windows over decoded WAV PCM ---------------
+
+  final case class WavChunk(doc_id: Long, chunk_idx: Int, n_frames: Int,
       checksum: Long)
 
-  /** STUB chunker — OVERLAPPING windows (width 48, stride 32) over
-    * the payload's code points, standing in for the audio/ASR
-    * chunking shape (each transcription window carries context from
-    * the previous one; mm03's frames are the non-overlapping sampled
-    * variant). One record → ceil(n/stride) chunks, partition-local. */
-  def overlapChunks(r: MediaRecord): Iterator[Chunk] = {
-    val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val nCp = s.codePointCount(0, s.length)
-    val offsets = graft.functions.CodePoints.offsets(s)
-    val stride = 32
-    val width = 48
-    val nChunks = (nCp + stride - 1) / stride
+  private val WavChunkStride = 32
+  private val WavChunkWidth = 48
+
+  /** mm05 worker: OVERLAPPING windows (width 48 frames, stride 32 —
+    * each ASR-style transcription window carries 16 frames of context
+    * from its predecessor) over the DECODED PCM of a real WAV payload;
+    * per-window feature is the signed-sample checksum across
+    * channels. */
+  def overlapWavChunks(r: MediaRecord): Iterator[WavChunk] = {
+    val wav = decodeWav(r.payload)
+    val totalFrames = wav.pcm.length / (wav.channels * 2)
+    val nChunks = (totalFrames + WavChunkStride - 1) / WavChunkStride
     Iterator.range(0, nChunks).map { c =>
-      val from = offsets(c * stride)
-      val until = offsets(math.min(c * stride + width, nCp))
-      val chunk = s.substring(from, until)
-      Chunk(r.doc_id, c, chunk.codePointCount(0, chunk.length),
-        graft.functions.CodePoints.sum(chunk))
+      val from = c * WavChunkStride
+      val until = math.min(from + WavChunkWidth, totalFrames)
+      var sum = 0L
+      var i = from
+      while (i < until) {
+        var ch = 0
+        while (ch < wav.channels) {
+          val off = (i * wav.channels + ch) * 2
+          sum += (wav.pcm(off + 1).toInt << 8) | (wav.pcm(off) & 0xFF)
+          ch += 1
+        }
+        i += 1
+      }
+      WavChunk(r.doc_id, c, until - from, sum)
     }
   }
 
@@ -405,29 +476,33 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // mm05: overlapping chunk extraction — the ASR/transcription
-    // batch shape (stride < width ⇒ consecutive chunks share a
-    // 16-codepoint overlap). Payloads never shuffle; only the small
+    // mm05: overlapping chunk extraction over a REAL audio container —
+    // the ASR/transcription batch shape (stride 32 < width 48 ⇒
+    // consecutive windows share 16 frames of context), computed from
+    // the DECODED PCM of a genuine WAV payload (mm06's codec). The
+    // oracle recomputes the PCM generator, so the hash proves decode +
+    // windowing end-to-end. Payloads never shuffle; only the small
     // per-chunk feature structs flow downstream.
     "mm05_chunk_overlap" -> ((s, d) => {
       import s.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MediaRecord]
-        .mapPartitions(_.flatMap(overlapChunks))
+      wavPayloads(s, d)
+        .mapPartitions(_.flatMap(overlapWavChunks))
         .toDF()
         .orderBy("doc_id", "chunk_idx")
     }),
 
-    // mm03: frame sampling — the one-record→many-frames generator
-    // shape of a video pipeline (every 3rd 32-char frame, stub
-    // features), as partition-local flatMap over a typed Dataset.
+    // mm03: frame sampling over a REAL multi-frame container — the
+    // payload is a concatenation of genuine P6 images (an MJPEG-moral
+    // stream; frame sizes differ, so the only way to find frame k is
+    // to actually parse headers 0..k-1), every 3rd frame is sampled
+    // and its DECODED pixel plane checksummed. One record → many
+    // frames as a partition-local flatMap over a typed Dataset; the
+    // oracle recomputes the generator, proving the container walk
+    // byte-exact.
     "mm03_frame_sample" -> ((s, d) => {
       import s.implicits._
-      documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[MediaRecord]
-        .mapPartitions(_.flatMap(sampleFrames))
+      videoPayloads(s, d)
+        .mapPartitions(_.flatMap(sampleVideoFrames))
         .toDF()
         .orderBy("doc_id", "frame_idx")
     }),
@@ -481,37 +556,55 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // recomputes the WAV PCM generator over overlapping window ranges
+    // (rate/channels/frames from wavGeometry, sample from sampleValue)
     "mm05_chunk_overlap" ->
-      """WITH chunks AS (
-        |  SELECT doc_id, i - 1 AS chunk_idx,
-        |    substr(text, (i - 1) * 32 + 1, 48) AS chunk
-        |  FROM documents,
-        |    LATERAL unnest(generate_series(1,
-        |      greatest((length(text) + 31) // 32, 0))) AS t(i)
+      """WITH geom AS (
+        |  SELECT doc_id,
+        |    1 + (doc_id % 2) AS n_channels,
+        |    16 + (length(text) % 101) AS total_frames
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, n_channels, total_frames, c.c AS chunk_idx
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0,
+        |      (total_frames + 31) // 32 - 1)) AS c(c)
         |)
-        |SELECT doc_id, chunk_idx, length(chunk) AS n_cp,
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(least(total_frames - chunk_idx * 32, 48) AS INT)
+        |    AS n_frames,
         |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(generate_series(1, length(chunk)),
-        |      j -> ascii(substr(chunk, j, 1))::BIGINT)),
+        |    list_transform(generate_series(0,
+        |      least(total_frames - chunk_idx * 32, 48) * n_channels - 1),
+        |      k -> ((doc_id * 37
+        |             + (chunk_idx * 32 + k // n_channels) * 11
+        |             + (k % n_channels) * 5) % 65536) - 32768)),
         |    (a, b) -> a + b) AS checksum
         |FROM chunks
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // recomputes the video-container generator: nf = 1 + id%7, frame
+    // geometry w = 3 + (cp+f)%13 / h = 2 + (id+f)%5, pixel i of frame
+    // f = (id*31 + f*17 + i*7) % 256 — see videoDims/videoPixel
     "mm03_frame_sample" ->
-      """WITH frames AS (
-        |  SELECT doc_id, i - 1 AS frame_idx,
-        |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
-        |  FROM documents,
-        |    LATERAL unnest(generate_series(1,
-        |      greatest((length(text) + 31) // 32, 0))) AS t(i)
+      """WITH geom AS (
+        |  SELECT doc_id, length(text) AS cp, 1 + (doc_id % 7) AS nf
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    3 + ((cp + f.f) % 13) AS width,
+        |    2 + ((doc_id + f.f) % 5) AS height
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0, nf - 1)) AS f(f)
+        |  WHERE f.f % 3 = 0
         |)
-        |SELECT doc_id, frame_idx, length(chunk) AS n_chars,
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         |  list_reduce(list_prepend(0::BIGINT,
-        |    list_transform(generate_series(1, length(chunk)),
-        |      j -> ascii(substr(chunk, j, 1))::BIGINT)),
+        |    list_transform(generate_series(0, 3 * width * height - 1),
+        |      i -> (doc_id * 31 + frame_idx * 17 + i * 7) % 256)),
         |    (a, b) -> a + b) AS checksum
         |FROM frames
-        |WHERE frame_idx % 3 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm01_binary_meta" ->

@@ -118,24 +118,51 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("mm05 overlapping chunks: count, widths, checksums on unicode") {
+  test("mm03 video container round-trips every frame for any geometry") {
     import graft.multimodal.Multimodal
-    // mixes 1-byte, 2-byte, 3-byte and surrogate-pair (4-byte) chars:
-    // the chunker walks CODE POINTS, so UTF-16 length ≠ cp count here
-    val gen = Gen.listOf(
-      Gen.oneOf("a", "é", "好", "𝄞", " "))
-      .map(_.mkString)
-    runProp(Prop.forAll(gen) { s =>
-      val chunks = Multimodal.overlapChunks(Multimodal.MediaRecord(
-        1L, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))).toList
-      val cps = s.codePoints.toArray
-      val nCp = cps.length
-      chunks.size == (nCp + 31) / 32 &&
-        chunks.zipWithIndex.forall { case (c, i) =>
-          val start = i * 32
-          val len = math.min(48, nCp - start)
-          c.chunk_idx == i && c.n_cp == len &&
-            c.checksum == cps.slice(start, start + len).map(_.toLong).sum
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      cp <- Gen.chooseNum(0, 500)
+    } yield (id, cp)
+    runProp(Prop.forAll(gen) { case (id, cp) =>
+      val payload = Multimodal.encodeVideo(id, cp)
+      // walk ALL frames (not just the sampled ones) via the container
+      // parser and check geometry + every pixel against the generator
+      var pos = 0
+      var f = 0
+      var ok = true
+      while (pos < payload.length && ok) {
+        val (img, next) = Multimodal.parsePpmAt(payload, pos)
+        val (w, h) = Multimodal.videoDims(id, f, cp)
+        ok = img.width == w && img.height == h &&
+          img.pixels.indices.forall(i =>
+            (img.pixels(i) & 0xFF) == Multimodal.videoPixel(id, f, i))
+        pos = next
+        f += 1
+      }
+      ok && f == Multimodal.videoFrameCount(id) && pos == payload.length
+    })
+  }
+
+  test("mm05 WAV chunks: overlap, widths, checksums vs a naive reference") {
+    import graft.multimodal.Multimodal
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      ch <- Gen.chooseNum(1, 3)
+      frames <- Gen.chooseNum(1, 200)
+    } yield (id, ch, frames)
+    runProp(Prop.forAll(gen) { case (id, ch, frames) =>
+      val chunks = Multimodal.overlapWavChunks(Multimodal.MediaRecord(
+        id, Multimodal.encodeWav(id, 8000, ch, frames))).toList
+      chunks.size == (frames + 31) / 32 &&
+        chunks.zipWithIndex.forall { case (c, ci) =>
+          val from = ci * 32
+          val until = math.min(from + 48, frames)
+          val expect = (from until until).flatMap(i =>
+            (0 until ch).map(cc =>
+              Multimodal.sampleValue(id, i, cc).toLong)).sum
+          c.chunk_idx == ci && c.n_frames == until - from &&
+            c.checksum == expect
         }
     })
   }
