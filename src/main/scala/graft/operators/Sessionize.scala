@@ -81,7 +81,53 @@ object Sessionize {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> ((s, d) =>
       relational(events(s, d))
-        .orderBy("user_id", "session_start_us")))
+        .orderBy("user_id", "session_start_us")),
+
+    // q29: FUNNEL conversion over the sessionized stream — per
+    // session, did view → click → purchase happen in first-occurrence
+    // order? (t_view ≤ t_click ≤ t_purchase on each type's FIRST
+    // timestamp — the standard product-analytics funnel; a click
+    // preceding the session's first view deliberately does not count.)
+    // Same single user_id shuffle as q13, then per-session conditional
+    // mins and one global integer aggregate — counts and exact int/int
+    // conversion ratios, so the whole report is hash-exact. At scale
+    // nothing beyond q13's session window runs over raw events; the
+    // funnel itself aggregates |sessions| rows to one.
+    "q29_funnel_conversion" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val perSession = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > GapUs, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sess_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_no")
+        .agg(
+          min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("t_purchase"))
+      val step1 = col("t_view").isNotNull
+      val step2 = step1 && col("t_click").isNotNull &&
+        col("t_view") <= col("t_click")
+      val step3 = step2 && col("t_purchase").isNotNull &&
+        col("t_click") <= col("t_purchase")
+      perSession.agg(
+          count(lit(1)).as("n_sessions"),
+          sum(when(step1, 1L).otherwise(0L)).as("n_view"),
+          sum(when(step2, 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(step3, 1L).otherwise(0L)).as("n_full_funnel"))
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          when(col("n_view") === 0, lit(null)).otherwise(
+            col("n_view_click").cast("double") / col("n_view"))
+            .as("view_to_click"),
+          when(col("n_view_click") === 0, lit(null)).otherwise(
+            col("n_full_funnel").cast("double") / col("n_view_click"))
+            .as("click_to_purchase"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q13_sessionize" ->
@@ -104,5 +150,49 @@ object Sessionize {
          |  max(ts_us) AS session_end_us, count(*) AS n_events
          |FROM numbered
          |GROUP BY user_id, sess_no
-         |ORDER BY user_id, session_start_us""".stripMargin)
+         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q29_funnel_conversion" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         |         WHEN ts_us - lag(ts_us) OVER w > $GapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), numbered AS (
+         |  SELECT user_id, event_type, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM flagged
+         |), per_session AS (
+         |  SELECT user_id, sess_no,
+         |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS t_view,
+         |    min(CASE WHEN event_type = 'click' THEN ts_us END) AS t_click,
+         |    min(CASE WHEN event_type = 'purchase' THEN ts_us END)
+         |      AS t_purchase
+         |  FROM numbered GROUP BY user_id, sess_no
+         |), counts AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(count(CASE WHEN t_view IS NOT NULL THEN 1 END)
+         |      AS BIGINT) AS n_view,
+         |    CAST(count(CASE WHEN t_view IS NOT NULL
+         |      AND t_click IS NOT NULL AND t_view <= t_click THEN 1 END)
+         |      AS BIGINT) AS n_view_click,
+         |    CAST(count(CASE WHEN t_view IS NOT NULL
+         |      AND t_click IS NOT NULL AND t_view <= t_click
+         |      AND t_purchase IS NOT NULL AND t_click <= t_purchase
+         |      THEN 1 END) AS BIGINT) AS n_full_funnel
+         |  FROM per_session)
+         |SELECT n_sessions, n_view, n_view_click, n_full_funnel,
+         |  CASE WHEN n_view = 0 THEN NULL
+         |       ELSE CAST(n_view_click AS DOUBLE) / n_view
+         |  END AS view_to_click,
+         |  CASE WHEN n_view_click = 0 THEN NULL
+         |       ELSE CAST(n_full_funnel AS DOUBLE) / n_view_click
+         |  END AS click_to_purchase
+         |FROM counts""".stripMargin)
 }
