@@ -114,16 +114,37 @@ object Dedup {
     df.select(col("doc_id"),
       transform(prefixShingles, s => md5Long(s, 7)).as("hs_"))
 
-  /** (doc_id, sig_) — fused shingle-hash + 16-signature bank, each
-    * materialized in its own projection (same CSE rationale as the
-    * hash array: fanning element_at over an un-materialized alias
-    * would re-inline the whole computation). */
-  private def withSigBank(s: SparkSession, d: String): DataFrame = {
-    registerSketches(s)
-    documents(s, d)
-      .select(col("doc_id"), call_function("shingle_md5s", col("text")).as("hs_"))
-      .select(col("doc_id"), call_function("minhash_sigs", col("hs_")).as("sig_"))
+  /** (doc_id, source, sig_) over an arbitrary documents frame — batch
+    * or STREAMING: the per-row sketch math is stateless, which
+    * (together with dd14's elementwise-min merge law) is what makes
+    * MinHash maintainable as a streaming materialized view (st09).
+    * Each stage materializes in its own projection (same CSE rationale
+    * as the hash array: fanning element_at over an un-materialized
+    * alias would re-inline the whole computation). */
+  private[graft] def sigBank(docs: DataFrame): DataFrame = {
+    registerSketches(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("source"),
+        call_function("shingle_md5s", col("text")).as("hs_"))
+      .select(col("doc_id"), col("source"),
+        call_function("minhash_sigs", col("hs_")).as("sig_"))
   }
+
+  /** (doc_id, sig_) — the id-keyed view of [[sigBank]]. */
+  private def withSigBank(s: SparkSession, d: String): DataFrame =
+    sigBank(documents(s, d)).select("doc_id", "sig_")
+
+  /** Collection-level (per-source) sketches by elementwise-min merge
+    * of [[sigBank]]'s per-document signatures — the UNORDERED core of
+    * dd14, shared with the streaming materialized view (st09): min is
+    * the merge operator, so partial aggregation combines map-side in
+    * batch and per-microbatch in streaming, identically. */
+  private[graft] def sourceSketch(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("source"), posexplode(col("sig_")))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "mh"))
+      .groupBy("source", "j")
+      .agg(min("mh").as("minhash"))
 
   /** (doc_id, band, bkey) — one row per LSH band per document; the
     * single definition of the banding layout (candidatePairs and dd09
@@ -568,16 +589,8 @@ object Dedup {
     // ever revisiting text (partial aggregation does the merging
     // map-side — the shuffle carries one signature per source per
     // partition).
-    "dd14_sketch_merge" -> ((s, d) => {
-      val sigs = withSigBank(s, d)
-      val src = documents(s, d).select(col("doc_id"), col("source"))
-      sigs.join(src, "doc_id")
-        .select(col("source"), posexplode(col("sig_")))
-        .withColumnsRenamed(Map("pos" -> "j", "col" -> "mh"))
-        .groupBy("source", "j")
-        .agg(min("mh").as("minhash"))
-        .orderBy("source", "j")
-    }),
+    "dd14_sketch_merge" -> ((s, d) =>
+      sourceSketch(sigBank(documents(s, d))).orderBy("source", "j")),
 
     // dd06: embedding-cosine near-dup pairs on a FIXED-SIZE sampled
     // subset (in-order double fold → bit-identical to the oracle).

@@ -95,7 +95,8 @@ object EventStream {
   /** The documents twin of [[runStream]]: a parquet file stream over
     * the documents table, drained to a memory sink. */
   private def runDocStream(spark: SparkSession, dir: String,
-      sinkName: String)(build: DataFrame => DataFrame): DataFrame = {
+      sinkName: String, outputMode: String = "append")
+      (build: DataFrame => DataFrame): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -106,7 +107,7 @@ object EventStream {
         java.nio.file.Paths.get(s"$dir/documents.parquet"))
       val stream = build(
         ss.readStream.schema(docsSchema).parquet(srcDir.toString))
-      q = stream.writeStream.outputMode("append")
+      q = stream.writeStream.outputMode(outputMode)
         .format("memory").queryName(sinkName).start()
       q.processAllAvailable()
     } finally {
@@ -137,6 +138,20 @@ object EventStream {
             col("predicted_lang").isin("en", "de", "es"))
           .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
       }.orderBy("doc_id")),
+
+    // st09: streaming SKETCH maintenance — the per-source MinHash
+    // signatures kept as a live materialized view over the document
+    // stream. This works BECAUSE of dd14's merge law (the union's
+    // signature is the elementwise min of member signatures): min is
+    // the combine operator, so the per-microbatch partial aggregation
+    // IS the sketch merge, and state is one signature per source —
+    // bounded by |sources|, never by the stream. Shares dd14's query
+    // core AND its oracle verbatim, so the batch sketch and the
+    // streaming view provably agree.
+    "st09_stream_sketch" -> ((s, d) =>
+      runDocStream(s, d, "st_source_sketch", outputMode = "complete") {
+        df => graft.dedup.Dedup.sourceSketch(graft.dedup.Dedup.sigBank(df))
+      }.orderBy("source", "j")),
 
     // st02: streaming deduplication — the source is staged TWICE (two
     // files with identical rows), and `dropDuplicatesWithinWatermark`
@@ -262,6 +277,10 @@ object EventStream {
       }.orderBy("event_id")))
 
   val oracles: Map[String, String] = Map(
+    // shared verbatim with dd14 — the batch sketch and the streaming
+    // materialized view must produce the same table
+    "st09_stream_sketch" -> graft.dedup.Dedup.oracles("dd14_sketch_merge"),
+
     "st08_stream_quality_gate" ->
       s"""WITH ${graft.operators.TextAnalysis.scoredSqlCte}
          |SELECT doc_id, n_tokens, quality_score, predicted_lang
