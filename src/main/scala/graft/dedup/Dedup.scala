@@ -44,6 +44,13 @@ object Dedup {
     * quadratic death at 100×.) */
   private[graft] val SampleN = 500
 
+  /** dd15 span-dedup window geometry: 64-char windows every 32 chars,
+    * so every char is covered by exactly two windows and a duplicated
+    * run of ≥ 2·W−stride chars is guaranteed to produce at least one
+    * shared window hash. */
+  private[graft] val SpanW      = 64
+  private[graft] val SpanStride = 32
+
   /** Deterministic fixed-size sample: hash-ordered top-N over the id.
     * Plans as per-partition TakeOrdered + an N-row merge — one scan,
     * no corpus shuffle — and the SQL oracle reproduces it with
@@ -613,6 +620,51 @@ object Dedup {
         .filter(col("cos") >= 0.2)
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // dd15: exact duplicated-SPAN detection — the substring-level
+    // complement of dd01's whole-document hash: fixed-width character
+    // windows (W=64, stride 32) are content-hashed, a span is
+    // "duplicated" when it occurs in ≥2 distinct documents, and each
+    // document reports how much of it is made of such shared spans
+    // (boilerplate headers, license blocks, templated text — the stuff
+    // document-level dedup can't see). This is the bounded-window form
+    // of exact-substring training-data dedup; the unbounded-span
+    // variant is a suffix-array build, which trades this one linear
+    // shuffle for O(n log n) sorts.
+    //
+    // Scale: windows/doc = len/stride, so the shuffle carries ~24
+    // bytes per 32 corpus chars (16-hex-char span hash + doc_id) —
+    // LINEAR in corpus size, and the per-hash group is bounded by the
+    // number of documents sharing that span. No pair join anywhere.
+    "dd15_dup_spans" -> ((s, d) => {
+      // materialize the hashed windows once — they feed the dup-hash
+      // aggregate, the per-doc totals, and the semi-join (on a
+      // cluster: .cache or a parquet checkpoint)
+      val spans = documents(s, d)
+        .filter(length(col("text")) >= SpanW)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (SpanW - 1),
+            lit(SpanStride))).as("pos"),
+          col("text"))
+        .select(col("doc_id"),
+          substring(md5(expr(s"substring(text, pos, $SpanW)")), 1, 16).as("h"))
+        .localCheckpoint()
+      val dupH = spans.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).select("h")
+      val dupPerDoc = spans.join(dupH, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      spans.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+        // floor(x*1e6 + .5) micro-units, not round(): engine round()
+        // semantics differ at the .5 double boundary
+        .withColumn("dup_frac_u6",
+          floor(col("n_dup") * lit(1000000.0) / col("n_windows") + 0.5)
+            .cast("long"))
+        .select("doc_id", "n_windows", "n_dup", "dup_frac_u6")
+        .orderBy("doc_id")
     })
   )
 
@@ -937,6 +989,27 @@ object Dedup {
          |)
          |SELECT vec_a, vec_b, cos FROM pairs
          |WHERE cos >= 0.2
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd15_dup_spans" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, substr(md5(substr(text, pos, $SpanW)), 1, 16) AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, length(text) - ${SpanW - 1},
+         |                                 $SpanStride)) AS pos
+         |        FROM documents WHERE length(text) >= $SpanW)
+         |), dup_h AS (
+         |  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         |), dup_per_doc AS (
+         |  SELECT doc_id, count(*) AS n_dup FROM spans
+         |  WHERE h IN (SELECT h FROM dup_h) GROUP BY doc_id
+         |), totals AS (
+         |  SELECT doc_id, count(*) AS n_windows FROM spans GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, t.n_windows, coalesce(d.n_dup, 0) AS n_dup,
+         |  CAST(floor(coalesce(d.n_dup, 0) * 1000000.0 / t.n_windows + 0.5)
+         |       AS BIGINT) AS dup_frac_u6
+         |FROM totals t LEFT JOIN dup_per_doc d ON t.doc_id = d.doc_id
+         |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -505,7 +505,36 @@ object Relational {
           .as("sum_qty"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+          col("l_linestatus").asc_nulls_first)),
+
+    // q30: corpus MIXING WEIGHTS — the sampling-weight table a
+    // training run consumes: per (lang, source) bucket, docs/chars
+    // totals and a temperature-flattened weight p_i ∝ n_i^0.5
+    // (sqrt upweights small groups without letting the largest
+    // dominate — the multilingual-corpus "temperature sampling"
+    // shape), normalized to integer micro-units.
+    //
+    // Exactness at the hash gate: sqrt is IEEE-correctly-rounded
+    // (same double on both engines), but a float SUM across groups is
+    // order-dependent — so each group's sqrt is first floored to
+    // integer micro-units and the normalizer is an INTEGER sum (any
+    // order, same bits), then the final ratio is one double divide +
+    // floor. The aggregate is group-count-sized (|lang|×|source|), so
+    // the normalizer broadcast stays trivial at any corpus size.
+    "q30_mix_weights" -> ((s, d) => {
+      val groups = documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("s_u6",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+            .cast("long"))
+      groups
+        .crossJoin(broadcast(groups.agg(sum("s_u6").as("tot"))))
+        .withColumn("w_u6",
+          floor(col("s_u6") * lit(1000000.0) / col("tot") + 0.5).cast("long"))
+        .select("lang", "source", "n_docs", "sum_chars", "w_u6")
+        .orderBy("lang", "source")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -809,6 +838,19 @@ object Relational {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q30_mix_weights" ->
+      """WITH groups AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0)
+        |         AS BIGINT) AS s_u6
+        |  FROM documents GROUP BY lang, source
+        |)
+        |SELECT lang, source, n_docs, sum_chars,
+        |  CAST(floor(s_u6 * 1000000.0 /
+        |       (SELECT sum(s_u6) FROM groups) + 0.5) AS BIGINT) AS w_u6
+        |FROM groups ORDER BY lang, source""".stripMargin
   )
 }

@@ -20,6 +20,20 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to")
 
+  /** ta16 contamination geometry: held-out eval-set size (fixed SIZE,
+    * hash-ordered — never a fixed rate) and the word-n-gram width the
+    * overlap check matches on (the published decontamination passes
+    * use 8-13-gram exact overlap; 8 fits this corpus's doc lengths). */
+  private val EvalN   = 64
+  private val ContamN = 8
+
+  /** All word n-grams of `toks` as space-joined strings; callers must
+    * ensure size(toks) >= n (Spark's 2-arg sequence() would otherwise
+    * count DOWNWARD from 1 and fabricate windows). */
+  private def wordNgrams(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
   private val Profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
     "de" -> Seq("der", "die", "das", "und"),
@@ -351,6 +365,51 @@ object TextAnalysis {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg("logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // ta16: benchmark-CONTAMINATION check — the decontamination pass a
+    // training-data pipeline runs before any corpus ships: how much of
+    // each held-out evaluation document already appears verbatim (as
+    // word 8-grams) somewhere in the training corpus. The eval set is
+    // a deterministic FIXED-SIZE hash-ordered sample (dd05's lesson:
+    // fixed SIZE, never fixed rate), the training side is everything
+    // else.
+    //
+    // Scale: the benchmark is tiny by construction, so its distinct
+    // gram set BROADCASTS; the training corpus streams through one
+    // broadcast semi-join — a single linear pass, no corpus shuffle,
+    // and the only shuffled rows are the (≤ eval-gram-count) matches
+    // going into the distinct. This stays one pass at 100 TB.
+    "ta16_contamination" -> ((s, d) => {
+      val evalDocs = documents(s, d)
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(EvalN)
+        .localCheckpoint() // feeds the id anti-join AND the gram explode
+      // docs with < 8 tokens have no 8-grams and drop out (both engines)
+      val evalG = evalDocs
+        .filter(size(tokens(col("text"))) >= ContamN)
+        .select(col("doc_id"),
+          explode(array_distinct(wordNgrams(tokens(col("text")), ContamN)))
+            .as("g"))
+        .localCheckpoint() // feeds the broadcast gram set + final count
+      val train = documents(s, d)
+        .join(broadcast(evalDocs.select("doc_id")), Seq("doc_id"), "left_anti")
+      val found = train
+        .filter(size(tokens(col("text"))) >= ContamN)
+        .select(explode(wordNgrams(tokens(col("text")), ContamN)).as("g"))
+        .join(broadcast(evalG.select("g").distinct()), Seq("g"), "left_semi")
+        .distinct()
+      evalG.join(found.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        // floor(x*1e6 + .5) micro-units, not round() — engine round()
+        // semantics differ at the .5 double boundary
+        .withColumn("contam_u6",
+          floor(col("n_contaminated") * lit(1000000.0) / col("n_grams") + 0.5)
+            .cast("long"))
+        .select("doc_id", "n_grams", "n_contaminated", "contam_u6")
         .orderBy("doc_id")
     }),
 
@@ -977,6 +1036,34 @@ object TextAnalysis {
          |  round(avg(logp), 6) AS avg_logp
          |FROM bgs JOIN probs USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ta16_contamination" ->
+      s"""WITH eval_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $EvalN
+         |), eval_g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - ${ContamN - 1}),
+         |    i -> array_to_string(toks[i : i + ${ContamN - 1}], ' ')))) AS g
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM eval_docs)
+         |  WHERE len(toks) >= $ContamN
+         |), found AS (
+         |  SELECT DISTINCT g FROM (
+         |    SELECT unnest(list_transform(
+         |      generate_series(1, len(toks) - ${ContamN - 1}),
+         |      i -> array_to_string(toks[i : i + ${ContamN - 1}], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM eval_docs))
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM eval_g)
+         |)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(sum(CASE WHEN f.g IS NOT NULL THEN 1 END), 0)
+         |       AS BIGINT) AS n_contaminated,
+         |  CAST(floor(coalesce(sum(CASE WHEN f.g IS NOT NULL THEN 1 END), 0)
+         |       * 1000000.0 / count(*) + 0.5) AS BIGINT) AS contam_u6
+         |FROM eval_g e LEFT JOIN found f USING (g)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
 
     "em03_pq_assign" ->
       s"""WITH $pqSqlCtes

@@ -1,0 +1,140 @@
+package graft
+
+import java.security.MessageDigest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** In-test oracles for the span-dedup / contamination / mixing-weight
+  * queries (dd15, ta16, q30): each is recomputed brute-force in plain
+  * Scala over a purpose-built synthetic corpus, so the assertion is
+  * independent of BOTH engines the driver compares (Spark and the SQL
+  * oracle) and of the shipped testdata fixtures.
+  */
+class CurationQueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def toks(t: String): Seq[String] =
+    t.split(" ").filter(_.nonEmpty).toSeq
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cq").toString
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def u6(num: Long, den: Long): Long =
+    math.floor(num * 1000000.0 / den + 0.5).toLong
+
+  // ---- dd15 ---------------------------------------------------------
+
+  /** Brute-force dd15: 64-char windows every 32 chars. */
+  private def spanHashes(t: String): Seq[String] =
+    (1 to (t.length - 63) by 32)
+      .map(p => md5hex(t.substring(p - 1, p - 1 + 64)).take(16))
+
+  test("dd15 matches a brute-force span-dedup recompute") {
+    // docs 1/2 share a position-aligned 128-char prefix (=> exactly the
+    // windows at pos 1/33/65 collide); doc 3 repeats one char — all its
+    // windows hash equal WITHIN the doc, which must NOT count as
+    // duplication; doc 4 is below the window width and must vanish.
+    val prefix = "abcdefgh" * 16
+    val rows = Seq(
+      (1L, prefix + "x" * 200, "en", "web"),
+      (2L, prefix + "y" * 200, "en", "web"),
+      (3L, "z" * 300, "en", "web"),
+      (4L, "too short", "en", "web"))
+    val dir = writeDocs(rows)
+
+    val spans = rows.filter(_._2.length >= 64)
+      .map { case (id, t, _, _) => id -> spanHashes(t) }
+    val dupH = spans.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = spans.map { case (id, hs) =>
+      val nd = hs.count(dupH)
+      (id, hs.size.toLong, nd.toLong, u6(nd.toLong, hs.size.toLong))
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("dd15_dup_spans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the aligned-prefix pair shares exactly 3 windows, the
+    // self-repetitive doc none
+    assert(got.find(_._1 == 1L).get._3 == 3L)
+    assert(got.find(_._1 == 3L).get._3 == 0L)
+    assert(!got.exists(_._1 == 4L))
+  }
+
+  // ---- ta16 ---------------------------------------------------------
+
+  private def grams8(ts: Seq[String]): Seq[String] =
+    if (ts.size < 8) Seq.empty
+    else (0 to ts.size - 8).map(i => ts.slice(i, i + 8).mkString(" "))
+
+  test("ta16 matches a brute-force contamination recompute") {
+    // 80 docs: a global 8-token header (guarantees every eval doc has
+    // at least one contaminated gram as long as ANY doc lands on the
+    // training side), pair-shared bodies, unique tails
+    val header = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = (0L until 80L).map { i =>
+      val body = (0 until 10).map(j => s"w${i / 2}_$j").mkString(" ")
+      (i, s"$header $body tail_$i", "en", "web")
+    }
+    val dir = writeDocs(rows)
+
+    val evalIds = rows.map(_._1)
+      .sortBy(id => (md5hex(id.toString), id)).take(64).toSet
+    val trainGrams = rows.filterNot(r => evalIds(r._1))
+      .flatMap(r => grams8(toks(r._2))).toSet
+    val expected = rows.filter(r => evalIds(r._1))
+      .map { r =>
+        val gs = grams8(toks(r._2)).distinct
+        val nc = gs.count(trainGrams)
+        (r._1, gs.size.toLong, nc.toLong, u6(nc.toLong, gs.size.toLong))
+      }
+      .filter(_._2 > 0).sortBy(_._1)
+
+    val got = SparkEntry.queries("ta16_contamination")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.forall(_._3 >= 1L), "global header must contaminate")
+    assert(got.exists(_._3 < got.map(_._2).max),
+      "unique tails must keep some grams clean")
+  }
+
+  // ---- q30 ----------------------------------------------------------
+
+  test("q30 matches a brute-force mixing-weight recompute") {
+    val langs = Seq("en", "de", "es")
+    val sources = Seq("web", "wiki", "code", "news")
+    val rows = (0L until 90L).map { i =>
+      (i, s"doc number $i with some text", langs((i % 3).toInt),
+        sources((i % 7 % 4).toInt)) // uneven group sizes
+    }
+    val dir = writeDocs(rows)
+
+    val groups = rows.groupBy(r => (r._3, r._4)).toSeq.map {
+      case ((l, src), rs) =>
+        (l, src, rs.size.toLong, rs.map(_._2.length.toLong).sum,
+          math.floor(math.sqrt(rs.size.toDouble) * 1000000.0).toLong)
+    }
+    val tot = groups.map(_._5).sum
+    val expected = groups.map { case (l, src, n, ch, s6) =>
+      (l, src, n, ch, math.floor(s6 * 1000000.0 / tot + 0.5).toLong)
+    }.sortBy(g => (g._1, g._2))
+
+    val got = SparkEntry.queries("q30_mix_weights")(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // weights normalize (within per-group half-unit rounding) and are
+    // monotone in group size
+    assert(math.abs(got.map(_._5).sum - 1000000L) <= groups.size / 2 + 1)
+    val bySize = got.sortBy(_._3)
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a._5 <= b._5 })
+  }
+}

@@ -221,4 +221,27 @@ class PlanSpec extends AnyFunSuite {
       "the aggregate must sit below the window in the plan tree " +
         s"(printed after it):\n$p")
   }
+
+  test("dd15 span dedup is all equi-shuffles — no pair join anywhere") {
+    // the 100×-scale claim: exact-substring dedup is ONE linear
+    // explode + hash aggregates + an equi semi-join on the span hash;
+    // any nested-loop or cartesian here means someone reintroduced a
+    // pair join over documents
+    val p = plan("dd15_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"dd15 must never pair-join:\n$p")
+  }
+
+  test("ta16 streams the corpus through broadcast joins only") {
+    // the benchmark gram set and the eval id set are tiny by
+    // construction — the 100 TB-side scan must join against them via
+    // broadcast (anti on ids, semi on grams), never a corpus shuffle
+    // into a sort-merge join
+    val p = plan("ta16_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ta16: expected broadcast anti/semi joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"ta16: the corpus side must not shuffle into a merge join:\n$p")
+  }
 }
