@@ -4,6 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.operators.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation over the `documents` table — the
@@ -12,17 +13,21 @@ import org.apache.spark.sql.functions._
   *
   *   1. exact dedup — hash-agg on a content digest, keeper = min id;
   *   2. near-dup removal — MinHash/LSH candidate pairs → connected
-  *      components → drop every non-minimum member of each group;
+  *      components → keep the highest-quality member of each group
+  *      (dd16's keeper rule, doc_id tie-break);
   *   3. quality + language + repetition gate — heuristic score
   *      threshold, stopword-profile language allowlist, and the
-  *      Gopher-style duplicate-bigram-fraction cap;
+  *      Gopher-style duplicate-bigram-fraction cap — then
+  *      DECONTAMINATION: the held-out benchmark sample and every
+  *      survivor sharing a word-8-gram with it are dropped (ta16's
+  *      overlap core);
   *   4. content-stable split assignment + stats for audit;
   *   5. embedding compression — PQ codes for the survivors, the
   *      8-bytes-per-vector shape ss07's ADC search serves from.
   *
   * Everything is the same oracle-checked operator the query surface
-  * exposes (dd01/dd03/dd07/ta02/ta03/ta11/ta09/em03) — this app only
-  * composes them.
+  * exposes (dd01/dd03/dd07/dd16/ta02/ta03/ta11/ta16/ta09/em03) — this
+  * app only composes them.
   * Each stage's survivors flow as (doc_id)-keyed frames; text payloads
   * are re-joined once at the end, so the wide column never rides
   * through the dedup shuffles (at 100 TB the payload stays in parquet
@@ -41,9 +46,13 @@ object CurationPipeline {
           minQuality: Double = 0.3,
           langs: Seq[String] = Seq("en", "de", "es"),
           maxDupBigramFrac: Double = 0.2,
+          benchN: Int = 16,
           checkpoint: Option[Dedup.CheckpointStrategy] = None): Result = {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
+    // one scoring pass, reused by the near-dup keeper (stage 2) and
+    // the gate (stage 3)
+    val scoredAll = TextAnalysis.scored(docs)
 
     // 1. exact dedup on the full-text digest: keep min doc_id per key
     val exactKeep = docs
@@ -52,36 +61,57 @@ object CurationPipeline {
       .select("doc_id")
     val nExact = exactKeep.count()
 
-    // 2. near-dup removal: LSH pairs → CC groups → keep group minimum
-    // (docs in no group are their own keeper). Only ids shuffle here.
+    // 2. near-dup removal: LSH pairs → CC groups → keep the
+    // highest-QUALITY member per group (dd16's oracle-checked rule;
+    // doc_id is the deterministic tie-break — an exact-dup twin always
+    // ties on quality, so the stage-1 keeper, which has the lowest id
+    // among identical texts, also wins here). Docs in no group are
+    // their own keeper. Only ids + scores shuffle.
     // Pairs are restricted to exact-dedup survivors first: an exact
     // duplicate has identical signatures to its keeper, so the keeper
-    // carries the same connectivity and the group minimum is always a
-    // survivor — dropping the losers' pairs shrinks the CC input
-    // without changing any component.
+    // carries the same connectivity and dropping the losers' pairs
+    // shrinks the CC input without changing any component.
     val pairs = Dedup.candidatePairs(spark, dir)
       .join(exactKeep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(exactKeep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     val groups = Dedup.connectedComponents(pairs,
       checkpoint = checkpoint.getOrElse(
         Dedup.CheckpointStrategy.fromConf(spark)))
-    val nearDupLosers = groups.filter(col("doc_id") =!= col("group_id"))
+    val wKeep = Window.partitionBy("group_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val nearDupLosers = groups
+      .join(scoredAll.select("doc_id", "quality_score"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(wKeep))
+      .filter(col("rn") > 1)
       .select("doc_id")
     val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
 
     // 3. quality + language + repetition gate — two per-row scoring
     // projections over the cached docs, id-joined to the survivors
-    val gated = nearKeep.join(TextAnalysis.scored(docs), Seq("doc_id"))
+    val gated = nearKeep.join(scoredAll, Seq("doc_id"))
       .join(TextAnalysis.repetitionScored(docs)
         .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs: _*) &&
         col("dup_bigram_frac") <= maxDupBigramFrac)
+    val nGated = gated.count()
+
+    // 3b. DECONTAMINATION (ta16's overlap core): the held-out
+    // benchmark sample is excluded from the training corpus outright,
+    // and so is any survivor sharing a word-8-gram with it — the pass
+    // every corpus runs before it ships, here as a pipeline stage.
+    // The benchmark gram set broadcasts; the survivor side streams
+    // through one semi-join (no corpus shuffle).
+    val bench = TextAnalysis.benchSample(docs, benchN).localCheckpoint()
+    val decon = gated
+      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(TextAnalysis.contaminatedIds(docs, bench),
+        Seq("doc_id"), "left_anti")
     // 4. content-stable split assignment (ta09): the digest, not an
     // RNG, decides train/valid/test, so reruns and reshards keep every
     // document's split
-    val curated = gated
+    val curated = decon
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
       .withColumn("split", graft.functions.Funcs.hashSplit(col("text")))
       .select("doc_id", "text", "lang", "source", "predicted_lang",
@@ -130,7 +160,8 @@ object CurationPipeline {
       ("input", total),
       ("after_exact_dedup", nExact),
       ("after_near_dedup", nNear),
-      ("after_quality_lang_gate", nFinal),
+      ("after_quality_lang_gate", nGated),
+      ("after_decontamination", nFinal),
       ("compressed_embeddings", nCompressed))
       .toDF("stage", "n_docs")
     Result(curated, stats, compressed)

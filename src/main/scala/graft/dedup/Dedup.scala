@@ -3,7 +3,9 @@ package graft.dedup
 import graft.Tables._
 import graft.functions.Funcs._
 import graft.functions.VecDot
+import graft.operators.TextAnalysis
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline:
@@ -665,6 +667,36 @@ object Dedup {
             .cast("long"))
         .select("doc_id", "n_windows", "n_dup", "dup_frac_u6")
         .orderBy("doc_id")
+    }),
+
+    // dd16: canonical-REPRESENTATIVE selection — the "which duplicate
+    // do we KEEP" decision that turns dd07's group ids into an
+    // actionable keep/drop list: per near-dup group, the member with
+    // the highest ta02 quality score (doc_id as the deterministic
+    // tie-break), plus the group size the curation report wants.
+    //
+    // Scale: groups cover only the duplicate TAIL of the corpus, so
+    // the per-row quality math runs AFTER a semi-join down to members
+    // (dd10's late-materialization lesson — score the tail, not the
+    // corpus); the argmax is one row_number window over group-sized
+    // partitions, and everything shuffled is keyed by doc_id/group_id.
+    "dd16_canonical_docs" -> ((s, d) => {
+      val groups = connectedComponents(candidatePairs(s, d),
+        checkpoint = CheckpointStrategy.fromConf(s))
+      val memberDocs = documents(s, d)
+        .join(groups.select("doc_id"), Seq("doc_id"), "left_semi")
+      val m = groups.join(
+        TextAnalysis.qualityScored(memberDocs)
+          .select("doc_id", "quality_score"), "doc_id")
+      val counts = m.groupBy("group_id").agg(count(lit(1)).as("n_members"))
+      val w = Window.partitionBy("group_id")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)
+      m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(counts, "group_id")
+        .select(col("group_id"), col("n_members"),
+          col("doc_id").as("kept_doc_id"),
+          col("quality_score").as("kept_quality"))
+        .orderBy("group_id")
     })
   )
 
@@ -678,6 +710,32 @@ object Dedup {
   private val paramsValues = MinhashParams
     .map { case (j, a, b) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString(", ")
+
+  /** dd07/dd16 shared chain: MinHash bands → candidate pairs →
+    * symmetric edges → recursive reachability → `groups(doc_id,
+    * group_id)` with the min-reachable-id as the group label. */
+  private val minhashGroupsCte =
+    s"""bands AS (
+       |  SELECT doc_id, j // ${RowsPerBand} AS band,
+       |    string_agg(minhash, ',' ORDER BY j) AS bkey
+       |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT doc_a, doc_a FROM edges
+       |    UNION
+       |    SELECT r.src, e.doc_b FROM r JOIN edges e ON r.dst = e.doc_a
+       |  ) SELECT src, dst FROM r
+       |), groups AS (
+       |  SELECT src AS doc_id, min(dst) AS group_id
+       |  FROM reach GROUP BY src
+       |)""".stripMargin
 
   private val sigCte =
     s"""hs AS (
@@ -866,27 +924,32 @@ object Dedup {
 
     "dd07_dup_groups" ->
       s"""WITH $sigCte,
-         |bands AS (
-         |  SELECT doc_id, j // ${RowsPerBand} AS band,
-         |    string_agg(minhash, ',' ORDER BY j) AS bkey
-         |  FROM sig GROUP BY doc_id, j // ${RowsPerBand}
-         |), pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |), edges AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs
-         |), reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT doc_a, doc_a FROM edges
-         |    UNION
-         |    SELECT r.src, e.doc_b FROM r JOIN edges e ON r.dst = e.doc_a
-         |  ) SELECT src, dst FROM r
-         |)
-         |SELECT src AS doc_id, min(dst) AS group_id
-         |FROM reach GROUP BY src
+         |$minhashGroupsCte
+         |SELECT doc_id, group_id FROM groups
          |ORDER BY doc_id""".stripMargin,
+
+    // dd07's group resolution + ta02's quality CTE: the keep-list is
+    // derivable entirely in SQL, so the hash gate checks the whole
+    // dedup-then-select composition
+    "dd16_canonical_docs" ->
+      s"""WITH $sigCte,
+         |$minhashGroupsCte,
+         |${TextAnalysis.scoredSqlCte},
+         |m AS (
+         |  SELECT g.group_id, g.doc_id, s.quality_score
+         |  FROM groups g JOIN scored s USING (doc_id)
+         |), r AS (
+         |  SELECT m.*, row_number() OVER (
+         |    PARTITION BY group_id
+         |    ORDER BY quality_score DESC, doc_id) AS rn
+         |  FROM m
+         |), c AS (
+         |  SELECT group_id, count(*) AS n_members FROM m GROUP BY group_id
+         |)
+         |SELECT r.group_id, c.n_members, r.doc_id AS kept_doc_id,
+         |  r.quality_score AS kept_quality
+         |FROM r JOIN c USING (group_id) WHERE r.rn = 1
+         |ORDER BY group_id""".stripMargin,
 
     "dd09_incremental" ->
       s"""WITH $sigCte,

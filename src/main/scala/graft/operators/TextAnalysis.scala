@@ -24,8 +24,8 @@ object TextAnalysis {
     * hash-ordered — never a fixed rate) and the word-n-gram width the
     * overlap check matches on (the published decontamination passes
     * use 8-13-gram exact overlap; 8 fits this corpus's doc lengths). */
-  private val EvalN   = 64
-  private val ContamN = 8
+  private val EvalN           = 64
+  private[graft] val ContamN  = 8
 
   /** All word n-grams of `toks` as space-joined strings; callers must
     * ensure size(toks) >= n (Spark's 2-arg sequence() would otherwise
@@ -33,6 +33,29 @@ object TextAnalysis {
   private def wordNgrams(toks: org.apache.spark.sql.Column, n: Int) =
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Deterministic fixed-size benchmark sample — ta16's hash-ordered
+    * top-N rule, exposed for the curation pipeline's decontamination
+    * stage. */
+  private[graft] def benchSample(docs: DataFrame, n: Int): DataFrame =
+    docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(n)
+
+  /** doc_ids of `candidates` sharing at least one word-[[ContamN]]-gram
+    * with `benchmark` — ta16's overlap core as a reusable gate. Same
+    * scale shape as the query: the benchmark gram set broadcasts, the
+    * candidate side streams through one broadcast semi-join. */
+  private[graft] def contaminatedIds(candidates: DataFrame,
+      benchmark: DataFrame): DataFrame = {
+    val bg = benchmark.filter(size(tokens(col("text"))) >= ContamN)
+      .select(explode(array_distinct(
+        wordNgrams(tokens(col("text")), ContamN))).as("g"))
+      .distinct()
+    candidates.filter(size(tokens(col("text"))) >= ContamN)
+      .select(col("doc_id"),
+        explode(wordNgrams(tokens(col("text")), ContamN)).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
 
   private val Profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and"),
@@ -347,10 +370,18 @@ object TextAnalysis {
         .select(col("doc_id"),
           explode(wordBigrams(tokens(col("text")))).as("bg"))
         .localCheckpoint()
+      // counts feeds ctx: c(w1) = Σ_bg c(w1 bg₂), so the context
+      // totals aggregate the VOCAB-sized count table instead of a
+      // second corpus-sized pass over the bigram stream. Locally this
+      // is within host noise (6.65 → 6.27 s 3-run medians at sf0.1 —
+      // the checkpointed stream makes re-aggregation cheap here), but
+      // at 100 TB it removes one of the two corpus-wide aggregations
+      // outright, which is the shape that matters.
       val counts = bgs.groupBy("bg").agg(count(lit(1)).as("c"))
-      val ctx = bgs
-        .select(substring_index(col("bg"), " ", 1).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("cw"))
+        .localCheckpoint() // feeds ctx AND the prob join
+      val ctx = counts
+        .select(substring_index(col("bg"), " ", 1).as("w1"), col("c"))
+        .groupBy("w1").agg(sum("c").as("cw"))
       val vocab = documents(s, d)
         .select(explode(tokens(col("text"))).as("token"))
         .agg(countDistinct("token").as("v"))
@@ -382,9 +413,7 @@ object TextAnalysis {
     // and the only shuffled rows are the (≤ eval-gram-count) matches
     // going into the distinct. This stays one pass at 100 TB.
     "ta16_contamination" -> ((s, d) => {
-      val evalDocs = documents(s, d)
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .limit(EvalN)
+      val evalDocs = benchSample(documents(s, d), EvalN)
         .localCheckpoint() // feeds the id anti-join AND the gram explode
       // docs with < 8 tokens have no 8-grams and drop out (both engines)
       val evalG = evalDocs

@@ -17,7 +17,8 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(m("input") >= m("after_exact_dedup"))
     assert(m("after_exact_dedup") >= m("after_near_dedup"))
     assert(m("after_near_dedup") >= m("after_quality_lang_gate"))
-    assert(m("after_quality_lang_gate") > 0)
+    assert(m("after_quality_lang_gate") >= m("after_decontamination"))
+    assert(m("after_decontamination") > 0)
   }
 
   test("curated corpus has no exact duplicates and respects the gate") {
@@ -38,15 +39,58 @@ class CurationPipelineSpec extends AnyFunSuite {
       .filter(col("dup_bigram_frac") =!= col("recheck")).count() == 0)
   }
 
-  test("every dropped near-dup has a surviving group representative") {
-    val groups = graft.dedup.Dedup.connectedComponents(
-      graft.dedup.Dedup.candidatePairs(spark, d))
-    // group_id is the minimum member: it must never itself be dropped
-    // by the near-dup stage (it can still fall to the quality gate)
-    val reps = groups.select(col("group_id").as("doc_id")).distinct()
-    val dropped = groups.filter(col("doc_id") =!= col("group_id"))
-      .select("doc_id")
-    assert(reps.join(dropped, Seq("doc_id")).count() == 0)
+  test("any surviving group member is the quality-argmax keeper") {
+    // replicate the pipeline's group construction (pairs restricted to
+    // exact-dedup survivors) and dd16's keeper rule, then check the
+    // OBSERVABLE output: a group contributes at most one doc to the
+    // curated corpus, and if it contributes one, it is the keeper
+    // (the keeper itself may still fall to the gates — then the group
+    // contributes nothing)
+    val docs = Tables.documents(spark, d)
+    val exactKeep = docs
+      .select(col("doc_id"), md5(col("text")).as("k"))
+      .groupBy("k").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val pairs = graft.dedup.Dedup.candidatePairs(spark, d)
+      .join(exactKeep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(exactKeep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val groups = graft.dedup.Dedup.connectedComponents(pairs)
+    val q = graft.operators.TextAnalysis
+      .qualityScored(docs).select("doc_id", "quality_score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val keepers = groups.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id", "group_id")
+    val curatedMembers = result.curated.select("doc_id")
+      .join(groups, Seq("doc_id"))
+    assert(curatedMembers.groupBy("group_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "a group may contribute at most one curated doc")
+    assert(curatedMembers.join(keepers, Seq("doc_id"), "left_anti")
+      .count() == 0,
+      "a curated group member must be its group's quality-argmax")
+  }
+
+  test("curated corpus is decontaminated against the benchmark sample") {
+    val docs = Tables.documents(spark, d)
+    val bench = graft.operators.TextAnalysis.benchSample(docs, 16)
+      .select("doc_id", "text").collect()
+    val benchIds = bench.map(_.getLong(0)).toSet
+    val curated = result.curated.select("doc_id", "text").collect()
+    assert(curated.forall(r => !benchIds(r.getLong(0))),
+      "benchmark docs must not ship in the training corpus")
+    // brute-force 8-gram overlap, independent of the pipeline's code
+    def grams(t: String): Set[String] = {
+      val ts = t.split(" ").filter(_.nonEmpty)
+      if (ts.length < 8) Set.empty
+      else (0 to ts.length - 8).map(i =>
+        ts.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val benchGrams = bench.flatMap(r => grams(r.getString(1))).toSet
+    assert(curated.forall(r =>
+      grams(r.getString(1)).forall(g => !benchGrams(g))),
+      "no curated doc may share a word-8-gram with the benchmark")
   }
 
   test("deterministic across runs") {
