@@ -46,7 +46,7 @@ object CurationPipeline {
           minQuality: Double = 0.3,
           langs: Seq[String] = Seq("en", "de", "es"),
           maxDupBigramFrac: Double = 0.2,
-          benchN: Int = 16,
+          benchN: Int = TextAnalysis.DeconBenchN,
           checkpoint: Option[Dedup.CheckpointStrategy] = None): Result = {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()

@@ -27,10 +27,15 @@ object TextAnalysis {
   private val EvalN           = 64
   private[graft] val ContamN  = 8
 
+  /** Benchmark-sample size shared by the curation pipeline's and the
+    * streaming (st10) decontamination gates — small enough that the
+    * sf0.001 fixture keeps a training side. */
+  private[graft] val DeconBenchN = 16
+
   /** All word n-grams of `toks` as space-joined strings; callers must
     * ensure size(toks) >= n (Spark's 2-arg sequence() would otherwise
     * count DOWNWARD from 1 and fabricate windows). */
-  private def wordNgrams(toks: org.apache.spark.sql.Column, n: Int) =
+  private[graft] def wordNgrams(toks: org.apache.spark.sql.Column, n: Int) =
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
@@ -707,7 +712,7 @@ object TextAnalysis {
     (cb, asgs.result())
   }
 
-  private val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+  private[graft] val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 

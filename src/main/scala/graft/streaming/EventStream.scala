@@ -90,7 +90,8 @@ object EventStream {
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
-    StructField("source", StringType), StructField("text", StringType)))
+    StructField("source", StringType), StructField("text", StringType),
+    StructField("n_chars", LongType)))
 
   /** The documents twin of [[runStream]]: a parquet file stream over
     * the documents table, drained to a memory sink. */
@@ -138,6 +139,41 @@ object EventStream {
             col("predicted_lang").isin("en", "de", "es"))
           .select("doc_id", "n_tokens", "quality_score", "predicted_lang")
       }.orderBy("doc_id")),
+
+    // st10: the streaming DECONTAMINATION gate — ta16's overlap core
+    // as an ingest-time filter: arriving documents that are benchmark
+    // members, or that share a word-8-gram with the benchmark, never
+    // land in the corpus. Two stateless pieces keep it streaming-legal
+    // with no state store: the benchmark ID set is a stream-static
+    // LEFT ANTI join (static right side), and the gram check is a
+    // per-row arrays_overlap against the benchmark's gram set, which
+    // is driver-collected ONCE and shipped as a literal — sound
+    // because the benchmark is fixed-size by construction (ta16's
+    // hash-ordered top-N sample), so the gram set is bounded no matter
+    // the corpus. The oracle recomputes bench/grams/overlap purely in
+    // SQL, so the stream filter and the batch rule provably agree.
+    "st10_stream_decontaminate" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{benchSample, wordNgrams, ContamN, DeconBenchN}
+      import graft.functions.Funcs.tokens
+      val bench = benchSample(graft.Tables.documents(s, d), DeconBenchN)
+        .localCheckpoint() // feeds the id anti-join AND the gram collect
+      val benchGrams: Array[String] = bench
+        .filter(size(tokens(col("text"))) >= ContamN)
+        .select(explode(array_distinct(
+          wordNgrams(tokens(col("text")), ContamN))).as("g"))
+        .distinct().collect().map(_.getString(0))
+      runDocStream(s, d, "st_decon") { df =>
+        val toksC = tokens(col("text"))
+        // when(): docs below the gram width are clean BY DEFINITION and
+        // must not evaluate wordNgrams (2-arg sequence would count down)
+        val contaminated = when(size(toksC) < ContamN, lit(false))
+          .otherwise(arrays_overlap(
+            wordNgrams(toksC, ContamN), typedlit(benchGrams)))
+        df.join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+          .filter(!contaminated)
+          .select("doc_id", "lang", "source", "n_chars")
+      }.orderBy("doc_id")
+    }),
 
     // st09: streaming SKETCH maintenance — the per-source MinHash
     // signatures kept as a live materialized view over the document
@@ -288,6 +324,32 @@ object EventStream {
          |WHERE quality_score >= 0.3
          |  AND predicted_lang IN ('en', 'de', 'es')
          |ORDER BY doc_id""".stripMargin,
+
+    "st10_stream_decontaminate" -> {
+      import graft.operators.TextAnalysis.{toksSql, ContamN, DeconBenchN}
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $DeconBenchN
+         |), bg AS (
+         |  SELECT DISTINCT unnest(list_transform(
+         |    generate_series(1, len(toks) - ${ContamN - 1}),
+         |    i -> array_to_string(toks[i : i + ${ContamN - 1}], ' '))) AS g
+         |  FROM (SELECT $toksSql AS toks FROM bench)
+         |  WHERE len(toks) >= $ContamN
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - ${ContamN - 1}),
+         |      i -> array_to_string(toks[i : i + ${ContamN - 1}], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM bg)
+         |)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
