@@ -28,7 +28,11 @@ object Explain {
         // join), the per-task top-k knn graph (WindowGroupLimit), and
         // the bucketed threshold sweep (aggregate below the join)
         "ss09_knn_ivfpq_served", "dd05_ngram_jaccard", "ss13_knn_graph",
-        "ml16_pr_curve")
+        "ml16_pr_curve",
+        // round-5 curation additions: linear span-dedup (no pair
+        // join), broadcast-only contamination sweep, group-bounded
+        // keeper argmax
+        "dd15_dup_spans", "ta16_contamination", "dd16_canonical_docs")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")

@@ -49,6 +49,11 @@ object Similarity {
     * per query before the exact re-rank trims to [[TopK]]. */
   private[graft] val RerankC = 30
 
+  /** ss15 MMR geometry: shortlist size (per-query candidate pool) and
+    * how many diversified results the greedy selection emits. */
+  private[graft] val MmrC = 20
+  private[graft] val MmrK = 5
+
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
     * single-table special case of [[multiBuckets]] (table 0 uses
@@ -479,6 +484,90 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss15: MMR-DIVERSIFIED top-k — maximal marginal relevance over a
+    // bounded shortlist: greedily pick the candidate maximizing
+    // relevance minus its max similarity to anything already picked
+    // (λ = 0.5, so the λ·rel − (1−λ)·maxSim objective is a positive
+    // multiple of rel − maxSim — same argmax, kept in INTEGER
+    // micro-units so every comparison is exact on both engines). The
+    // retrieval-diversification step a training-data sampler runs so
+    // k near-identical neighbors don't all ship.
+    //
+    // Scale: per-query work is bounded by the SHORTLIST, never the
+    // corpus — C relevance rows, C² pair sims, K unrolled selection
+    // steps over K·C-row frames (all broadcast-sized); only the
+    // shortlist build touches the corpus (here ss01's brute scan; at
+    // 100 TB you'd feed ss08's IVF-PQ shortlist instead, same shape).
+    "ss15_mmr_topk" -> ((s, d) => {
+      val u6 = (x: Column) =>
+        floor(round(x, 6) * lit(1000000.0) + 0.5).cast("long")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wRel = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      // shortlist: ss01's ranked neighbors, cut to C per query, with
+      // relevance as micro-units; materialized once — it feeds the
+      // pair sims and every selection step
+      val cand = e
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("nrm").as("nn"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+        .withColumn("rank", row_number().over(wRel))
+        .filter(col("rank") <= MmrC)
+        .select(col("query_id"), col("neighbor_id"),
+          floor(col("cos") * lit(1000000.0) + 0.5).cast("long").as("rel_u6"))
+        .localCheckpoint()
+      // pairwise sims among shortlist members: ≤ C² per query,
+      // corpus-independent
+      val withE = cand.select("query_id", "neighbor_id")
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+      val pair = withE
+        .select(col("query_id"), col("neighbor_id").as("d_id"),
+          col("embedding").as("de"), col("nrm").as("dn"))
+        .join(withE.select(col("query_id"),
+          col("neighbor_id").as("s_id"), col("embedding").as("se"),
+          col("nrm").as("sn")), Seq("query_id"))
+        .filter(col("d_id") =!= col("s_id"))
+        .select(col("query_id"), col("d_id"), col("s_id"),
+          u6(dot(s, col("de"), col("se")) / (col("dn") * col("sn")))
+            .as("sim_u6"))
+        .localCheckpoint()
+      // greedy selection, K unrolled steps (step 1 = pure relevance)
+      val wSel = Window.partitionBy("query_id")
+        .orderBy(col("mmr_u6").desc, col("neighbor_id").asc)
+      var selected = cand
+        .withColumn("mmr_u6", col("rel_u6"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
+          lit(1).as("sel_rank"))
+      var remaining = cand.join(selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      for (t <- 2 to MmrK) {
+        val ms = pair
+          .join(selected.select(col("query_id"),
+            col("neighbor_id").as("s_id")), Seq("query_id", "s_id"))
+          .groupBy("query_id", "d_id").agg(max("sim_u6").as("max_sim"))
+          .withColumnRenamed("d_id", "neighbor_id")
+        val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+          .withColumn("mmr_u6", col("rel_u6") - col("max_sim"))
+          .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
+            lit(t).as("sel_rank"))
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(pick.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      }
+      selected.select("query_id", "sel_rank", "neighbor_id", "mmr_u6")
+        .orderBy("query_id", "sel_rank")
+    }),
+
     // ss13: k-NN GRAPH construction — the batch twin of the query
     // paths: top-3 in-bucket neighbors for EVERY vector (a knn JOIN,
     // not a 5-query probe), the building block of graph-based dedup,
@@ -861,6 +950,41 @@ object Similarity {
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
+    // ss15: same greedy selection, unrolled to K CTE steps — the
+    // correlated max-over-selected subquery makes each step pure SQL,
+    // so the hash gate checks the whole iterative selection
+    "ss15_mmr_topk" ->
+      s"""WITH $bruteRankedCte,
+         |mmr_cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS rel_u6
+         |  FROM bf_ranked WHERE rank <= $MmrC
+         |),
+         |mmr_pair AS (
+         |  SELECT a.query_id, a.neighbor_id AS d_id, b.neighbor_id AS s_id,
+         |    CAST(floor(${cosSql("ea.embedding", "eb.embedding")}
+         |         * 1000000 + 0.5) AS BIGINT) AS sim_u6
+         |  FROM mmr_cand a
+         |  JOIN mmr_cand b
+         |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+         |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+         |),
+         |sel1 AS (
+         |  SELECT query_id, neighbor_id, rel_u6 AS mmr_u6, 1 AS sel_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel_u6 DESC, neighbor_id ASC) AS rn
+         |        FROM mmr_cand) WHERE rn = 1
+         |), acc1 AS (SELECT query_id, neighbor_id FROM sel1),
+         |$mmrStepsSql
+         |SELECT query_id, sel_rank, neighbor_id, mmr_u6 FROM (
+         |  SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel1
+         |${(2 to MmrK).map(t =>
+             s"  UNION ALL SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel$t")
+            .mkString("\n|")}
+         |)
+         |ORDER BY query_id, sel_rank""".stripMargin,
+
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's
     // bf_ranked ground truth — one geometry text, three gates.
@@ -942,6 +1066,36 @@ object Similarity {
        |      ORDER BY adc_u6, neighbor_id) AS rank
        |  FROM adc
        |)""".stripMargin
+
+  /** ss15's selection steps 2..K, generated: each step scores the
+    * not-yet-picked candidates as rel − max(sim to the accumulated
+    * picks) via a correlated subquery, argmaxes with the fixed
+    * (mmr DESC, neighbor_id ASC) tie-break, and appends to the
+    * accumulator CTE the next step correlates against. */
+  private def mmrStepsSql: String = (2 to MmrK).map { t =>
+    val prev = t - 1
+    s"""scored$t AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    c.rel_u6 - (
+       |      SELECT max(p.sim_u6) FROM mmr_pair p
+       |      WHERE p.query_id = c.query_id AND p.d_id = c.neighbor_id
+       |        AND p.s_id IN (SELECT neighbor_id FROM acc$prev a
+       |                       WHERE a.query_id = c.query_id)
+       |    ) AS mmr_u6
+       |  FROM mmr_cand c
+       |  WHERE NOT EXISTS (SELECT 1 FROM acc$prev a
+       |    WHERE a.query_id = c.query_id
+       |      AND a.neighbor_id = c.neighbor_id)
+       |), sel$t AS (
+       |  SELECT query_id, neighbor_id, mmr_u6, $t AS sel_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY mmr_u6 DESC, neighbor_id ASC) AS rn
+       |        FROM scored$t) WHERE rn = 1
+       |), acc$t AS (
+       |  SELECT query_id, neighbor_id FROM acc$prev
+       |  UNION ALL SELECT query_id, neighbor_id FROM sel$t
+       |)""".stripMargin
+  }.mkString(",\n")
 
   /** ss08's oracle SQL, shared verbatim with ss09 (see the map). */
   private def ivfPqServeSql: String =

@@ -144,4 +144,41 @@ class ApproxBoundsSpec extends AnyFunSuite {
     assert(joined.filter(col("adc_u6") =!= col("adc_pruned")).count() == 0,
       "ADC distance diverged between ss07 and ss08 on a shared pair")
   }
+
+  test("ss15 MMR selection is anchored, distinct, and score-monotone") {
+    val k = graft.similarity.Similarity.MmrK
+    val mmr = SparkEntry.queries("ss15_mmr_topk")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // exactly K distinct picks per query
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == k && rows.map(_._3).distinct.length == k,
+        s"query $q: expected $k distinct picks")
+      // greedy MMR scores are non-increasing FROM RANK 2 ON: the
+      // selected set only grows, so each candidate's rel − maxSim
+      // shrinks, and the rank-t winner was available at rank t-1.
+      // Rank 1 is a different objective (pure relevance) and may be
+      // EXCEEDED by rank 2 when similarities are negative — cosines
+      // here are signed.
+      val byRank = rows.sortBy(_._2).map(_._4).drop(1)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q: MMR scores must be non-increasing, got ${byRank.toSeq}")
+    }
+    // rank 1 is pure relevance — it must equal ss01's nearest neighbor
+    val nn1 = SparkEntry.queries("ss01_knn_brute")(spark, d)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    mmr.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      assert(nn1(q) == n, s"query $q: rank-1 pick must be the 1-NN")
+    }
+    // and the selection must actually DIVERSIFY on this fixture: at
+    // least one query's pick set differs from the plain top-K
+    val top5 = SparkEntry.queries("ss01_knn_brute")(spark, d)
+      .filter(col("rank") <= k).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val diverged = mmr.groupBy(_._1).exists { case (q, rows) =>
+      rows.map(_._3).toSet != top5(q)
+    }
+    assert(diverged, "MMR never deviated from plain top-k — vacuous")
+  }
 }
