@@ -534,8 +534,55 @@ object Relational {
           floor(col("s_u6") * lit(1000000.0) / col("tot") + 0.5).cast("long"))
         .select("lang", "source", "n_docs", "sum_chars", "w_u6")
         .orderBy("lang", "source")
+    }),
+
+    // q31: APPLY the mixing weights — the resampling step that turns
+    // q30's weight table into an actual training corpus: each (lang,
+    // source) bucket contributes n_i = round(T · w_i) documents,
+    // chosen deterministically by hash order (the dd05/ta16 fixed-
+    // size-sample rule: md5(doc_id) order, doc_id tie-break), so the
+    // drawn corpus is reproducible run-to-run and engine-to-engine.
+    // Buckets smaller than their quota contribute everything they
+    // have (sampling without replacement caps at the bucket).
+    //
+    // Scale: the weight table is group-count-sized and BROADCAST onto
+    // the corpus; the only corpus-wide work is one row_number window
+    // per (lang, source) partition — the same shuffle a groupBy on
+    // those keys would pay — and everything downstream carries only
+    // survivors. At 100 TB the hash-rank window replaces the
+    // usual "ORDER BY rand() LIMIT n" anti-pattern (a global sort
+    // with a nondeterministic key) with a per-bucket bounded sort on
+    // a deterministic key.
+    "q31_mix_apply" -> ((s, d) => {
+      val groups = documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("s_u6",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0))
+            .cast("long"))
+      val quotas = groups
+        .crossJoin(broadcast(groups.agg(sum("s_u6").as("tot"))))
+        .withColumn("w_u6",
+          floor(col("s_u6") * lit(1000000.0) / col("tot") + 0.5).cast("long"))
+        .select(col("lang"), col("source"),
+          floor(lit(MixTargetN) * col("w_u6") / lit(1000000.0) + 0.5)
+            .cast("long").as("n_quota"))
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("lang", "source"))
+        .filter(col("rk") <= col("n_quota"))
+        .select("lang", "source", "doc_id", "rk")
+        .orderBy("lang", "source", "rk")
     })
   )
+
+  /** q31 resample target: total documents the mixed corpus draws
+    * (before small-bucket capping). Small enough that sf0.001's 50-doc
+    * fixture still exercises the cap path. */
+  private val MixTargetN = 200
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -851,6 +898,30 @@ object Relational {
         |SELECT lang, source, n_docs, sum_chars,
         |  CAST(floor(s_u6 * 1000000.0 /
         |       (SELECT sum(s_u6) FROM groups) + 0.5) AS BIGINT) AS w_u6
-        |FROM groups ORDER BY lang, source""".stripMargin
+        |FROM groups ORDER BY lang, source""".stripMargin,
+
+    "q31_mix_apply" ->
+      s"""WITH groups AS (
+         |  SELECT lang, source,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0)
+         |         AS BIGINT) AS s_u6
+         |  FROM documents GROUP BY lang, source
+         |), quotas AS (
+         |  SELECT lang, source,
+         |    CAST(floor($MixTargetN *
+         |      CAST(floor(s_u6 * 1000000.0 /
+         |           (SELECT sum(s_u6) FROM groups) + 0.5) AS BIGINT)
+         |      / 1000000.0 + 0.5) AS BIGINT) AS n_quota
+         |  FROM groups
+         |), ranked AS (
+         |  SELECT lang, source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM documents
+         |)
+         |SELECT r.lang, r.source, r.doc_id, r.rk
+         |FROM ranked r JOIN quotas q USING (lang, source)
+         |WHERE r.rk <= q.n_quota
+         |ORDER BY lang, source, rk""".stripMargin
   )
 }

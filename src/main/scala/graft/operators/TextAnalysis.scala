@@ -32,6 +32,14 @@ object TextAnalysis {
     * sf0.001 fixture keeps a training side. */
   private[graft] val DeconBenchN = 16
 
+  /** ta17 redaction patterns — restricted to the regex subset where
+    * Java regex (Spark) and RE2 (DuckDB) provably agree: character
+    * classes, greedy +/{n}, literal dots. No backrefs, no lookarounds
+    * (RE2 has neither). */
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val Ipv4Re  = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
   /** All word n-grams of `toks` as space-joined strings; callers must
     * ensure size(toks) >= n (Spark's 2-arg sequence() would otherwise
     * count DOWNWARD from 1 and fabricate windows). */
@@ -444,6 +452,55 @@ object TextAnalysis {
           floor(col("n_contaminated") * lit(1000000.0) / col("n_grams") + 0.5)
             .cast("long"))
         .select("doc_id", "n_grams", "n_contaminated", "contam_u6")
+        .orderBy("doc_id")
+    }),
+
+    // ta17: PII REDACTION — the scrub pass every shipping corpus runs
+    // before training: emails, phone numbers, and IPv4 addresses are
+    // replaced with typed placeholder tags, and each document reports
+    // how many of each class it carried plus the md5 of the scrubbed
+    // text — so the hash gate proves the redacted BYTES are identical
+    // across engines, not just the counts. The synthetic corpus
+    // carries no natural PII, so the query deterministically weaves it
+    // in from doc_id first (mm02's generator pattern: build the
+    // payload, run the real operator, let the oracle recompute the
+    // generator — the hash match then proves the redaction itself).
+    //
+    // The patterns parse identically under Java regex (Spark) and RE2
+    // (DuckDB): character classes, +, {n} only — no backrefs or
+    // lookarounds (RE2 has neither), and greedy-match results agree
+    // on these shapes. Redaction order is fixed (email → phone → IP)
+    // in both engines; match counts are taken on the PRE-redaction
+    // payload so the three counters are order-independent. Scale: one
+    // per-row projection, zero shuffle before the presentation sort —
+    // linear at any corpus size, inside whole-stage codegen.
+    "ta17_pii_redact" -> ((s, d) => {
+      val payload = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@ex"),
+            col("doc_id") % 7, lit(".org"))).otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad(col("doc_id") % 10000, 4, "0"))).otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), col("doc_id") % 256, lit("."),
+            expr("(doc_id div 256) % 256"), lit("."),
+            col("doc_id") % 100)).otherwise(""))
+      documents(s, d)
+        .select(col("doc_id"), payload.as("p"))
+        .select(col("doc_id"),
+          regexp_count(col("p"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("p"), lit(PhoneRe)).as("n_phone"),
+          regexp_count(col("p"), lit(Ipv4Re)).as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("p"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            Ipv4Re, "<IP>").as("red"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          length(col("red")).as("redacted_len"),
+          md5(col("red")).as("redacted_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1098,6 +1155,33 @@ object TextAnalysis {
          |       * 1000000.0 / count(*) + 0.5) AS BIGINT) AS contam_u6
          |FROM eval_g e LEFT JOIN found f USING (g)
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "ta17_pii_redact" ->
+      s"""WITH payload AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id ||
+         |      '@ex' || (doc_id % 7) || '.org' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256) ||
+         |      '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+         |      ELSE '' END AS p
+         |  FROM documents
+         |), red AS (
+         |  SELECT doc_id, p,
+         |    regexp_replace(regexp_replace(regexp_replace(p,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g') AS r
+         |  FROM payload
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(p, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(p, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(p, '$Ipv4Re')) AS BIGINT) AS n_ip,
+         |  CAST(length(r) AS BIGINT) AS redacted_len,
+         |  md5(r) AS redacted_md5
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     "em03_pq_assign" ->
       s"""WITH $pqSqlCtes

@@ -88,6 +88,13 @@ object EventStream {
     ss.table(sinkName)
   }
 
+  /** st11 count-min-sketch geometry: D hash rows × W buckets (the
+    * sketch state is D·W cells, stream-size-independent) and the
+    * heavy-hitter report size. */
+  private val CmsD    = 4
+  private val CmsW    = 512
+  private val CmsTopK = 25
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("source", StringType), StructField("text", StringType),
@@ -173,6 +180,58 @@ object EventStream {
           .filter(!contaminated)
           .select("doc_id", "lang", "source", "n_chars")
       }.orderBy("doc_id")
+    }),
+
+    // st11: streaming HEAVY-HITTER maintenance — a count-min sketch
+    // kept live over the document token stream. Like st09 this rests
+    // on a merge law: CMS cells combine by plain addition, so the
+    // per-microbatch partial aggregation IS the sketch merge and
+    // state is bounded by D×W cells (2,048 here) no matter how much
+    // stream flows through — the frequency-tracking shape (trending
+    // terms, hot keys, vocab skew) that an exact streaming groupBy
+    // can't hold at 100 TB because its state is vocabulary-sized.
+    // Serving estimates a token's count as min over the D rows of its
+    // hashed cell, with the classic one-sided guarantee est ≥ true —
+    // made visible here by carrying the exact batch count alongside
+    // (overcount ≥ 0 on every row is the CMS contract; the driver
+    // hash pins the estimates exactly, and the oracle recomputes the
+    // whole sketch in SQL).
+    //
+    // Scale: the finished sketch is driver-collected once for serving
+    // — O(D×W) rows BY CONSTRUCTION, which is the entire point of a
+    // sketch (st10's bounded-broadcast rule) — and the serving side
+    // shuffles only (token, row) pairs into a vocab-sized argmin.
+    "st11_stream_heavy_hitters" -> ((s, d) => {
+      import graft.functions.Funcs.{md5Long, tokens}
+      def bucket(r: Int, tok: org.apache.spark.sql.Column) =
+        md5Long(concat(lit(s"$r:"), tok), 7) % CmsW
+      // keeps the input's columns (the serving pass carries true_c)
+      def cellsOf(toks: DataFrame) = toks
+        .select(toks.columns.map(col) :+ posexplode(array(
+          (0 until CmsD).map(r => bucket(r, col("token"))): _*)): _*)
+        .withColumnsRenamed(Map("pos" -> "r", "col" -> "b"))
+      val cells = runDocStream(s, d, "st_cms", outputMode = "complete") {
+        df =>
+          cellsOf(df.select(explode(tokens(col("text"))).as("token")))
+            .groupBy("r", "b").agg(count(lit(1)).as("c"))
+      }
+      // rebuild the finished sketch in the caller's session (the
+      // stream ran in a child session; its frames must not leak into
+      // the serving plan)
+      import s.implicits._
+      val sketch = broadcast(cells.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("r", "b", "c"))
+      val tru = graft.Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("true_c"))
+      cellsOf(tru)
+        .join(sketch, Seq("r", "b"))
+        .groupBy("token", "true_c").agg(min("c").as("est_c"))
+        .select(col("token"), col("est_c"), col("true_c"),
+          (col("est_c") - col("true_c")).as("overcount"))
+        .orderBy(col("est_c").desc, col("token"))
+        .limit(CmsTopK)
     }),
 
     // st09: streaming SKETCH maintenance — the per-source MinHash
@@ -316,6 +375,32 @@ object EventStream {
     // shared verbatim with dd14 — the batch sketch and the streaming
     // materialized view must produce the same table
     "st09_stream_sketch" -> graft.dedup.Dedup.oracles("dd14_sketch_merge"),
+
+    "st11_stream_heavy_hitters" -> {
+      import graft.operators.TextAnalysis.toksSql
+      val rowsValues = (0 until CmsD).map(r => s"($r)").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT unnest($toksSql) AS token FROM documents
+         |), cells AS (
+         |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token),
+         |    1, 7))::BIGINT % $CmsW AS b, count(*) AS c
+         |  FROM tok CROSS JOIN (VALUES $rowsValues) AS rr(r)
+         |  GROUP BY 1, 2
+         |), tru AS (
+         |  SELECT token, count(*) AS true_c FROM tok GROUP BY token
+         |), est AS (
+         |  SELECT token, true_c, min(c) AS est_c FROM (
+         |    SELECT t.token, t.true_c, rr.r,
+         |      ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || t.token),
+         |        1, 7))::BIGINT % $CmsW AS b
+         |    FROM tru t CROSS JOIN (VALUES $rowsValues) AS rr(r)) v
+         |  JOIN cells USING (r, b)
+         |  GROUP BY token, true_c
+         |)
+         |SELECT token, est_c, true_c, est_c - true_c AS overcount
+         |FROM est
+         |ORDER BY est_c DESC, token LIMIT $CmsTopK""".stripMargin
+    },
 
     "st08_stream_quality_gate" ->
       s"""WITH ${graft.operators.TextAnalysis.scoredSqlCte}

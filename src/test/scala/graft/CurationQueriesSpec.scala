@@ -107,6 +107,83 @@ class CurationQueriesSpec extends AnyFunSuite {
       "unique tails must keep some grams clean")
   }
 
+  // ---- ta17 ---------------------------------------------------------
+
+  test("ta17 matches a brute-force PII-redaction recompute") {
+    // ids chosen to cover every generator combination: 0 (all three),
+    // 3 (email only), 4 (phone), 5 (ip), 12 (email+phone), 15
+    // (email+ip), 20 (phone+ip), 7 (none)
+    val ids = Seq(0L, 3L, 4L, 5L, 7L, 12L, 15L, 20L, 60L)
+    val rows = ids.map(i => (i, s"plain words doc $i", "en", "web"))
+    val dir = writeDocs(rows)
+
+    val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phone = "555-[0-9]{4}"
+    val ip    = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    def count(p: String, s: String) =
+      p.r.findAllIn(s).size.toLong
+    val redTexts = rows.map { case (i, t, _, _) =>
+      val payload = t +
+        (if (i % 3 == 0) s" contact u$i@ex${i % 7}.org" else "") +
+        (if (i % 4 == 0) f" call 555-${i % 10000}%04d" else "") +
+        (if (i % 5 == 0) s" from 10.${i % 256}.${(i / 256) % 256}.${i % 100}"
+         else "")
+      val red = payload.replaceAll(email, "<EMAIL>")
+        .replaceAll(phone, "<PHONE>").replaceAll(ip, "<IP>")
+      (i, payload, red)
+    }
+    val expected = redTexts.map { case (i, payload, red) =>
+      (i, count(email, payload), count(phone, payload), count(ip, payload),
+        red.length.toLong, md5hex(red))
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("ta17_pii_redact")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == expected)
+    // the generator must have exercised every class and the clean path
+    assert(got.find(_._1 == 0L).get.productIterator.toSeq.slice(1, 4) ==
+      Seq(1L, 1L, 1L))
+    assert(got.find(_._1 == 7L).get.productIterator.toSeq.slice(1, 4) ==
+      Seq(0L, 0L, 0L))
+    // redaction is complete: no raw PII survives in any scrubbed text
+    assert(redTexts.forall { case (_, _, red) =>
+      !red.contains("@") && !red.contains("555-") &&
+        ip.r.findFirstIn(red).isEmpty
+    })
+  }
+
+  // ---- st11 ---------------------------------------------------------
+
+  test("st11 heavy hitters match a brute-force CMS recompute") {
+    // full plain-Scala count-min sketch over the sf0.001 fixture
+    // (runDocStream's file-stream source wants the fixture's single-
+    // file parquet layout, so this test recomputes on the shipped
+    // corpus rather than a writeDocs dir): same geometry (4×512,
+    // md5-prefix hashing), same serving rule, same report
+    val dir = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect().toSeq
+    val toksAll = texts.flatMap(toks)
+    val tru = toksAll.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    def bucket(r: Int, tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"$r:$tok").take(7), 16) % 512L
+    val cells = toksAll.flatMap(t => (0 until 4).map(r => (r, bucket(r, t))))
+      .groupBy(identity).map { case (cell, xs) => cell -> xs.size.toLong }
+    val expected = tru.toSeq.map { case (t, n) =>
+      val est = (0 until 4).map(r => cells((r, bucket(r, t)))).min
+      (t, est, n, est - n)
+    }.sortBy { case (t, est, _, _) => (-est, t) }.take(25)
+
+    val got = SparkEntry.queries("st11_stream_heavy_hitters")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // CMS contract over the FULL vocabulary, not just the report:
+    // the estimate never undercounts
+    assert(tru.forall { case (t, n) =>
+      (0 until 4).map(r => cells((r, bucket(r, t)))).min >= n })
+  }
+
   // ---- q30 ----------------------------------------------------------
 
   test("q30 matches a brute-force mixing-weight recompute") {
@@ -136,5 +213,49 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._5).sum - 1000000L) <= groups.size / 2 + 1)
     val bySize = got.sortBy(_._3)
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a._5 <= b._5 })
+  }
+
+  // ---- q31 ----------------------------------------------------------
+
+  test("q31 matches a brute-force mix-apply recompute") {
+    // same uneven-group corpus as q30; 90 docs << the 200-doc target,
+    // so every bucket's quota CAPS at its size (the without-
+    // replacement path) — plus one giant bucket that out-sizes its
+    // quota and must truncate in hash order
+    val langs = Seq("en", "de", "es")
+    val sources = Seq("web", "wiki", "code", "news")
+    val small = (0L until 90L).map { i =>
+      (i, s"doc number $i with some text", langs((i % 3).toInt),
+        sources((i % 7 % 4).toInt))
+    }
+    val giant = (100L until 400L).map { i =>
+      (i, s"giant bucket doc $i", "en", "web")
+    }
+    val rows = small ++ giant
+    val dir = writeDocs(rows)
+
+    val groups = rows.groupBy(r => (r._3, r._4)).toSeq.map {
+      case ((l, src), rs) =>
+        (l, src, rs,
+          math.floor(math.sqrt(rs.size.toDouble) * 1000000.0).toLong)
+    }
+    val tot = groups.map(_._4).sum
+    val expected = groups.flatMap { case (l, src, rs, s6) =>
+      val w = math.floor(s6 * 1000000.0 / tot + 0.5).toLong
+      val quota = math.floor(200L * w / 1000000.0 + 0.5).toLong
+      rs.map(_._1).sortBy(id => (md5hex(id.toString), id))
+        .take(quota.toInt).zipWithIndex
+        .map { case (id, k) => (l, src, id, k + 1L) }
+    }.sortBy(t => (t._1, t._2, t._4))
+
+    val got = SparkEntry.queries("q31_mix_apply")(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the giant bucket truncated (quota < size), some small bucket
+    // was fully taken (cap path) — both regimes exercised
+    val giantKept = got.count(g => g._1 == "en" && g._2 == "web")
+    assert(giantKept < 300 + small.count(r => r._3 == "en" && r._4 == "web"))
+    assert(groups.exists { case (l, src, rs, _) =>
+      got.count(g => g._1 == l && g._2 == src) == rs.size })
   }
 }
