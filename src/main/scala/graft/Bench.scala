@@ -42,6 +42,32 @@ object Bench {
     Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
   }
 
+  /** The curation-pipeline end-to-end wall time (exact dedup → LSH/CC
+    * near-dup keeper → quality/lang/repetition gates +
+    * decontamination → content-stable split stats → PQ compression)
+    * over the benched documents table — the flagship LLM-curation
+    * workload as a per-round series beside the virus pipeline. Same
+    * contract: skipped under a query filter, -1 on failure. */
+  private def curationEntry(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, only: Option[Set[String]]): Seq[(String, Double)] = {
+    val name = "pipeline_curation_e2e"
+    if (only.isDefined) return Nil
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        val r = graft.apps.CurationPipeline.run(spark, sfDir)
+        // force every output the way a real run lands them
+        r.curated.write.format("noop").mode("overwrite").save()
+        r.compressed.write.format("noop").mode("overwrite").save()
+        r.stats.collect()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -96,7 +122,7 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    } ++ pipelineEntry(spark, only)
+    } ++ pipelineEntry(spark, only) ++ curationEntry(spark, sfDir, only)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

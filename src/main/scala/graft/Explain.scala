@@ -32,7 +32,10 @@ object Explain {
         // round-5 curation additions: linear span-dedup (no pair
         // join), broadcast-only contamination sweep, group-bounded
         // keeper argmax
-        "dd15_dup_spans", "ta16_contamination", "dd16_canonical_docs")
+        "dd15_dup_spans", "ta16_contamination", "dd16_canonical_docs",
+        // round-5 third batch: zero-shuffle scrubbing projection and
+        // the broadcast-quota resampling window
+        "ta17_pii_redact", "q31_mix_apply")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")

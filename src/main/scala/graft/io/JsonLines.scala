@@ -76,6 +76,52 @@ object JsonLines {
   private val DocSchema: StructType =
     StructType.fromDDL("doc_id LONG, lang STRING, source STRING, text STRING")
 
+  /** io09's write→audit→publish core: stages `src` under `root`,
+    * audits the staged copy against the source (row count + order-free
+    * integer md5-prefix checksum — refuses to publish on mismatch),
+    * renames staging to a content-addressed version directory, and
+    * atomically swaps the `_CURRENT` pointer (write-temp + rename).
+    * Returns the published version name. Old versions stay on disk —
+    * a reader that resolved the pointer before a later publish keeps
+    * its consistent snapshot (spec-tested in InterchangeSpec). */
+  private[graft] def publishSnapshot(s: SparkSession, src: DataFrame,
+      root: String): String = {
+    import graft.functions.Funcs.md5Long
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"$root/_staging")
+    fs.delete(staging, true)
+    src.write.parquet(staging.toString)
+    def audit(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"), sum(md5Long(col("text"), 7)).as("chk"))
+      .head()
+    val (a, b) = (audit(src),
+      audit(s.read.schema(src.schema).parquet(staging.toString)))
+    require(a == b,
+      s"audit failed: source=$a staged=$b — refusing to publish")
+    val version = s"v_${a.getLong(0)}_${a.getLong(1)}"
+    val vdir = new Path(s"$root/$version")
+    fs.delete(vdir, true)
+    require(fs.rename(staging, vdir), s"publish rename to $vdir failed")
+    val tmp = new Path(s"$root/_CURRENT.tmp")
+    val cur = new Path(s"$root/_CURRENT")
+    val out = fs.create(tmp, true)
+    out.write(version.getBytes("UTF-8")); out.close()
+    fs.delete(cur, false)
+    require(fs.rename(tmp, cur), "pointer swap failed")
+    version
+  }
+
+  /** Resolves io09's `_CURRENT` pointer — the reader half of the
+    * publish protocol. */
+  private[graft] def currentVersion(s: SparkSession, root: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_CURRENT"))
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
   private def docFacts(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("lang"), col("source"),
       length(col("text")).as("text_len"),
@@ -217,6 +263,40 @@ object JsonLines {
         .orderBy("day")
     }),
 
+    // io09: WRITE-AUDIT-PUBLISH — the commit protocol a shared 100 TB
+    // table needs so readers never observe a half-written tree:
+    //   WRITE the new snapshot into a staging directory invisible to
+    //     readers;
+    //   AUDIT the staged copy against the source (row count + an
+    //     order-free content checksum: per-row md5 prefixes summed as
+    //     integers) and REFUSE to publish on any mismatch — a torn or
+    //     short write dies here, loudly, before anyone can read it;
+    //   PUBLISH by renaming staging to a content-addressed version
+    //     directory and atomically swapping a _CURRENT pointer file
+    //     (write-temp + rename). Readers resolve the pointer once and
+    //     read a consistent snapshot; old versions stay readable until
+    //     GC — snapshot isolation from two filesystem primitives.
+    // Directory rename is atomic on HDFS/local (object stores need the
+    // manifest in a table format instead — same protocol, different
+    // pointer store). The query serves per-lang facts from the
+    // PUBLISHED copy resolved through the pointer; the oracle
+    // recomputes them from the source, so the hash match proves
+    // source == staged == published end to end.
+    "io09_write_audit_publish" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val root = stagingDir("wap")
+      val src = documents(s, d)
+        .select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
+      publishSnapshot(s, src, root)
+      // READ through the pointer, like any consumer would
+      s.read.schema(DocSchema).parquet(s"$root/${currentVersion(s, root)}")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_text_len"),
+          sum(md5Long(col("text"), 7)).as("content_sum"))
+        .orderBy("lang")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -271,6 +351,13 @@ object JsonLines {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "io09_write_audit_publish" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT)
+        |       AS BIGINT) AS content_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "io08_partition_backfill" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -73,6 +73,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"))
   }
 
+  test("q31 broadcasts the quota table; the corpus never reads text") {
+    val p = plan("q31_mix_apply")
+    // the group-count-sized quota side must broadcast onto the ranked
+    // corpus, and the corpus-side scan must prune to the three key
+    // columns — resampling must not drag document payloads through
+    // the window shuffle
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("Window"))
+    assert(!p.contains("text"),
+      s"corpus scan must prune the text column:\n$p")
+  }
+
+  test("ta17 redaction is one scan, no join, one presentation sort") {
+    val p = plan("ta17_pii_redact")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 1, s"expected a single corpus scan, got $scans:\n$p")
+    assert(!p.contains("Join"), "per-row scrubbing must not plan a join")
+    val exchanges = "Exchange".r.findAllMatchIn(p).length
+    assert(exchanges <= 1,
+      s"only the final sort may shuffle, got $exchanges exchanges:\n$p")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     // the custom Expressions implement doGenCode — the fused loops
     // must run inside a WholeStageCodegen span, not as a fallback.
