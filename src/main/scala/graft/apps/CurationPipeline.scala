@@ -41,13 +41,20 @@ object CurationPipeline {
   /** @param checkpoint lineage-truncation strategy for the CC stage;
     *   None (default) resolves `spark.graft.cc.checkpoint` from the
     *   session conf (`local` | `reliable:<dir>`), so a cluster run
-    *   selects reliable checkpointing without code changes. */
+    *   selects reliable checkpointing without code changes.
+    * @param requireEmbeddingCoverage when true, a curated document
+    *   without an embedding row fails the run (the strict
+    *   doc_id==vec_id contract); by default partial coverage is
+    *   legal — the corpus at sf0.1 (and any real corpus mid-backfill)
+    *   embeds only a subset — and the coverage gap is REPORTED in the
+    *   stats table instead of silently shrinking the compressed set. */
   def run(spark: SparkSession, dir: String,
           minQuality: Double = 0.3,
           langs: Seq[String] = Seq("en", "de", "es"),
           maxDupBigramFrac: Double = 0.2,
           benchN: Int = TextAnalysis.DeconBenchN,
-          checkpoint: Option[Dedup.CheckpointStrategy] = None): Result = {
+          checkpoint: Option[Dedup.CheckpointStrategy] = None,
+          requireEmbeddingCoverage: Boolean = false): Result = {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
     // one scoring pass, reused by the near-dup keeper (stage 2) and
@@ -125,10 +132,13 @@ object CurationPipeline {
     // index (ss07 serves directly off this shape). m-sorted before the
     // pivot so the code order is positional, not shuffle-dependent.
     // CONTRACT: the embeddings table's vec_id IS the documents table's
-    // doc_id (one embedding per document, same key space — TESTDATA's
-    // layout). The join is LEFT + loudly asserted below: if the id
-    // spaces ever diverge, the run fails with a count instead of
-    // silently shrinking the compressed set to the intersection.
+    // doc_id (same key space — TESTDATA's layout), but coverage may be
+    // PARTIAL (sf0.1 embeds 2000 of 5000 docs; a real corpus
+    // mid-backfill looks the same). The join is LEFT + audited below:
+    // the coverage gap lands in the stats table ("missing_embedding"),
+    // and `requireEmbeddingCoverage` turns it into a loud failure for
+    // deployments where full coverage IS the contract — either way the
+    // compressed set never shrinks silently.
     // each survivor also carries its IVF cell, so the compressed table
     // IS the ss09 serving layout: written partitioned by cell (see
     // main), a probe reads nprobe directories of codes — the curation
@@ -148,12 +158,15 @@ object CurationPipeline {
       .agg(count(lit(1)).as("n"),
         count(when(col("pq_codes").isNull, 1)).as("n_missing"))
       .head()
-    val (nCompressed, nMissing) = (cRow.getLong(0), cRow.getLong(1))
-    if (nMissing > 0)
+    val (nAudited, nMissing) = (cRow.getLong(0), cRow.getLong(1))
+    if (nMissing > 0 && requireEmbeddingCoverage)
       throw new IllegalStateException(
-        s"$nMissing of $nCompressed curated documents have no embedding " +
-          "row — the doc_id==vec_id contract between documents and " +
-          "embeddings is broken")
+        s"$nMissing of $nAudited curated documents have no embedding " +
+          "row — requireEmbeddingCoverage is set and the doc_id==vec_id " +
+          "contract between documents and embeddings is not fully covered")
+    // the serving layout carries only embedded survivors; the gap is
+    // visible above, never silent
+    val served = compressed.filter(col("pq_codes").isNotNull)
 
     import spark.implicits._
     val stats = Seq(
@@ -162,9 +175,10 @@ object CurationPipeline {
       ("after_near_dedup", nNear),
       ("after_quality_lang_gate", nGated),
       ("after_decontamination", nFinal),
-      ("compressed_embeddings", nCompressed))
+      ("compressed_embeddings", nAudited - nMissing),
+      ("missing_embedding", nMissing))
       .toDF("stage", "n_docs")
-    Result(curated, stats, compressed)
+    Result(curated, stats, served)
   }
 
   /** CLI: runMain graft.apps.CurationPipeline <sfDir> <outDir> */

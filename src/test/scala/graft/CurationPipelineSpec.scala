@@ -19,6 +19,17 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(m("after_near_dedup") >= m("after_quality_lang_gate"))
     assert(m("after_quality_lang_gate") >= m("after_decontamination"))
     assert(m("after_decontamination") > 0)
+    // sf0.001 embeds every document, so the coverage audit must report
+    // zero gap here (sf0.1's partial-coverage path is exercised by the
+    // bench entry); the compressed set equals the curated survivors
+    assert(m("missing_embedding") == 0)
+    assert(m("compressed_embeddings") == m("after_decontamination"))
+  }
+
+  test("strict embedding-coverage mode passes on a fully-embedded corpus") {
+    // the opt-in contract must not fire when coverage IS full
+    val r = CurationPipeline.run(spark, d, requireEmbeddingCoverage = true)
+    assert(r.compressed.count() > 0)
   }
 
   test("curated corpus has no exact duplicates and respects the gate") {
