@@ -576,6 +576,48 @@ object Relational {
         .filter(col("rk") <= col("n_quota"))
         .select("lang", "source", "doc_id", "rk")
         .orderBy("lang", "source", "rk")
+    }),
+
+    // q32: CDC MERGE — the upsert step that keeps a serving snapshot
+    // current from a change feed: the base snapshot (latest state per
+    // user before the final day) merged with the last day's change
+    // batch, where a user whose newest change is an 'error' event is
+    // a TOMBSTONE (dropped from the snapshot), any other changed user
+    // takes their newest change row (update-or-insert), and untouched
+    // users carry over. One statement covers all three MERGE arms —
+    // WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED
+    // INSERT.
+    //
+    // Scale: both "latest per key" passes are q23's partial ARGMAX
+    // aggregate (max_by over a (ts, id) struct — map-side combine, one
+    // row per user into the shuffle, no window over raw events), the
+    // anti-join keys on user_id only, and the change batch is
+    // day-sized while the base is corpus-sized — cost scales with the
+    // delta, which is the entire point of CDC. The cutoff day comes
+    // from one min/max aggregate (io08's backfill pattern).
+    "q32_cdc_merge" -> ((s, d) => {
+      val ev = graft.Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("day"))
+      val lastDay = ev.agg(max("day")).head().getDate(0)
+      def latest(df: DataFrame) = df
+        .groupBy("user_id")
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("last"),
+          max(col("ts_us")).as("last_ts_us"))
+        .select(col("user_id"), col("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"))
+      val baseLatest = latest(ev.filter(col("day") < lit(lastDay)))
+      val chLatest = latest(ev.filter(col("day") === lit(lastDay)))
+        .localCheckpoint() // feeds the anti-join AND the union arm
+      baseLatest
+        .join(chLatest.select("user_id"), Seq("user_id"), "left_anti")
+        .unionByName(chLatest.filter(col("last_event_type") =!= "error"))
+        .orderBy("user_id")
     })
   )
 
@@ -922,6 +964,30 @@ object Relational {
          |SELECT r.lang, r.source, r.doc_id, r.rk
          |FROM ranked r JOIN quotas q USING (lang, source)
          |WHERE r.rk <= q.n_quota
-         |ORDER BY lang, source, rk""".stripMargin
+         |ORDER BY lang, source, rk""".stripMargin,
+
+    "q32_cdc_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value, CAST(ts AS DATE) AS day
+        |  FROM events
+        |), cut AS (SELECT max(day) AS d0 FROM ev),
+        |bl AS (
+        |  SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |    event_type AS last_event_type, value AS last_value
+        |  FROM ev WHERE day < (SELECT d0 FROM cut)
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) = 1
+        |), cl AS (
+        |  SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |    event_type AS last_event_type, value AS last_value
+        |  FROM ev WHERE day = (SELECT d0 FROM cut)
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) = 1
+        |)
+        |SELECT * FROM bl WHERE user_id NOT IN (SELECT user_id FROM cl)
+        |UNION ALL
+        |SELECT * FROM cl WHERE last_event_type <> 'error'
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -266,6 +266,42 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss16: FILTERED ANN — attribute-constrained search ("nearest
+    // neighbors among vectors whose label is odd"), the shape every
+    // production vector store serves ("similar docs, but only lang=de
+    // / only after 2024 / only this tenant"). The filter is applied
+    // to the database side BEFORE any distance math: post-filtering a
+    // plain top-k is semantically wrong (it can return fewer than k,
+    // or none, when the predicate is selective) and wastes distance
+    // work on rows the predicate was always going to drop. Here the
+    // predicate lands right on the cell-assigned scan, so at 100 TB —
+    // where the filter column lives beside the codes in the index
+    // layout (ss09) — it prunes before scoring, and the probe/top-k
+    // geometry is unchanged from ss03.
+    "ss16_knn_filtered" -> ((s, d) => {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        col("label"), sqrt(dot(s, col("embedding"), col("embedding")))
+          .as("nrm"))
+      val (assigned0, probes) = ivfCells(s, d)
+      val assigned = assigned0.join(e, Seq("vec_id"))
+        .filter(col("label") % 2 === 1) // predicate BEFORE any scoring
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val scored = assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("label"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ss05: multi-table LSH ANN — the recall lever ss04 motivates:
     // 3 independent plane sets, a neighbor is a candidate if it shares
     // a bucket in ANY table (union-of-collisions via distinct on the
@@ -847,6 +883,23 @@ object Similarity {
          |  WHERE a.vec_id <> p.query_id
          |)
          |SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss16_knn_filtered" ->
+      s"""WITH $ivfSqlCtes, ranked AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell, n.label,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC,
+         |        a.vec_id ASC) AS rank
+         |  FROM ivf_probes p
+         |  JOIN ivf_assigned a USING (cell)
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = a.vec_id
+         |  WHERE a.vec_id <> p.query_id AND (n.label % 2) = 1
+         |)
+         |SELECT query_id, rank, neighbor_id, cell, label, cos FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
