@@ -2,6 +2,7 @@ package graft.io
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -75,6 +76,14 @@ object JsonLines {
 
   private val DocSchema: StructType =
     StructType.fromDDL("doc_id LONG, lang STRING, source STRING, text STRING")
+
+  /** io10's epoch-shuffle parameters. The seed names the epoch (next
+    * epoch = next seed = a full reshuffle for the price of one
+    * shuffle); the shard count is corpus-size-proportional in
+    * production (one shard ≈ one trainer file, 256 MB–1 GB) — 16 is
+    * the test-corpus stand-in. */
+  private[graft] val EpochSeed = 7
+  private[graft] val EpochShards = 16
 
   /** io09's write→audit→publish core: stages `src` under `root`,
     * audits the staged copy against the source (row count + order-free
@@ -297,6 +306,45 @@ object JsonLines {
         .orderBy("lang")
     }),
 
+    // io10: EPOCH-SHUFFLE SHARD LAYOUT — the corpus→trainer handoff.
+    // A training run wants the corpus in a pseudo-random order, split
+    // into shard files it streams sequentially. The naive
+    // `ORDER BY rand()` is both a GLOBAL sort (range exchange + full
+    // sort at 100 TB) and nondeterministic — a retried stage draws new
+    // randoms, so the same doc can land in two shards or none. Here
+    // the shuffle key is a seeded md5 of the doc id: shard = h mod N
+    // is ONE hash repartition (no global ordering anywhere), the
+    // training order is a per-shard sort on (h, doc_id), and every
+    // placement is a pure function of (seed, doc_id) — deterministic
+    // across retries, restarts, and engines (exactly what the DuckDB
+    // hash match proves). Next epoch = next seed; no state carried.
+    //
+    // Scale: the row_number window partitions by shard, so its sort is
+    // the per-shard sort the layout needs anyway; with production
+    // shard counts (corpus / ~1 GB) each window partition is one
+    // trainer-file-sized run. The write repartitions BY shard before
+    // partitionBy (io05's one-file-per-bucket lesson) and sorts within
+    // partitions, so each shard directory holds ONE file whose
+    // physical row order IS the training order (InterchangeSpec reads
+    // a shard file back unsorted to assert it).
+    "io10_epoch_shards" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val root = stagingDir("epoch_shards")
+      val h = md5Long(
+        concat(lit(s"epoch$EpochSeed:"), col("doc_id").cast("string")), 15)
+      documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % EpochShards).as("shard"))
+        .repartition(EpochShards, col("shard"))
+        .sortWithinPartitions("shard", "h", "doc_id")
+        .write.mode("overwrite").partitionBy("shard").parquet(root)
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      s.read.schema(StructType.fromDDL("doc_id LONG, h LONG, shard LONG"))
+        .parquet(root)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("shard", "pos", "doc_id", "h")
+        .orderBy("shard", "pos")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -358,6 +406,18 @@ object JsonLines {
         |       AS BIGINT) AS content_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "io10_epoch_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)),
+        |     1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT CAST(h % 16 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 16
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos,
+        |  doc_id, h
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
     "io08_partition_backfill" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -88,6 +88,52 @@ object EventStream {
     ss.table(sinkName)
   }
 
+  /** st12's exactly-once commit core: an idempotent, batchId-keyed
+    * parquet sink for `foreachBatch`. Data directory first
+    * (`overwrite` — a torn earlier attempt is replaced wholesale),
+    * then the batch's commit marker via write-temp + atomic rename
+    * (io09's pointer trick). A REPLAYED batch (same batchId after a
+    * crash-restart — Structured Streaming re-delivers the whole
+    * microbatch) finds its marker and is skipped: at-least-once
+    * delivery × idempotent sink = exactly-once output. Returns
+    * whether THIS call committed (false = already durable). */
+  private[graft] def commitBatch(s: SparkSession, out: String,
+      df: DataFrame, batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$out/_committed_$batchId")
+    if (fs.exists(marker)) return false
+    df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+    val tmp = new Path(s"$out/_committed_$batchId.tmp")
+    val o = fs.create(tmp, true)
+    o.write(batchId.toString.getBytes("UTF-8")); o.close()
+    require(fs.rename(tmp, marker), s"marker rename failed for batch $batchId")
+    true
+  }
+
+  /** Batch ids whose commit marker exists — the sink's transaction
+    * log. */
+  private[graft] def committedIds(s: SparkSession, out: String): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(out)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("_committed_") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix("_committed_").toLong).sorted
+  }
+
+  /** The reader half of st12: trust the commit LOG, never the
+    * directory listing — a batch directory without its marker (torn
+    * write, in-flight attempt) is invisible, exactly like a table
+    * format's manifest. */
+  private[graft] def readCommitted(s: SparkSession, out: String,
+      schema: StructType): DataFrame = {
+    val ids = committedIds(s, out)
+    require(ids.nonEmpty, s"no committed batches under $out")
+    s.read.schema(schema).parquet(ids.map(id => s"$out/batch=$id"): _*)
+  }
+
   /** st11 count-min-sketch geometry: D hash rows × W buckets (the
     * sketch state is D·W cells, stream-size-independent) and the
     * heavy-hitter report size. */
@@ -357,6 +403,72 @@ object EventStream {
             col("last.value").as("last_value"), col("n_events"))
       }.orderBy("user_id")),
 
+    // st12: EXACTLY-ONCE file sink — the delivery guarantee every
+    // production ingest needs. Structured Streaming's contract into
+    // foreachBatch is at-least-once per microbatch; exactly-once
+    // OUTPUT = that × an idempotent sink. The sink keys every commit
+    // on batchId (data directory first, marker last via atomic
+    // rename); the reader trusts only the markers. The query stages
+    // the source as several distinct files, streams them one file
+    // per microbatch through the committing sink, then DELIBERATELY
+    // exercises both failure paths: it replays the last batch (the
+    // crash-recovery re-delivery) and plants a torn, marker-less
+    // batch directory — and the final aggregate still hash-matches
+    // the batch oracle: nothing duplicated by the replay, nothing
+    // leaked from the torn write.
+    //
+    // Scale: per-batch cost is the batch's own data (no global
+    // state); the commit log is one tiny marker file per batch — the
+    // manifest-commit pattern of every table format, built from two
+    // filesystem primitives. At 100 TB the same sink runs unchanged;
+    // only the marker store moves to a metastore/table format.
+    "st12_stream_exactly_once" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_eo").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stage the source as three distinct files → three microbatches
+      val raw = ss.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      raw.repartition(3).write.parquet(s"$root/src")
+      val out = s"$root/out"
+      fs.mkdirs(new Path(out))
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            commitBatch(ss, out, df, id); ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      val ids = committedIds(ss, out)
+      require(ids.size >= 2, s"expected multiple microbatches, got $ids")
+      // crash-recovery replay of the last batch: the marker makes it
+      // a no-op, not a duplicate
+      require(!commitBatch(ss, out, raw, ids.last),
+        "replayed batch must be skipped, not re-committed")
+      // torn write: data without a marker must stay invisible
+      raw.limit(50).write.mode("overwrite").parquet(s"$out/batch=999")
+      readCommitted(ss, out, eventsSchema)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -446,6 +558,14 @@ object EventStream {
     "st02_stream_dedup" ->
       """SELECT event_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the exactly-once sink must reproduce the plain batch aggregate —
+    // any replay duplicate or torn-write leak diverges the hash
+    "st12_stream_exactly_once" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "st05_stream_sessionize" ->
       s"""WITH base AS (

@@ -17,6 +17,42 @@ class WatermarkSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
+  test("st12 commit protocol: torn writes recover, replays skip, " +
+      "readers see only committed batches") {
+    import graft.streaming.EventStream.{commitBatch, committedIds, readCommitted}
+    import spark.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_eo_spec").toString
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id LONG, v STRING")
+    def batch(tag: String, n: Int) =
+      (1L to n).map(i => (i, s"$tag-$i")).toDF("id", "v")
+
+    // a TORN first attempt: data lands but the marker never does
+    // (simulated by writing the dir directly) — invisible to readers,
+    // and a retry of the same batch replaces it wholesale
+    batch("torn", 3).write.parquet(s"$out/batch=0")
+    assert(committedIds(spark, out).isEmpty)
+    assert(commitBatch(spark, out, batch("good", 5), 0L))
+    assert(committedIds(spark, out) == Seq(0L))
+    val vs = readCommitted(spark, out, schema)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(vs.size == 5 && vs.forall(_.startsWith("good")),
+      s"torn rows leaked or retry lost rows: $vs")
+
+    // a REPLAY of a committed batch is a no-op even with different
+    // data (the first durable commit wins — Streaming re-delivers the
+    // same content; the guard is against double-apply)
+    assert(!commitBatch(spark, out, batch("replay", 9), 0L))
+    assert(readCommitted(spark, out, schema).count() == 5)
+
+    // later batches append; the reader unions exactly the marked set
+    assert(commitBatch(spark, out, batch("b1", 2), 1L))
+    assert(committedIds(spark, out) == Seq(0L, 1L))
+    assert(readCommitted(spark, out, schema).count() == 7)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("watermarked hour windows emit once finalized, never early") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
