@@ -85,6 +85,10 @@ object JsonLines {
   private[graft] val EpochSeed = 7
   private[graft] val EpochShards = 16
 
+  /** io11's training-sequence token budget (the model's context
+    * length; 512 is the test stand-in for a production 4k–8k). */
+  private[graft] val SeqBudget = 512
+
   /** io09's write→audit→publish core: stages `src` under `root`,
     * audits the staged copy against the source (row count + order-free
     * integer md5-prefix checksum — refuses to publish on mismatch),
@@ -345,6 +349,43 @@ object JsonLines {
         .orderBy("shard", "pos")
     }),
 
+    // io11: SEQUENCE PACKING — the step between io10's shard layout
+    // and the trainer's forward pass. Pretraining consumes fixed-
+    // length token sequences; the standard prep ("concat and chop")
+    // concatenates documents in training order and slices every
+    // SeqBudget tokens. This query computes the pack manifest: each
+    // doc's global start offset within its shard's token stream, the
+    // first/last sequence it lands in, and its offset inside that
+    // sequence — everything a loader needs to materialize batches
+    // without re-tokenizing.
+    //
+    // Scale: the running-offset window partitions by io10's shard, so
+    // its sort is bounded by one trainer file's worth of rows — never
+    // a global cumsum (which at 100 TB would be a single-partition
+    // window, the classic unbounded-window killer). The chop itself
+    // is per-row integer arithmetic after that one bounded window.
+    // All-integer output → hash-exact by construction.
+    "io11_sequence_pack" -> ((s, d) => {
+      import graft.functions.Funcs.{md5Long, tokens}
+      val h = md5Long(
+        concat(lit(s"epoch$EpochSeed:"), col("doc_id").cast("string")), 15)
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % EpochShards).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .where(col("n_tokens") > 0) // empties contribute no tokens
+        .withColumn("start_offset",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("shard"), col("doc_id"), col("n_tokens"),
+          col("start_offset"),
+          expr(s"start_offset div $SeqBudget").as("seq_first"),
+          expr(s"(start_offset + n_tokens - 1) div $SeqBudget")
+            .as("seq_last"),
+          (col("start_offset") % SeqBudget).as("offset_in_seq"))
+        .orderBy("shard", "start_offset")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -418,6 +459,30 @@ object JsonLines {
         |  doc_id, h
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+
+    "io11_sequence_pack" -> {
+      val toksSql = graft.operators.TextAnalysis.toksSql
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('epoch$EpochSeed:' ||
+         |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, h, CAST(h % $EpochShards AS BIGINT) AS shard,
+         |    n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY h % $EpochShards ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_offset
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT shard, doc_id, n_tokens, start_offset,
+         |  CAST(start_offset // $SeqBudget AS BIGINT) AS seq_first,
+         |  CAST((start_offset + n_tokens - 1) // $SeqBudget AS BIGINT)
+         |    AS seq_last,
+         |  CAST(start_offset % $SeqBudget AS BIGINT) AS offset_in_seq
+         |FROM p ORDER BY shard, start_offset""".stripMargin
+    },
     "io08_partition_backfill" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,

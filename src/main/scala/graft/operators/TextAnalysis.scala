@@ -32,6 +32,12 @@ object TextAnalysis {
     * sf0.001 fixture keeps a training side. */
   private[graft] val DeconBenchN = 16
 
+  /** ta18's nested-fraction count: fraction j = hash buckets < j, so
+    * each sample contains the previous one. 8 log-spaced-enough points
+    * for a log-log fit; the bucket spine is generated, so empty
+    * buckets can't silently drop a fraction. */
+  private[graft] val HeapsBuckets = 8
+
   /** ta17 redaction patterns — restricted to the regex subset where
     * Java regex (Spark) and RE2 (DuckDB) provably agree: character
     * classes, greedy +/{n}, literal dots. No backrefs, no lookarounds
@@ -502,6 +508,69 @@ object TextAnalysis {
           length(col("red")).as("redacted_len"),
           md5(col("red")).as("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ta18: HEAPS-LAW VOCABULARY-GROWTH FIT — the corpus-scaling
+    // diagnostic behind "will more data keep adding new vocabulary?".
+    // Nested fractions via a seeded hash bucket (fraction j = buckets
+    // < j, so each sample CONTAINS the previous one — growth curves
+    // from independent samples would be incomparable); per fraction:
+    // cumulative docs, tokens, and DISTINCT vocabulary; then a
+    // closed-form log-log OLS fit of Heaps' law V = k·N^beta.
+    //
+    // Scale: vocab-at-every-fraction needs no per-fraction pass — each
+    // distinct token is aggregated ONCE to its minimum bucket (one
+    // vocab-sized shuffle, like ta06/ta10), and the 8-bucket cumsum
+    // turns min-bucket counts into vocab-at-j. Token totals are one
+    // hash aggregate. The windows/fit run on ≤8 rows. For the fit,
+    // ln values are quantized to integer micro-units per row (the
+    // pqLut trick) so the OLS sums are order-free integer sums; the
+    // final algebra is q27's fixed double DAG from integer sums.
+    "ta18_heaps_law" -> ((s, d) => {
+      val b = md5Long(concat(lit("heaps:"), col("doc_id").cast("string")),
+        15) % HeapsBuckets
+      val docs = documents(s, d)
+        .select(col("doc_id"), b.as("b"), tokens(col("text")).as("toks"))
+      val docHist = docs.groupBy("b")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"))
+      val vocabHist = docs
+        .select(col("b"), explode(col("toks")).as("token"))
+        .groupBy("token").agg(min("b").as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_new_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("b").rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val points = s.range(HeapsBuckets).select(col("id").as("b"))
+        .join(docHist, Seq("b"), "left").join(vocabHist, Seq("b"), "left")
+        .select(col("b"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_new_tokens"), lit(0L)).as("n_new_tokens"))
+        .select(col("b"), sum("n_docs").over(w).as("n_docs_cum"),
+          sum("n_tokens").over(w).as("n_tokens_cum"),
+          sum("n_new_tokens").over(w).as("vocab_cum"))
+        .where(col("n_tokens_cum") > 0 && col("vocab_cum") > 0)
+      val q = (c: Column) => floor(log(c.cast("double")) * 1e6 + 0.5)
+      val fitIn = points.select(
+        q(col("n_tokens_cum")).as("xq"), q(col("vocab_cum")).as("yq"))
+      val nD = col("n").cast("double")
+      val beta = (nD * col("sxy") - col("sx").cast("double") *
+          col("sy").cast("double")) /
+        (nD * col("sxx") - col("sx").cast("double") *
+          col("sx").cast("double"))
+      val fit = fitIn
+        .agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .select(round(beta, 6).as("heaps_beta"),
+          round((col("sy").cast("double") - beta *
+            col("sx").cast("double")) / nD / 1e6, 6).as("heaps_log_k"))
+      points.crossJoin(broadcast(fit))
+        .select(col("b").cast("long").as("fraction"), col("n_docs_cum"),
+          col("n_tokens_cum"), col("vocab_cum"),
+          col("heaps_beta"), col("heaps_log_k"))
+        .orderBy("fraction")
     }),
 
     // em01: per-dimension embedding statistics — columnar vector
@@ -1182,6 +1251,73 @@ object TextAnalysis {
          |  CAST(length(r) AS BIGINT) AS redacted_len,
          |  md5(r) AS redacted_md5
          |FROM red ORDER BY doc_id""".stripMargin,
+
+    // the fit re-derives Spark's micro-unit OLS: xq/yq are BIGINT
+    // quantized logs, so every aggregate is an order-free integer sum
+    // and the only double math is the final fixed DAG (q27's pattern)
+    "ta18_heaps_law" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('heaps:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15))::BIGINT % $HeapsBuckets AS b,
+         |    $toksSql AS toks
+         |  FROM documents
+         |), dh AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY b
+         |), vh AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS n_new FROM (
+         |    SELECT token, min(b) AS b FROM (
+         |      SELECT b, unnest(toks) AS token FROM docs) GROUP BY token)
+         |  GROUP BY b
+         |), spine AS (
+         |  SELECT CAST(unnest(range(0, $HeapsBuckets)) AS BIGINT) AS b
+         |), joined AS (
+         |  SELECT s.b, COALESCE(dh.n_docs, 0) AS n_docs,
+         |    COALESCE(dh.n_tokens, 0) AS n_tokens,
+         |    COALESCE(vh.n_new, 0) AS n_new
+         |  FROM spine s LEFT JOIN dh ON s.b = dh.b
+         |    LEFT JOIN vh ON s.b = vh.b
+         |), pts AS (
+         |  SELECT b,
+         |    CAST(sum(n_docs) OVER (ORDER BY b) AS BIGINT) AS n_docs_cum,
+         |    CAST(sum(n_tokens) OVER (ORDER BY b) AS BIGINT)
+         |      AS n_tokens_cum,
+         |    CAST(sum(n_new) OVER (ORDER BY b) AS BIGINT) AS vocab_cum
+         |  FROM joined
+         |), flt AS (
+         |  SELECT * FROM pts WHERE n_tokens_cum > 0 AND vocab_cum > 0
+         |), fi AS (
+         |  SELECT
+         |    CAST(floor(ln(CAST(n_tokens_cum AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS xq,
+         |    CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS yq
+         |  FROM flt
+         |), sums AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+         |  FROM fi
+         |), fit AS (
+         |  SELECT
+         |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_raw,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(n AS DOUBLE) AS nd
+         |  FROM sums
+         |)
+         |SELECT f.b AS fraction, f.n_docs_cum, f.n_tokens_cum,
+         |  f.vocab_cum,
+         |  round(t.beta_raw, 6) AS heaps_beta,
+         |  round((t.syd - t.beta_raw * t.sxd) / t.nd / 1e6, 6)
+         |    AS heaps_log_k
+         |FROM flt f CROSS JOIN fit t
+         |ORDER BY fraction""".stripMargin,
 
     "em03_pq_assign" ->
       s"""WITH $pqSqlCtes

@@ -152,6 +152,54 @@ class CurationQueriesSpec extends AnyFunSuite {
     })
   }
 
+  // ---- ta18 ---------------------------------------------------------
+
+  test("ta18 matches a brute-force Heaps-law recompute") {
+    // vocab growth by construction: every doc carries two common words
+    // plus one word new to its own id — so each added fraction adds
+    // exactly its docs' private words to the vocabulary
+    val rows = (1L to 40L).map(i =>
+      (i, s"common words uniq$i" + (if (i % 3 == 0) s" extra$i" else ""),
+        "en", "web"))
+    val dir = writeDocs(rows)
+
+    def bucket(id: Long): Long =
+      (BigInt(md5hex(s"heaps:$id").take(15), 16) % 8).toLong
+    val byB = rows.groupBy { case (id, _, _, _) => bucket(id) }
+    val cum = (0L until 8L).scanLeft((0L, 0L, Set.empty[String])) {
+      case ((nd, nt, vocab), b) =>
+        val ds = byB.getOrElse(b, Seq.empty)
+        (nd + ds.size, nt + ds.map(d => toks(d._2).size.toLong).sum,
+          vocab ++ ds.flatMap(d => toks(d._2)))
+    }.drop(1).zipWithIndex.map { case ((nd, nt, v), j) =>
+      (j.toLong, nd, nt, v.size.toLong)
+    }.filter(t => t._3 > 0 && t._4 > 0)
+
+    // the micro-unit OLS, exactly as both engines compute it
+    val pts = cum.map(t =>
+      (math.floor(math.log(t._3.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(t._4.toDouble) * 1e6 + 0.5).toLong))
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxy = pts.map(t => t._1 * t._2).sum.toDouble
+    val sxx = pts.map(t => t._1 * t._1).sum.toDouble
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val logK = (sy - beta * sx) / n / 1e6
+
+    val got = SparkEntry.queries("ta18_heaps_law")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) ==
+      cum.map(t => (t._1, t._2, t._3, t._4)))
+    got.foreach { t =>
+      assert(math.abs(t._5 - beta) < 1e-6, s"beta ${t._5} vs $beta")
+      assert(math.abs(t._6 - logK) < 1e-6, s"logK ${t._6} vs $logK")
+    }
+    // growth curves are monotone and the fit slope is a real Heaps
+    // exponent (sublinear growth: 0 < beta < 1)
+    assert(cum.map(_._4) == cum.map(_._4).sorted)
+    assert(beta > 0 && beta < 1, s"beta=$beta")
+  }
+
   // ---- st11 ---------------------------------------------------------
 
   test("st11 heavy hitters match a brute-force CMS recompute") {
