@@ -38,6 +38,12 @@ object TextAnalysis {
     * buckets can't silently drop a fraction. */
   private[graft] val HeapsBuckets = 8
 
+  /** ta19's global token budget (test stand-in — production would be
+    * the training-run token count). Fixed ABSOLUTE budget: the whole
+    * point is selecting the best docs until the trainer is fed, not a
+    * corpus-relative fraction. */
+  private[graft] val TokenBudget = 20000L
+
   /** ta17 redaction patterns — restricted to the regex subset where
     * Java regex (Spark) and RE2 (DuckDB) provably agree: character
     * classes, greedy +/{n}, literal dots. No backrefs, no lookarounds
@@ -508,6 +514,52 @@ object TextAnalysis {
           length(col("red")).as("redacted_len"),
           md5(col("red")).as("redacted_md5"))
         .orderBy("doc_id")
+    }),
+
+    // ta19: BUDGET-CONSTRAINED QUALITY SELECTION — "take the highest-
+    // quality documents until the training token budget is full", the
+    // selection step every curated pretraining mix ends with. The
+    // naive form is a GLOBAL sort by quality + running cumsum — one
+    // partition at 100 TB. Here the threshold comes from a quality-BIN
+    // histogram instead (ta02's 6-dp score → ≤1,000,001 integer bins,
+    // the ml15/ta12 bounded-window argument): one corpus aggregate to
+    // (bin, tokens), a desc cumsum over the bin table picks the bins
+    // that fit entirely, and only the single BOUNDARY bin needs a
+    // per-doc running sum — a window over one bin's docs, in seeded
+    // hash order so the tie-break is deterministic and unbiased, with
+    // its leftover budget. Corpus-sized work: one aggregate + one
+    // broadcast semi-join + one bin-bounded window.
+    "ta19_budget_select" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = qualityScored(documents(s, d))
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          floor(col("quality_score") * 1e6 + 0.5).cast("long").as("qu6"))
+      val bins = base.groupBy("qu6").agg(sum("n_tokens").as("bin_tokens"))
+        .withColumn("cum", sum("bin_tokens").over(
+          w.orderBy(col("qu6").desc)
+            .rowsBetween(w.unboundedPreceding, 0)))
+        .withColumn("cum_prev", col("cum") - col("bin_tokens"))
+      val fullBins = bins.where(col("cum") <= TokenBudget).select("qu6")
+      val boundary = bins
+        .where(col("cum") > TokenBudget && col("cum_prev") < TokenBudget)
+        .select(col("qu6").as("b_qu6"),
+          (lit(TokenBudget) - col("cum_prev")).as("remaining"))
+      val fullSel = base.join(broadcast(fullBins), Seq("qu6"), "left_semi")
+        .select(col("doc_id"), col("n_tokens"), col("qu6"),
+          lit("full").as("tier"))
+      val partSel = base
+        .join(broadcast(boundary), col("qu6") === col("b_qu6"))
+        .withColumn("doccum", sum("n_tokens").over(
+          w.partitionBy("qu6")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+            .rowsBetween(w.unboundedPreceding, 0)))
+        .where(col("doccum") <= col("remaining"))
+        .select(col("doc_id"), col("n_tokens"), col("qu6"),
+          lit("partial").as("tier"))
+      fullSel.union(partSel)
+        .orderBy(col("qu6").desc, md5(col("doc_id").cast("string")),
+          col("doc_id"))
     }),
 
     // ta18: HEAPS-LAW VOCABULARY-GROWTH FIT — the corpus-scaling
@@ -1251,6 +1303,57 @@ object TextAnalysis {
          |  CAST(length(r) AS BIGINT) AS redacted_len,
          |  md5(r) AS redacted_md5
          |FROM red ORDER BY doc_id""".stripMargin,
+
+    // the bin threshold re-derives ta02's quality score exactly; the
+    // per-doc window runs only inside the boundary bin, like Spark's
+    "ta19_budget_select" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform($toksSql, t -> length(t)::BIGINT)),
+         |      (a, b) -> a + b) AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS mean_len,
+         |    CAST(${countInSql(Stopwords)} AS DOUBLE)
+         |      / CAST(len($toksSql) AS DOUBLE) AS stop_ratio
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(round(0.5 * stop_ratio
+         |      + 0.3 * least(mean_len / 8.0, 1.0)
+         |      + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0), 6)
+         |      * 1e6 + 0.5) AS BIGINT) AS qu6
+         |  FROM q WHERE n_tokens > 0
+         |), bins AS (
+         |  SELECT qu6, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |  FROM base GROUP BY qu6
+         |), c2 AS (
+         |  SELECT qu6, cum, cum - bin_tokens AS cum_prev FROM (
+         |    SELECT qu6, bin_tokens,
+         |      CAST(sum(bin_tokens) OVER (ORDER BY qu6 DESC
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS BIGINT) AS cum
+         |    FROM bins)
+         |), full_sel AS (
+         |  SELECT b.doc_id, b.n_tokens, b.qu6, 'full' AS tier
+         |  FROM base b JOIN c2 ON b.qu6 = c2.qu6
+         |  WHERE c2.cum <= $TokenBudget
+         |), part_sel AS (
+         |  SELECT doc_id, n_tokens, qu6, 'partial' AS tier FROM (
+         |    SELECT b.doc_id, b.n_tokens, b.qu6,
+         |      CAST(sum(b.n_tokens) OVER (PARTITION BY b.qu6
+         |        ORDER BY md5(CAST(b.doc_id AS VARCHAR)), b.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS BIGINT) AS doccum,
+         |      $TokenBudget - c2.cum_prev AS remaining
+         |    FROM base b JOIN c2 ON b.qu6 = c2.qu6
+         |    WHERE c2.cum > $TokenBudget AND c2.cum_prev < $TokenBudget)
+         |  WHERE doccum <= remaining
+         |)
+         |SELECT doc_id, n_tokens, qu6, tier FROM (
+         |  SELECT * FROM full_sel UNION ALL SELECT * FROM part_sel) u
+         |ORDER BY qu6 DESC, md5(CAST(doc_id AS VARCHAR)), doc_id"""
+        .stripMargin,
 
     // the fit re-derives Spark's micro-unit OLS: xq/yq are BIGINT
     // quantized logs, so every aggregate is an order-free integer sum

@@ -200,6 +200,62 @@ class CurationQueriesSpec extends AnyFunSuite {
     assert(beta > 0 && beta < 1, s"beta=$beta")
   }
 
+  // ---- ta19 ---------------------------------------------------------
+
+  test("ta19 matches a brute-force budget-selection recompute") {
+    // three quality classes with uniform per-class scores, sized so the
+    // 20k budget takes all of A (12k tokens), PART of B (8k of 10k —
+    // the boundary bin, tie-broken by md5 order), and none of C
+    val stop = ("the a of and in to " * 20).trim  // 120 tokens, all stop
+    val mid  = ("word " * 100).trim               // 100 tokens
+    val low  = ("xy " * 30).trim                  // 30 tokens
+    val rows = (1L to 100L).map((_, stop)) ++
+      (101L to 200L).map((_, mid)) ++ (201L to 300L).map((_, low))
+    val dir = writeDocs(rows.map { case (i, t) => (i, t, "en", "web") })
+
+    val sw = Set("the", "a", "of", "and", "in", "to")
+    def qu6(t: String): Long = {
+      val ts = toks(t); val n = ts.size.toDouble
+      val s = 0.5 * (ts.count(sw) / n) +
+        0.3 * math.min(ts.map(_.length).sum / n / 8.0, 1.0) +
+        0.2 * math.min(n / 100.0, 1.0)
+      // Spark's round(): BigDecimal.valueOf + HALF_UP
+      val r = BigDecimal(java.math.BigDecimal.valueOf(s))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r * 1e6 + 0.5).toLong
+    }
+    val docs = rows.map { case (id, t) => (id, toks(t).size.toLong, qu6(t)) }
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, String)]
+    var budget = graft.operators.TextAnalysis.TokenBudget
+    docs.groupBy(_._3).toSeq.sortBy(-_._1).foreach { case (q, ds) =>
+      val ordered = ds.sortBy(d => (md5hex(d._1.toString), d._1))
+      val total = ds.map(_._2).sum
+      if (budget >= total) {
+        ordered.foreach(d => expected += ((d._1, d._2, q, "full")))
+        budget -= total
+      } else if (budget > 0) {
+        var left = budget
+        ordered.foreach { d =>
+          if (d._2 <= left) { expected += ((d._1, d._2, q, "partial"))
+            left -= d._2 }
+          else left = -1 // window cumsum stops at first overflow
+        }
+        budget = 0
+      }
+    }
+
+    val got = SparkEntry.queries("ta19_budget_select")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == expected.toSeq)
+    // the scenario really exercised both tiers and the budget is tight:
+    // selected tokens fit, and no excluded same-or-better doc would
+    assert(got.map(_._4).toSet == Set("full", "partial"))
+    val used = got.map(_._2).sum
+    assert(used <= graft.operators.TextAnalysis.TokenBudget)
+    assert(got.count(_._4 == "partial") == 80 && used == 20000L)
+  }
+
   // ---- st11 ---------------------------------------------------------
 
   test("st11 heavy hitters match a brute-force CMS recompute") {
