@@ -49,6 +49,14 @@ object Similarity {
     * per query before the exact re-rank trims to [[TopK]]. */
   private[graft] val RerankC = 30
 
+  /** ss17's deterministic CDC batch: every DeltaMod-th vector is in
+    * the change set; of those, every UpdMod-th is an UPDATE (its
+    * embedding is replaced by its reverse — an oracle-expressible
+    * stand-in for "the document was re-embedded") and the rest are
+    * DELETE tombstones. */
+  private[graft] val DeltaMod = 10
+  private[graft] val UpdMod = 20
+
   /** ss15 MMR geometry: shortlist size (per-query candidate pool) and
     * how many diversified results the greedy selection emits. */
   private[graft] val MmrC = 20
@@ -428,6 +436,55 @@ object Similarity {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select("query_id", "rank", "neighbor_id", "cell", "adc_u6")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ss17: CDC-MAINTAINED ANN INDEX — q32's merge discipline applied
+    // to the PQ code table, the operation that keeps a 100 TB ANN
+    // index alive WITHOUT rebuilding it: the change batch carries
+    // tombstones (vectors whose document was dropped) and updates
+    // (documents re-embedded), the merged index = base codes
+    // anti-joined against the delta keys ∪ the re-encoded updates,
+    // and the probe is served from the merged table with ss07's ADC
+    // math. Key production property: updates re-encode against the
+    // STANDING codebook (codebooks retrain on em05's schedule, not
+    // per delta), so the delta's cost is 8 one-byte codes per changed
+    // vector — nothing corpus-sized moves. The oracle recomputes the
+    // merge from scratch; the hash match proves deletes vanish,
+    // updates re-rank, and untouched vectors score identically.
+    "ss17_knn_index_delta" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{pqAssign, pqCodebook, pqDist2, PqM, PqSub}
+      val base = pqAssign(s, d).select(col("vec_id"), col("m"), col("code"))
+        .where(col("vec_id") % DeltaMod =!= 0) // delta keys leave the base
+      val updCodes = embeddings(s, d)
+        .where(col("vec_id") % UpdMod === 0)
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+          reverse(col("embedding")).as("emb"))
+        .select(col("vec_id"), col("m"),
+          slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)).as("subv"))
+        .join(broadcast(pqCodebook(s, d)), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          pqDist2(col("subv"), col("center")).as("d2"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cid").as("code"))
+      val idx = base.unionByName(updCodes)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      val lut = pqLut(s, d) // queries are external probes — unchanged
+        .select(col("query_id"), col("m").as("lm"), col("cid"),
+          col("ld2_u6"))
+      val scored = idx
+        .join(broadcast(lut),
+          col("m") === col("lm") && col("code") === col("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "adc_u6")
         .orderBy("query_id", "rank")
     }),
 
@@ -908,6 +965,59 @@ object Similarity {
          |SELECT query_id, rank, neighbor_id, adc_u6 FROM pq_ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the oracle recomputes the merge from first principles: the
+    // updates' reversed embeddings are re-encoded by arithmetic
+    // index flip (emb[D+1-k], the same term order as Spark's
+    // reverse-then-slice fold), the tombstoned codes are filtered,
+    // and the serve is ss07's ADC over the merged table
+    "ss17_knn_index_delta" -> {
+      import graft.operators.TextAnalysis.{PqM, PqSub}
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes}, upd_dists AS (
+         |  SELECT e.vec_id, m.m AS m, cb.cid,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(generate_series(1, $PqSub),
+         |        i -> (CAST(e.embedding[${PqM * PqSub} + 1 -
+         |                (m.m * $PqSub + i)] AS DOUBLE) -
+         |              CAST(cb.cemb[m.m * $PqSub + i] AS DOUBLE)) *
+         |             (CAST(e.embedding[${PqM * PqSub} + 1 -
+         |                (m.m * $PqSub + i)] AS DOUBLE) -
+         |              CAST(cb.cemb[m.m * $PqSub + i] AS DOUBLE)))),
+         |      (a, x) -> a + x) AS d2
+         |  FROM embeddings e,
+         |    LATERAL unnest(generate_series(0, ${PqM - 1})) AS m(m)
+         |  JOIN pq_cb cb ON cb.m = m.m
+         |  WHERE e.vec_id % $UpdMod = 0
+         |), upd_codes AS (
+         |  SELECT vec_id, m, cid AS code FROM (
+         |    SELECT vec_id, m, cid,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY d2, cid) AS rn
+         |    FROM upd_dists) WHERE rn = 1
+         |), merged AS (
+         |  SELECT vec_id, m, code FROM pq_codes
+         |  WHERE vec_id % $DeltaMod <> 0
+         |  UNION ALL SELECT vec_id, m, code FROM upd_codes
+         |), lut AS (
+         |  SELECT vec_id AS query_id, m, cid,
+         |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
+         |  FROM pq_dists WHERE vec_id < $NumQueries
+         |), adc AS (
+         |  SELECT l.query_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
+         |  FROM merged c JOIN lut l ON c.m = l.m AND c.code = l.cid
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, adc_u6,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_u6, neighbor_id) AS rank
+         |  FROM adc
+         |)
+         |SELECT query_id, rank, neighbor_id, adc_u6 FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // ss09 serves the SAME answer as ss08 through the materialized
     // cell-partitioned layout, so they share one oracle text — any

@@ -145,6 +145,36 @@ class ApproxBoundsSpec extends AnyFunSuite {
       "ADC distance diverged between ss07 and ss08 on a shared pair")
   }
 
+  test("ss17 delta merge: tombstones vanish, untouched pairs unchanged") {
+    import graft.similarity.Similarity.{DeltaMod, UpdMod}
+    val delta = SparkEntry.queries("ss17_knn_index_delta")(spark, d)
+      .select(col("query_id"), col("neighbor_id"), col("adc_u6"))
+      .localCheckpoint()
+    // a tombstoned vector must never surface from the merged index
+    assert(delta.filter(col("neighbor_id") % DeltaMod === 0 &&
+      col("neighbor_id") % UpdMod =!= 0).count() == 0,
+      "a deleted vector survived the merge")
+    // untouched vectors score EXACTLY as in the unmaintained index —
+    // the merge may change membership/ranks, never a kept code
+    val base = SparkEntry.queries("ss07_knn_pq")(spark, d)
+      .select(col("query_id"), col("neighbor_id"),
+        col("adc_u6").as("adc_base"))
+      .localCheckpoint()
+    val sharedUntouched = delta
+      .filter(col("neighbor_id") % DeltaMod =!= 0)
+      .join(base, Seq("query_id", "neighbor_id"))
+    assert(sharedUntouched.count() > 0, "no untouched overlap to compare")
+    assert(sharedUntouched
+      .filter(col("adc_u6") =!= col("adc_base")).count() == 0,
+      "an untouched vector's ADC distance changed")
+    // and the maintenance did something: the served answer is not the
+    // stale index's answer (deletes/updates must shift some rank)
+    assert(delta.exceptAll(
+      base.select(col("query_id"), col("neighbor_id"),
+        col("adc_base").as("adc_u6"))).count() > 0,
+      "delta-served result identical to the stale index")
+  }
+
   test("ss15 MMR selection is anchored, distinct, and score-monotone") {
     val k = graft.similarity.Similarity.MmrK
     val mmr = SparkEntry.queries("ss15_mmr_topk")(spark, d).collect()
