@@ -386,6 +386,60 @@ object JsonLines {
         .orderBy("shard", "start_offset")
     }),
 
+    // io12: TIME TRAVEL + SNAPSHOT DIFF — the read side of io09's
+    // publish protocol exercised across HISTORY. Two corpus versions
+    // are published through the write-audit-publish path (v1 with
+    // some docs missing and some texts amended; v2 with a different
+    // membership), then BOTH are read back by version name — old
+    // versions stay readable after a later publish, io09's snapshot-
+    // isolation guarantee — and diffed into the added / removed /
+    // changed audit every lakehouse exposes as table_changes().
+    //
+    // Scale: the diff is ONE full-outer equi-join on the snapshot
+    // key — shuffle on doc_id, or exchange-free under io05's
+    // bucketed layout. At 100 TB the real system prunes first at the
+    // manifest level (unchanged files can't contain changed rows) and
+    // then runs exactly this join over the remaining files; the
+    // row-level semantics are what this query locks. The oracle
+    // recomputes both versions from the source table, so the hash
+    // match also re-proves the publish round trip byte-preserved the
+    // texts.
+    "io12_snapshot_diff" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val root = stagingDir("timetravel")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true) // history = exactly [v1, v2]
+      val src = documents(s, d)
+        .select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val v1 = src.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("!"))).otherwise(col("text")))
+      val v2 = src.where(col("doc_id") % 11 =!= 0)
+      val n1 = publishSnapshot(s, v1, root)
+      val n2 = publishSnapshot(s, v2, root)
+      require(n1 != n2 && currentVersion(s, root) == n2,
+        s"expected two distinct versions with $n2 current")
+      def readV(n: String) = s.read.schema(DocSchema)
+        .parquet(s"$root/$n")
+        .select(col("doc_id"), col("text"))
+      val o = readV(n1).select(col("doc_id").as("old_id"),
+        col("text").as("old_text"))
+      val nw = readV(n2).select(col("doc_id").as("new_id"),
+        col("text").as("new_text"))
+      o.join(nw, col("old_id") === col("new_id"), "full_outer")
+        .where(col("old_id").isNull || col("new_id").isNull ||
+          col("old_text") =!= col("new_text"))
+        .select(
+          coalesce(col("old_id"), col("new_id")).as("doc_id"),
+          when(col("old_id").isNull, "added")
+            .when(col("new_id").isNull, "removed")
+            .otherwise("changed").as("change_type"),
+          length(col("old_text")).cast("long").as("old_len"),
+          length(col("new_text")).cast("long").as("new_len"))
+        .orderBy("doc_id")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -483,6 +537,25 @@ object JsonLines {
          |  CAST(start_offset % $SeqBudget AS BIGINT) AS offset_in_seq
          |FROM p ORDER BY shard, start_offset""".stripMargin
     },
+
+    "io12_snapshot_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || '!' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), v2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+        |)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  CAST(length(v1.text) AS BIGINT) AS old_len,
+        |  CAST(length(v2.text) AS BIGINT) AS new_len
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL
+        |   OR v1.text <> v2.text
+        |ORDER BY doc_id""".stripMargin,
     "io08_partition_backfill" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  CAST(count(*) AS BIGINT) AS n_events,
