@@ -21,16 +21,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as a long (legacy flag) and convert to a
-    * microsecond timestamp with exact integer division (`div`, not
-    * `/` — ns-since-epoch exceeds 2^53 so double division would lose
-    * bits). */
+  /** events.ts has shipped under different parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only surfaces as LONG via the legacy flag — and
+    * TIMESTAMP_MICROS with isAdjustedToUTC=false, which surfaces as
+    * TIMESTAMP_NTZ. Probe the file's Spark-surfaced schema and branch
+    * (see [[normalizeEventTs]]) so either encoding yields the same
+    * instant column. The legacy flag is set unconditionally: it only
+    * affects NANOS files and lets the probe read a NANOS footer
+    * without erroring. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalizes an events frame so `ts` is an instant (TimestampType,
+    * microsecond precision) whatever the file carried:
+    *  - LONG = legacy nanos-since-epoch → exact integer `div 1000`
+    *    (`div`, not `/` — ns-since-epoch exceeds 2^53, double division
+    *    would lose bits) into `timestamp_micros`;
+    *  - TIMESTAMP_NTZ = microsecond wall-clock; every session in this
+    *    repo pins spark.sql.session.timeZone=UTC, so the cast to an
+    *    instant is value-preserving;
+    *  - TIMESTAMP = already an instant, pass through. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case t => sys.error(s"unsupported events.ts parquet type: $t")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -19,12 +19,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events parquet carries TIMESTAMP(NANOS) → declare ts as LONG and
-    * convert with exact integer division (see graft.Tables.events). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** A FileStreamSource needs an explicit schema, and it must match
+    * the file's actual encoding — declaring LONG against a
+    * TIMESTAMP_MICROS file would hand back raw µs longs and silently
+    * corrupt every timestamp. Probe the static file's footer once
+    * (sets the legacy nanos flag so a TIMESTAMP(NANOS) file surfaces
+    * as LONG instead of erroring) and build the stream schema from
+    * it; `Tables.normalizeEventTs` then gives the same instant column
+    * for every encoding. */
+  private def probeSchema(ss: SparkSession, path: String): StructType = {
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.read.parquet(path).schema
+  }
 
   /** Runs the streaming aggregation to completion over the static
     * parquet (memory sink, complete mode) and returns the result —
@@ -58,7 +64,7 @@ object EventStream {
     // (on a real deployment the partition count follows state size)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = probeSchema(ss, s"$dir/events.parquet")
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_")
     // everything after dir creation is inside the try: a failure in
     // link staging, plan building, or start() must still clean up the
@@ -70,9 +76,8 @@ object EventStream {
           srcDir.resolve(s"events_$i.parquet"),
           java.nio.file.Paths.get(s"$dir/events.parquet"))
       }
-      val stream = build(
-        ss.readStream.schema(eventsSchema).parquet(srcDir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      val stream = build(graft.Tables.normalizeEventTs(
+        ss.readStream.schema(fileSchema).parquet(srcDir.toString)))
       q = stream.writeStream.outputMode(outputMode)
         .format("memory").queryName(sinkName).start()
       q.processAllAvailable()
@@ -431,15 +436,16 @@ object EventStream {
       fs.delete(new Path(root), true)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // stage the source as three distinct files → three microbatches
-      val raw = ss.read.schema(eventsSchema).parquet(s"$d/events.parquet")
+      // stage the source as three distinct files → three microbatches;
+      // staging through the adaptive loader means the staged files
+      // carry a normalized instant ts whatever the source encoding
+      val raw = graft.Tables.events(ss, d)
       raw.repartition(3).write.parquet(s"$root/src")
       val out = s"$root/out"
       fs.mkdirs(new Path(out))
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
-        q = ss.readStream.schema(eventsSchema)
+        q = ss.readStream.schema(raw.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
           .writeStream
           .option("checkpointLocation", s"$root/ckpt")
@@ -459,8 +465,7 @@ object EventStream {
         "replayed batch must be skipped, not re-committed")
       // torn write: data without a marker must stay invisible
       raw.limit(50).write.mode("overwrite").parquet(s"$out/batch=999")
-      readCommitted(ss, out, eventsSchema)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      readCommitted(ss, out, raw.schema)
         .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
         .groupBy("day", "event_type")
         .agg(count(lit(1)).as("n_events"),
