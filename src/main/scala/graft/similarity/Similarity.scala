@@ -169,6 +169,68 @@ object Similarity {
     (idx, probes, cells)
   }
 
+  /** The greedy MMR selection over a bounded shortlist
+    * `cand0`(query_id, neighbor_id, rel_u6) — shared by ss15 (brute
+    * shortlist, the exact reference) and ss18 (shortlist served from
+    * ss09's pruned index). Pairwise sims are ≤ C² per query and every
+    * selection step runs over K·C-row frames, so the whole selection
+    * is corpus-independent whatever produced the shortlist. */
+  private def mmrSelect(s: SparkSession, d: String,
+      cand0: DataFrame): DataFrame = {
+    val u6 = (x: Column) =>
+      floor(round(x, 6) * lit(1000000.0) + 0.5).cast("long")
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+    // materialized once — it feeds the pair sims and every step
+    val cand = cand0.localCheckpoint()
+    val withE = cand.select("query_id", "neighbor_id")
+      .join(e.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+    val pair = withE
+      .select(col("query_id"), col("neighbor_id").as("d_id"),
+        col("embedding").as("de"), col("nrm").as("dn"))
+      .join(withE.select(col("query_id"),
+        col("neighbor_id").as("s_id"), col("embedding").as("se"),
+        col("nrm").as("sn")), Seq("query_id"))
+      .filter(col("d_id") =!= col("s_id"))
+      .select(col("query_id"), col("d_id"), col("s_id"),
+        u6(dot(s, col("de"), col("se")) / (col("dn") * col("sn")))
+          .as("sim_u6"))
+      .localCheckpoint()
+    // greedy selection, K unrolled steps (step 1 = pure relevance)
+    val wSel = Window.partitionBy("query_id")
+      .orderBy(col("mmr_u6").desc, col("neighbor_id").asc)
+    var selected = cand
+      .withColumn("mmr_u6", col("rel_u6"))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
+        lit(1).as("sel_rank"))
+    var remaining = cand.join(selected.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_anti")
+    for (t <- 2 to MmrK) {
+      val ms = pair
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("s_id")), Seq("query_id", "s_id"))
+        .groupBy("query_id", "d_id").agg(max("sim_u6").as("max_sim"))
+        .withColumnRenamed("d_id", "neighbor_id")
+      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_u6", col("rel_u6") - col("max_sim"))
+        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
+          lit(t).as("sel_rank"))
+      // truncate lineage each step: without this the K-step loop
+      // compounds into one deep plan (every step re-embeds all prior
+      // steps' joins/windows) and Catalyst planning + stage count
+      // dominate the wall clock (measured 6.1 → ~2 s at sf0.1); the
+      // frames are K·|queries| rows, so each checkpoint is trivial
+      selected = selected.unionByName(pick).localCheckpoint()
+      remaining = remaining.join(pick.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti").localCheckpoint()
+    }
+    selected.select("query_id", "sel_rank", "neighbor_id", "mmr_u6")
+      .orderBy("query_id", "sel_rank")
+  }
+
   /** recall@k of `approxName`'s neighbor list against the brute-force
     * ground truth (ss01), per query — one shape for every approximate
     * index (ss04 = LSH, ss10 = PQ/ADC, ss11 = IVF-PQ). Left join so a
@@ -589,11 +651,10 @@ object Similarity {
     // Scale: per-query work is bounded by the SHORTLIST, never the
     // corpus — C relevance rows, C² pair sims, K unrolled selection
     // steps over K·C-row frames (all broadcast-sized); only the
-    // shortlist build touches the corpus (here ss01's brute scan; at
-    // 100 TB you'd feed ss08's IVF-PQ shortlist instead, same shape).
+    // shortlist build touches the corpus. ss15 keeps the EXACT brute
+    // shortlist as the reference (ss01's shape); ss18 is the served
+    // path, feeding the same selection from ss09's pruned index read.
     "ss15_mmr_topk" -> ((s, d) => {
-      val u6 = (x: Column) =>
-        floor(round(x, 6) * lit(1000000.0) + 0.5).cast("long")
       val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
         sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
       val q = e.filter(col("vec_id") < NumQueries)
@@ -602,8 +663,7 @@ object Similarity {
       val wRel = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       // shortlist: ss01's ranked neighbors, cut to C per query, with
-      // relevance as micro-units; materialized once — it feeds the
-      // pair sims and every selection step
+      // relevance as micro-units
       val cand = e
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
           col("nrm").as("nn"))
@@ -615,55 +675,54 @@ object Similarity {
         .filter(col("rank") <= MmrC)
         .select(col("query_id"), col("neighbor_id"),
           floor(col("cos") * lit(1000000.0) + 0.5).cast("long").as("rel_u6"))
-        .localCheckpoint()
-      // pairwise sims among shortlist members: ≤ C² per query,
-      // corpus-independent
-      val withE = cand.select("query_id", "neighbor_id")
+      mmrSelect(s, d, cand)
+    }),
+
+    // ss18: the SERVED MMR — the same greedy diversification, but the
+    // shortlist comes from the production serving stack instead of a
+    // corpus-wide brute scan: ss09's cell-partitioned PQ index is read
+    // back pruned to the probe cells, ADC-scored, cut to C per query,
+    // and only those C rows are fetched as true vectors for the exact
+    // relevance (ss14's re-rank shape). This closes the diversified-
+    // retrieval path index-backed end-to-end: at 100 TB nothing
+    // corpus-sized is touched after the one-time index build — the
+    // probe reads nprobe partitions, scores 8-byte codes, and every
+    // later stage is shortlist-bounded. ss15 stays as the exact
+    // reference; the oracle recomputes the identical pipeline in SQL.
+    "ss18_mmr_served" -> ((s, d) => {
+      val (idx, probes, _) = pqCellIndex(s, d)
+      val lut = pqLut(s, d)
+        .select(col("query_id").as("lq"), col("m").as("lm"),
+          col("cid"), col("ld2_u6"))
+      val adc = idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("m"), col("code"))
+        .join(broadcast(lut),
+          col("query_id") === col("lq") && col("m") === col("lm") &&
+            col("code") === col("cid"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val wAdc = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      val shortlist = adc.withColumn("crank", row_number().over(wAdc))
+        .filter(col("crank") <= MmrC)
+        .select("query_id", "neighbor_id")
+      // exact-cosine relevance fetched for the C shortlist rows only
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val cand = shortlist
         .join(e.withColumnRenamed("vec_id", "neighbor_id"),
           Seq("neighbor_id"))
-      val pair = withE
-        .select(col("query_id"), col("neighbor_id").as("d_id"),
-          col("embedding").as("de"), col("nrm").as("dn"))
-        .join(withE.select(col("query_id"),
-          col("neighbor_id").as("s_id"), col("embedding").as("se"),
-          col("nrm").as("sn")), Seq("query_id"))
-        .filter(col("d_id") =!= col("s_id"))
-        .select(col("query_id"), col("d_id"), col("s_id"),
-          u6(dot(s, col("de"), col("se")) / (col("dn") * col("sn")))
-            .as("sim_u6"))
-        .localCheckpoint()
-      // greedy selection, K unrolled steps (step 1 = pure relevance)
-      val wSel = Window.partitionBy("query_id")
-        .orderBy(col("mmr_u6").desc, col("neighbor_id").asc)
-      var selected = cand
-        .withColumn("mmr_u6", col("rel_u6"))
-        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
-          lit(1).as("sel_rank"))
-      var remaining = cand.join(selected.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      for (t <- 2 to MmrK) {
-        val ms = pair
-          .join(selected.select(col("query_id"),
-            col("neighbor_id").as("s_id")), Seq("query_id", "s_id"))
-          .groupBy("query_id", "d_id").agg(max("sim_u6").as("max_sim"))
-          .withColumnRenamed("d_id", "neighbor_id")
-        val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
-          .withColumn("mmr_u6", col("rel_u6") - col("max_sim"))
-          .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-          .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
-            lit(t).as("sel_rank"))
-        // truncate lineage each step: without this the K-step loop
-        // compounds into one deep plan (every step re-embeds all prior
-        // steps' joins/windows) and Catalyst planning + stage count
-        // dominate the wall clock (measured 6.1 → ~2 s at sf0.1); the
-        // frames are K·|queries| rows, so each checkpoint is trivial
-        selected = selected.unionByName(pick).localCheckpoint()
-        remaining = remaining.join(pick.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_anti").localCheckpoint()
-      }
-      selected.select("query_id", "sel_rank", "neighbor_id", "mmr_u6")
-        .orderBy("query_id", "sel_rank")
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          floor(round(dot(s, col("qe"), col("embedding")) /
+            (col("qn") * col("nrm")), 6) * lit(1000000.0) + 0.5)
+            .cast("long").as("rel_u6"))
+      mmrSelect(s, d, cand)
     }),
 
     // ss13: k-NN GRAPH construction — the batch twin of the query
@@ -1128,30 +1187,25 @@ object Similarity {
          |    CAST(floor(cos * 1000000 + 0.5) AS BIGINT) AS rel_u6
          |  FROM bf_ranked WHERE rank <= $MmrC
          |),
-         |mmr_pair AS (
-         |  SELECT a.query_id, a.neighbor_id AS d_id, b.neighbor_id AS s_id,
-         |    CAST(floor(${cosSql("ea.embedding", "eb.embedding")}
-         |         * 1000000 + 0.5) AS BIGINT) AS sim_u6
-         |  FROM mmr_cand a
-         |  JOIN mmr_cand b
-         |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
-         |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
-         |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+         |$mmrTailSql""".stripMargin,
+
+    // ss18: the served twin — the shortlist CTE is the IVF-PQ pruned
+    // serve (ss08/ss09's ranked fragment) cut to C, with exact-cosine
+    // relevance fetched for those C rows; the selection tail is
+    // shared verbatim with ss15
+    "ss18_mmr_served" ->
+      s"""WITH $ivfSqlCtes,
+         |${graft.operators.TextAnalysis.pqSqlCtes}, $ivfPqAdcRankedSql,
+         |mmr_cand AS (
+         |  SELECT r.query_id, r.neighbor_id,
+         |    CAST(floor(${cosSql("q.embedding", "n.embedding")}
+         |         * 1000000 + 0.5) AS BIGINT) AS rel_u6
+         |  FROM ivfpq_ranked r
+         |  JOIN embeddings q ON q.vec_id = r.query_id
+         |  JOIN embeddings n ON n.vec_id = r.neighbor_id
+         |  WHERE r.rank <= $MmrC
          |),
-         |sel1 AS (
-         |  SELECT query_id, neighbor_id, rel_u6 AS mmr_u6, 1 AS sel_rank
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-         |          ORDER BY rel_u6 DESC, neighbor_id ASC) AS rn
-         |        FROM mmr_cand) WHERE rn = 1
-         |), acc1 AS (SELECT query_id, neighbor_id FROM sel1),
-         |$mmrStepsSql
-         |SELECT query_id, sel_rank, neighbor_id, mmr_u6 FROM (
-         |  SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel1
-         |${(2 to MmrK).map(t =>
-             s"  UNION ALL SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel$t")
-            .mkString("\n|")}
-         |)
-         |ORDER BY query_id, sel_rank""".stripMargin,
+         |$mmrTailSql""".stripMargin,
 
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's
@@ -1234,6 +1288,36 @@ object Similarity {
        |      ORDER BY adc_u6, neighbor_id) AS rank
        |  FROM adc
        |)""".stripMargin
+
+  /** The MMR selection tail shared by ss15 and ss18: pair sims over
+    * an `mmr_cand` CTE (query_id, neighbor_id, rel_u6), the step-1
+    * pure-relevance pick, the generated steps 2..K, and the final
+    * union — only the shortlist CTE differs between the two gates. */
+  private def mmrTailSql: String =
+    s"""mmr_pair AS (
+       |  SELECT a.query_id, a.neighbor_id AS d_id, b.neighbor_id AS s_id,
+       |    CAST(floor(${cosSql("ea.embedding", "eb.embedding")}
+       |         * 1000000 + 0.5) AS BIGINT) AS sim_u6
+       |  FROM mmr_cand a
+       |  JOIN mmr_cand b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+       |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+       |),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, rel_u6 AS mmr_u6, 1 AS sel_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel_u6 DESC, neighbor_id ASC) AS rn
+       |        FROM mmr_cand) WHERE rn = 1
+       |), acc1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |$mmrStepsSql
+       |SELECT query_id, sel_rank, neighbor_id, mmr_u6 FROM (
+       |  SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel1
+       |${(2 to MmrK).map(t =>
+           s"  UNION ALL SELECT query_id, neighbor_id, mmr_u6, sel_rank FROM sel$t")
+          .mkString("\n|")}
+       |)
+       |ORDER BY query_id, sel_rank""".stripMargin
 
   /** ss15's selection steps 2..K, generated: each step scores the
     * not-yet-picked candidates as rel − max(sim to the accumulated

@@ -64,4 +64,30 @@ class BucketLayoutSpec extends AnyFunSuite {
     assert(partitionsRead(one) == q0.size,
       s"single-query serve must read exactly ${q0.size} partitions")
   }
+
+  test("ss18 served MMR selects only from the pruned index's cells") {
+    val d = "/root/testdata/sf0.001"
+    val res = SparkEntry.queries("ss18_mmr_served")(spark, d)
+      .select("query_id", "sel_rank", "neighbor_id").collect()
+    val S = similarity.Similarity
+    assert(res.length == S.NumQueries * S.MmrK)
+    // per query: K distinct picks, ranks 1..K
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).distinct.length == S.MmrK)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to S.MmrK))
+    }
+    // every pick must be a member of the probed cells' index content —
+    // the candidate universe of the pruned read the previous test
+    // proves is directory-level partition pruning
+    val (idx, probes, _) = S.pqCellIndex(spark, d)
+    val allowed = idx.select("vec_id", "cell").distinct()
+      .join(probes, Seq("cell"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    res.foreach { r =>
+      assert(allowed.contains((r.getLong(0), r.getLong(2))),
+        s"pick ${r.getLong(2)} for query ${r.getLong(0)} is outside " +
+          "the probed cells — the serve is not riding the pruned index")
+    }
+  }
 }

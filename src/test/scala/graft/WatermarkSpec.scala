@@ -9,6 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Top-level so the Dataset encoder needs no outer scope. */
 case class TimedEv(ts: Timestamp, event_type: String)
 
+/** Token-bearing twin for the merge-law sketch eviction test. */
+case class TimedTok(ts: Timestamp, token: String)
+
 /** Append-mode windowed aggregation with a watermark: windows emit
   * exactly once, only after the watermark passes their end — the
   * state-bounding behavior SCALE.md relies on (complete-mode st01
@@ -123,6 +126,70 @@ class WatermarkSpec extends AnyFunSuite {
       val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
       assert(stateRows <= 3,
         s"expected closed windows evicted from state, got $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("append-mode windowed CMS: state is sketch-bounded and evicts") {
+    // the eviction story st09/st11 CAN'T show (they run complete mode
+    // over finite sources): a WINDOWED count-min sketch kept by the
+    // same merge law (cells combine by addition, so the per-microbatch
+    // partial aggregation IS the sketch merge) in append mode. Two
+    // bounded-state claims, both asserted on the state store itself:
+    //  1. within an open window, state is ≤ D×W CELLS no matter how
+    //     many distinct tokens flow through (sketch-bounded, never
+    //     vocabulary-bounded — the reason a 100 TB stream can keep it);
+    //  2. once the watermark passes a window's end, its cells leave
+    //     the store (time-bounded: state ∝ open windows only).
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val D = 2
+    val W = 8
+    val ms = MemoryStream[TimedTok]
+    val cells = ms.toDS()
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), posexplode(array(
+        (0 until D).map(r =>
+          pmod(hash(lit(r), col("token")), lit(W)).cast("long")): _*)))
+      .withColumnsRenamed(Map("pos" -> "r", "col" -> "b"))
+      .groupBy(window($"ts", "1 hour"), $"r", $"b")
+      .agg(count(lit(1)).as("c"))
+    val q = cells.writeStream.format("memory").queryName("wm_cms")
+      .outputMode("append").start()
+    try {
+      // 40 distinct tokens, split across two microbatches so the
+      // merge law actually merges partials across batches
+      val toks = (1 to 40).map(i => TimedTok(t("00:%02d".format(i)), s"tok$i"))
+      ms.addData(toks.take(25): _*)
+      q.processAllAvailable()
+      ms.addData(toks.drop(25): _*)
+      q.processAllAvailable()
+      assert(spark.table("wm_cms").count() == 0) // window still open
+      val openState = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(openState <= D * W,
+        s"state must be sketch-bounded (≤ ${D * W} cells), got $openState " +
+          "— a vocabulary-sized state would not survive an unbounded stream")
+
+      // advance the watermark past the window's end → emit + evict
+      ms.addData(TimedTok(t("02:30"), "late-driver"))
+      q.processAllAvailable()
+      ms.addData(TimedTok(t("02:35"), "late-driver2"))
+      q.processAllAvailable() // second batch: eviction definitely applied
+      val emitted = spark.table("wm_cms")
+        .select($"r", $"b", $"c").as[(Int, Long, Long)].collect()
+      // the emitted hour-0 sketch equals the exact batch recomputation
+      // with the same cell expression (merge across microbatches lost
+      // nothing)
+      val expect = spark.createDataset(toks)
+        .select(posexplode(array((0 until D).map(r =>
+          pmod(hash(lit(r), col("token")), lit(W)).cast("long")): _*)))
+        .withColumnsRenamed(Map("pos" -> "r", "col" -> "b"))
+        .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+      assert(emitted.toSet == expect)
+      // and the closed window's cells are OUT of the store
+      val afterState = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(afterState <= 2 * D,
+        s"closed-window cells must be evicted, got $afterState state rows")
     } finally q.stop()
   }
 }
