@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The one manifest-commit primitive behind every durable artifact in
+  * this engine: a small MARKER file made visible atomically
+  * (write-temp + rename), with marker existence as the commit
+  * predicate. io09/io12's snapshot-publish pointer (`_CURRENT`) and
+  * st12's exactly-once batch markers (`_committed_<id>`) are the same
+  * protocol — this module holds it once, and CommitSpec tests the
+  * torn-write / overwrite / listing contract in one place (round-5
+  * review follow-up). The pattern is the two-filesystem-primitive
+  * core of every table format's manifest commit; at 100 TB only the
+  * marker store changes (metastore / table format), not the logic.
+  */
+object Commit {
+
+  def fileSystem(s: SparkSession): FileSystem =
+    FileSystem.get(s.sparkContext.hadoopConfiguration)
+
+  /** Atomically materialize `content` at `path`: write `<path>.tmp`,
+    * then rename over. A reader sees the previous marker or the new
+    * one, never a torn half-write — the crash window leaves only a
+    * `.tmp` that every reader in this module ignores. */
+  def writeMarker(s: SparkSession, path: String, content: String): Unit = {
+    val fs = fileSystem(s)
+    val tmp = new Path(path + ".tmp")
+    val dst = new Path(path)
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes("UTF-8")); out.close()
+    // local/HDFS rename refuses to clobber — drop the old marker just
+    // before the swap (the .tmp is already durable at this point)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"marker rename failed for $path")
+  }
+
+  /** The committed marker's content (the reader half). */
+  def readMarker(s: SparkSession, path: String): String = {
+    val in = fileSystem(s).open(new Path(path))
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  /** Commit predicate: does the durable marker exist? */
+  def exists(s: SparkSession, path: String): Boolean =
+    fileSystem(s).exists(new Path(path))
+
+  /** Marker names under `dir` starting with `prefix` — the durable
+    * commit log, read as a directory listing. In-flight `.tmp` files
+    * are invisible by contract; the listing is name-sorted (the
+    * filesystem's enumeration order is not deterministic). */
+  def listMarkers(s: SparkSession, dir: String, prefix: String): Seq[String] =
+    fileSystem(s).listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp")).sorted
+}

@@ -21,16 +21,26 @@ import org.apache.spark.sql.types.StructType
   */
 object JsonLines {
 
-  /** One fixed staging directory per format, overwritten on every run
-    * (`mode("overwrite")` replaces the tree atomically-enough for this
-    * single-writer harness). A fresh `createTempDirectory` per
-    * invocation leaked one full corpus copy per verify/bench run. */
-  private[graft] def stagingDir(format: String): String = {
+  /** One staging directory per format, stable WITHIN a JVM (so a
+    * run's repeated invocations overwrite one copy instead of leaking
+    * one per query) but unique ACROSS JVMs: two concurrent runs on
+    * one host must not clobber each other's `_temporary` commit dirs
+    * (observed: concurrent Verify runs failing io08's partitioned
+    * write on the old shared fixed path). The per-process root is
+    * removed by a shutdown hook, so successive runs don't accumulate
+    * corpus copies either. */
+  private val stagingRoot: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_io", format)
-    java.nio.file.Files.createDirectories(p.getParent)
-    p.toString
+      System.getProperty("java.io.tmpdir"),
+      s"graft_io_${java.lang.ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p
   }
+
+  private[graft] def stagingDir(format: String): String =
+    stagingRoot.resolve(format).toString
 
   /** Null sentinel for the CSV round trip. CSV has no native null: by
     * default Spark writes null as an empty field AND reads empty
@@ -117,23 +127,16 @@ object JsonLines {
     val vdir = new Path(s"$root/$version")
     fs.delete(vdir, true)
     require(fs.rename(staging, vdir), s"publish rename to $vdir failed")
-    val tmp = new Path(s"$root/_CURRENT.tmp")
-    val cur = new Path(s"$root/_CURRENT")
-    val out = fs.create(tmp, true)
-    out.write(version.getBytes("UTF-8")); out.close()
-    fs.delete(cur, false)
-    require(fs.rename(tmp, cur), "pointer swap failed")
+    // pointer swap = the shared marker-commit primitive (same module
+    // as st12's batch markers; contract spec-tested in CommitSpec)
+    Commit.writeMarker(s, s"$root/_CURRENT", version)
     version
   }
 
   /** Resolves io09's `_CURRENT` pointer — the reader half of the
     * publish protocol. */
-  private[graft] def currentVersion(s: SparkSession, root: String): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/_CURRENT"))
-    try scala.io.Source.fromInputStream(in).mkString finally in.close()
-  }
+  private[graft] def currentVersion(s: SparkSession, root: String): String =
+    Commit.readMarker(s, s"$root/_CURRENT")
 
   private def docFacts(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("lang"), col("source"),

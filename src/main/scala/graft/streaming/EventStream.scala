@@ -104,29 +104,18 @@ object EventStream {
     * whether THIS call committed (false = already durable). */
   private[graft] def commitBatch(s: SparkSession, out: String,
       df: DataFrame, batchId: Long): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$out/_committed_$batchId")
-    if (fs.exists(marker)) return false
+    if (graft.io.Commit.exists(s, s"$out/_committed_$batchId")) return false
     df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
-    val tmp = new Path(s"$out/_committed_$batchId.tmp")
-    val o = fs.create(tmp, true)
-    o.write(batchId.toString.getBytes("UTF-8")); o.close()
-    require(fs.rename(tmp, marker), s"marker rename failed for batch $batchId")
+    graft.io.Commit.writeMarker(s, s"$out/_committed_$batchId",
+      batchId.toString)
     true
   }
 
   /** Batch ids whose commit marker exists — the sink's transaction
     * log. */
-  private[graft] def committedIds(s: SparkSession, out: String): Seq[Long] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(out)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("_committed_") && !n.endsWith(".tmp"))
+  private[graft] def committedIds(s: SparkSession, out: String): Seq[Long] =
+    graft.io.Commit.listMarkers(s, out, "_committed_")
       .map(_.stripPrefix("_committed_").toLong).sorted
-  }
 
   /** The reader half of st12: trust the commit LOG, never the
     * directory listing — a batch directory without its marker (torn
