@@ -35,7 +35,13 @@ object Explain {
         "dd15_dup_spans", "ta16_contamination", "dd16_canonical_docs",
         // round-5 third batch: zero-shuffle scrubbing projection and
         // the broadcast-quota resampling window
-        "ta17_pii_redact", "q31_mix_apply")
+        "ta17_pii_redact", "q31_mix_apply",
+        // round-6: vocabulary-free hashed vectorizer (one partial+
+        // final agg, no vocab pass), lag-debounce (one user-keyed
+        // window), canonical dedup (digest-only shuffle), z-order
+        // box read (PartitionFilters on shard), changelog tail read
+        "ta20_feature_hashing", "q33_debounce", "dd17_canonical_dedup",
+        "io13_zorder_layout", "io14_changelog_consume")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")

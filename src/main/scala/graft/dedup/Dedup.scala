@@ -348,6 +348,26 @@ object Dedup {
         .filter(col("n_docs") > 1)
         .orderBy("content_key")),
 
+    // dd17: CANONICALIZED exact dedup — dd01 after text normalization
+    // (lowercase, every non-alphanumeric run collapsed to one space,
+    // trimmed; keyed on the canonical form's 64-char prefix, dd01's
+    // convention), the cheap middle ground between byte-exact dedup
+    // and MinHash: case, punctuation, and whitespace variants of the
+    // same page collapse to one canonical form without any pair
+    // enumeration. The canonical text is pure ASCII by construction
+    // (the regex collapses everything else), so character prefixes
+    // agree across engines. Same scale shape as dd01 — a per-row
+    // codegen'd projection then one digest-keyed aggregate; only
+    // 16-byte digests shuffle, never text.
+    "dd17_canonical_dedup" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(substring(trim(regexp_replace(
+          lower(col("text")), "[^a-z0-9]+", " ")), 1, 64)).as("canon_key"))
+        .groupBy("canon_key")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("canon_key")),
+
     // dd02: MinHash signatures (16 hashes), long form — per-row array
     // math, no shuffle (fused native bank, one pass over the hashes).
     "dd02_minhash_sig" -> ((s, d) =>
@@ -763,6 +783,14 @@ object Dedup {
         |FROM documents
         |GROUP BY 1 HAVING count(*) > 1
         |ORDER BY content_key""".stripMargin,
+
+    "dd17_canonical_dedup" ->
+      """SELECT md5(substr(trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')), 1, 64)) AS canon_key,
+        |  count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY canon_key""".stripMargin,
 
     "dd02_minhash_sig" ->
       s"""WITH $sigCte

@@ -99,6 +99,11 @@ object JsonLines {
     * length; 512 is the test stand-in for a production 4k–8k). */
   private[graft] val SeqBudget = 512
 
+  /** io13's box-query bound: the demo predicate is x < ZBoxMax ∧
+    * y < ZBoxMax (a quarter of each 8-bit key range → exactly one of
+    * the 16 z-shards). */
+  private[graft] val ZBoxMax = 64
+
   /** io09's write→audit→publish core: stages `src` under `root`,
     * audits the staged copy against the source (row count + order-free
     * integer md5-prefix checksum — refuses to publish on mismatch),
@@ -277,6 +282,91 @@ object JsonLines {
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"))
         .orderBy("day")
+    }),
+
+    // io13: Z-ORDER layout — multi-dimensional clustering for a table
+    // queried on TWO columns at once (user × time here): interleaving
+    // the bits of the two keys into one Morton value and sharding by
+    // its high bits keeps rows close in BOTH dimensions close in the
+    // same file, so a box predicate (user range × day range) touches
+    // a few shards instead of all of them — single-column partitioning
+    // can only prune one of the two. The query writes the z-layout,
+    // reads it back through a quarter-box filter (x<64 ∧ y<64 ⇒ the
+    // top two bits of both keys are 0 ⇒ z < 4096 ⇒ shard 0: 1 of 16
+    // shards touched, directory-level pruning), and emits the
+    // round-tripped rows; the oracle recomputes the bit math from the
+    // source table, so the hash proves layout write → prune → read
+    // loses nothing. At 100 TB the same interleave feeds the table
+    // format's file-level min/max stats instead of a directory name.
+    "io13_zorder_layout" -> ((s, d) => {
+      val out = stagingDir("events_zorder")
+      def interleave(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) =
+        (0 until 8).map { i =>
+          shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+            shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+        }.reduce(_ + _)
+      val src = graft.Tables.events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("x"),
+          pmod(dayofyear(col("ts")).cast("long"), lit(256L)).as("y"))
+        .withColumn("zval", interleave(col("x"), col("y")))
+        .withColumn("shard", expr("zval div 4096"))
+      src.write.mode("overwrite").partitionBy("shard").parquet(out)
+      // a z-order-aware reader maps the query box to its shard set
+      // BEFORE the scan (the shard id is the interleave of both keys'
+      // top two bits, so the set enumerates the box's high-bit
+      // corners — O(shards) driver arithmetic, the degenerate BIGMIN
+      // case); the scan then carries PartitionFilters, not just
+      // pushed x/y predicates (ZOrderSpec asserts the pruned read)
+      val boxShards = (for {
+        xh <- 0 to (ZBoxMax - 1) >> 6
+        yh <- 0 to (ZBoxMax - 1) >> 6
+      } yield (((yh >> 1) & 1) << 3) | (((xh >> 1) & 1) << 2) |
+        ((yh & 1) << 1) | (xh & 1)).distinct.map(_.toLong)
+      s.read.parquet(out)
+        .filter(col("shard").isin(boxShards: _*) &&
+          col("x") < ZBoxMax && col("y") < ZBoxMax)
+        .select(col("event_id"), col("x"), col("y"), col("zval"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("event_id")
+    }),
+
+    // io14: CHANGELOG CONSUMPTION — the incremental-consumer half of
+    // the manifest-commit protocol (graft.io.Commit, st12's sink): a
+    // producer lands batches under commit markers; a consumer that
+    // already processed up to offset N reads ONLY the batches with a
+    // marker above N — never a directory diff, never a full rescan,
+    // and torn batches (data without a marker) stay invisible. This
+    // is how a downstream job tails a 100 TB table incrementally: the
+    // work per wake-up is the new batches' data, not the table.
+    // The query stages three committed batches plus one torn one,
+    // consumes from offset 0, and aggregates the consumed tail; the
+    // oracle recomputes the same tail from the source predicate.
+    "io14_changelog_consume" -> ((s, d) => {
+      val root = stagingDir("changelog")
+      val fs = Commit.fileSystem(s)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val ev = graft.Tables.events(s, d)
+        .withColumn("batch", pmod(col("event_id"), lit(3L)))
+      (0L to 2L).foreach { b =>
+        ev.filter(col("batch") === b).drop("batch")
+          .write.mode("overwrite").parquet(s"$root/batch=$b")
+        Commit.writeMarker(s, s"$root/_committed_$b", b.toString)
+      }
+      // a torn producer attempt: data, no marker — must not be consumed
+      ev.drop("batch").limit(10).write.mode("overwrite")
+        .parquet(s"$root/batch=9")
+      val consumedFrom = 0L // the consumer's durable offset
+      val ids = Commit.listMarkers(s, root, "_committed_")
+        .map(_.stripPrefix("_committed_").toLong)
+        .filter(_ > consumedFrom).sorted
+      s.read.parquet(ids.map(id => s"$root/batch=$id"): _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
     }),
 
     // io09: WRITE-AUDIT-PUBLISH — the commit protocol a shared 100 TB
@@ -564,6 +654,30 @@ object JsonLines {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "io13_zorder_layout" -> {
+      val zSql = (0 until 8).map { i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH keyed AS (
+         |  SELECT event_id, user_id % 256 AS x,
+         |    CAST(date_part('doy', ts) AS BIGINT) % 256 AS y
+         |  FROM events
+         |), z AS (
+         |  SELECT event_id, x, y, CAST($zSql AS BIGINT) AS zval
+         |  FROM keyed
+         |)
+         |SELECT event_id, x, y, zval, zval // 4096 AS shard
+         |FROM z WHERE x < $ZBoxMax AND y < $ZBoxMax
+         |ORDER BY event_id""".stripMargin
+    },
+
+    "io14_changelog_consume" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 3 IN (1, 2)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "io05_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

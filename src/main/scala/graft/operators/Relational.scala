@@ -35,6 +35,10 @@ object Relational {
   private val revenueTermSql =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
 
+  /** q33's echo window: a same-(user, type) event closer than this to
+    * its predecessor is a duplicate delivery, not a new action. */
+  private val DebounceUs = 10L * 60 * 1000000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: pricing summary — scan → filter → partial+final hash agg
     // (A2 shape). Mirrors reference doc-freq counting
@@ -446,6 +450,28 @@ object Relational {
     // rows, not the stream. Timestamps flow as integer micros
     // (unix_micros/epoch_us — the established nanos-truncation
     // convention), so ordering and equality are engine-exact.
+    // q33: DEBOUNCE — the event-stream cleaning step every telemetry
+    // pipeline runs before sessionization/funnels: a row is an echo
+    // (dropped) when the same user emitted the same event type within
+    // the preceding window (double-clicks, retry storms, SDK
+    // re-sends). Lag-based, so it is one window over the natural
+    // (user, type) partitioning — no state beyond one previous row
+    // per partition, and the shuffle is the same (user-keyed) exchange
+    // q13/q28 already pay; at 100 TB this rides the ingest's existing
+    // user partitioning.
+    "q33_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .filter(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") >= DebounceUs)
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id")
+    }),
+
     "q28_scd2_intervals" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
@@ -893,6 +919,17 @@ object Relational {
         |FROM base
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q33_debounce" ->
+      s"""WITH flagged AS (
+         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, event_type, ts_us FROM flagged
+         |WHERE prev_us IS NULL OR ts_us - prev_us >= $DebounceUs
+         |ORDER BY event_id""".stripMargin,
 
     "q28_scd2_intervals" ->
       """WITH ordered AS (

@@ -44,6 +44,10 @@ object TextAnalysis {
     * corpus-relative fraction. */
   private[graft] val TokenBudget = 20000L
 
+  /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
+    * — nothing below depends on the value). */
+  private[graft] val HashDim = 1024L
+
   /** ta17 redaction patterns — restricted to the regex subset where
     * Java regex (Spark) and RE2 (DuckDB) provably agree: character
     * classes, greedy +/{n}, literal dots. No backrefs, no lookarounds
@@ -529,6 +533,30 @@ object TextAnalysis {
     // hash order so the tie-break is deterministic and unbiased, with
     // its leftover budget. Corpus-sized work: one aggregate + one
     // broadcast semi-join + one bin-bounded window.
+    // ta20: FEATURE-HASHING vectorization (the hashing trick) — the
+    // vocabulary-free alternative to ta06's TF-IDF: each token maps to
+    // bucket md5(token) % D with a sign bit from an independent hash,
+    // and a document's vector is the signed sum per bucket. The reason
+    // this is THE 100 TB vectorizer: there is no vocabulary pass, no
+    // global dictionary broadcast, no OOV handling — one stateless
+    // projection per token and one (doc, bucket)-keyed aggregate, both
+    // map-side-combinable, with the dimension D fixed up front. The
+    // sign hash makes collisions cancel in expectation (the classic
+    // unbiased estimator argument) instead of only inflating counts.
+    "ta20_feature_hashing" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      toks
+        .withColumn("bucket", md5Long(col("token"), 7) % HashDim)
+        .withColumn("sign",
+          when(md5Long(concat(lit("s:"), col("token")), 7) % 2 === 0, 1L)
+            .otherwise(-1L))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("tf"), sum("sign").as("value"))
+        .orderBy("doc_id", "bucket")
+    }),
+
     "ta19_budget_select" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
       val base = qualityScored(documents(s, d))
@@ -1306,6 +1334,20 @@ object TextAnalysis {
 
     // the bin threshold re-derives ta02's quality score exactly; the
     // per-doc window runs only inside the boundary bin, like Spark's
+    "ta20_feature_hashing" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |)
+         |SELECT doc_id,
+         |  ('0x' || substr(md5(token), 1, 7))::BIGINT % $HashDim AS bucket,
+         |  count(*) AS tf,
+         |  CAST(sum(CASE WHEN
+         |      ('0x' || substr(md5('s:' || token), 1, 7))::BIGINT % 2 = 0
+         |    THEN 1 ELSE -1 END) AS BIGINT) AS value
+         |FROM tok
+         |GROUP BY 1, 2
+         |ORDER BY doc_id, bucket""".stripMargin,
+
     "ta19_budget_select" ->
       s"""WITH q AS (
          |  SELECT doc_id,

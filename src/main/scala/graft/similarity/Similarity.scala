@@ -62,6 +62,10 @@ object Similarity {
   private[graft] val MmrC = 20
   private[graft] val MmrK = 5
 
+  /** em08's nested prefix lengths (the full vector is 64 dims; 64 is
+    * kept as the recall-1.0 sanity row). */
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32, 64)
+
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
     * single-table special case of [[multiBuckets]] (table 0 uses
@@ -725,6 +729,59 @@ object Similarity {
       mmrSelect(s, d, cand)
     }),
 
+    // em08: MATRYOSHKA truncation recall — MRL-style embedding models
+    // train nested prefixes so a pipeline can score with the first
+    // 8/16/32 dims at a fraction of full-dim cost; this measures what
+    // each prefix buys: top-k by prefix-dim cosine against the
+    // full-dim ground truth (ss01), recall per (prefix_dim, query).
+    // The decision table behind "which dim do we serve / pre-filter
+    // at": recall climbs toward 1.0 as the prefix widens (64 = the
+    // full vector is the sanity row).
+    //
+    // Scale: the scoring is ss01's exact-baseline shape per prefix at
+    // fixture scale; in production the slice() pushes into the scan
+    // (shorter vectors = proportionally less I/O and flops) and the
+    // prefix scoring rides any served index (ss02/ss09) unchanged.
+    "em08_matryoshka_recall" -> ((s, d) => {
+      import s.implicits._
+      val truth = queries("ss01_knn_brute")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val approx = MatryoshkaDims.map { p =>
+        val pe = e
+          .select(col("vec_id"), slice(col("embedding"), 1, p).as("v"))
+          .select(col("vec_id"), col("v"),
+            sqrt(dot(s, col("v"), col("v"))).as("nrm"))
+        val q = pe.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qe"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        pe.select(col("vec_id").as("neighbor_id"), col("v").as("ne"),
+            col("nrm").as("nn"))
+          .crossJoin(broadcast(q))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", round(
+            dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(lit(p).as("prefix_dim"), col("query_id"),
+            col("neighbor_id").as("a_neighbor"))
+      }.reduce(_ unionByName _)
+      val truthP = truth.crossJoin(
+        broadcast(MatryoshkaDims.toDF("prefix_dim")))
+      truthP.join(approx,
+          truthP("prefix_dim") === approx("prefix_dim") &&
+            truthP("query_id") === approx("query_id") &&
+            col("neighbor_id") === col("a_neighbor"), "left")
+        .groupBy(truthP("prefix_dim").as("prefix_dim"),
+          truthP("query_id").as("query_id"))
+        .agg(count(lit(1)).as("k"), count(col("a_neighbor")).as("n_found"))
+        .withColumn("recall_at_k",
+          round(col("n_found").cast("double") / col("k"), 6))
+        .orderBy("prefix_dim", "query_id")
+    }),
+
     // ss13: k-NN GRAPH construction — the batch twin of the query
     // paths: top-3 in-bucket neighbors for EVERY vector (a knn JOIN,
     // not a 5-query probe), the building block of graph-based dedup,
@@ -1206,6 +1263,47 @@ object Similarity {
          |  WHERE r.rank <= $MmrC
          |),
          |$mmrTailSql""".stripMargin,
+
+    // em08: per-prefix ranked CTEs generated over list slices; truth
+    // is ss01's full-dim ranking, replicated per prefix for the
+    // left-join recall aggregation
+    "em08_matryoshka_recall" -> {
+      val prefixCtes = MatryoshkaDims.map { p =>
+        s"""px${p}_ranked AS (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           |  ) AS rank FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      ${cosSql(s"q.embedding[1:$p]", s"c.embedding[1:$p]")} AS cos
+           |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+           |    WHERE q.vec_id < $NumQueries)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val approxUnion = MatryoshkaDims.map(p =>
+        s"SELECT $p AS prefix_dim, query_id, neighbor_id " +
+          s"FROM px${p}_ranked WHERE rank <= $TopK").mkString("\n  UNION ALL ")
+      s"""WITH $bruteRankedCte,
+         |$prefixCtes,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= $TopK
+         |), approx AS (
+         |  $approxUnion
+         |), dims AS (
+         |  SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS prefix_dim
+         |), truthp AS (
+         |  SELECT d.prefix_dim, t.query_id, t.neighbor_id
+         |  FROM truth t CROSS JOIN dims d
+         |)
+         |SELECT tp.prefix_dim, tp.query_id, count(*) AS k,
+         |  count(a.neighbor_id) AS n_found,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |    AS recall_at_k
+         |FROM truthp tp LEFT JOIN approx a
+         |  ON a.prefix_dim = tp.prefix_dim AND a.query_id = tp.query_id
+         |  AND a.neighbor_id = tp.neighbor_id
+         |GROUP BY 1, 2
+         |ORDER BY tp.prefix_dim, tp.query_id""".stripMargin
+    },
 
     // ss10/ss11 recall oracles compose the SAME ranked fragments as
     // the ss07/ss08 oracles (pq_ranked / ivfpq_ranked) against ss01's

@@ -71,6 +71,39 @@ class AqeSkewJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew path and q22's salted join agree on the hot-key input") {
+    // the q22 tie-in: the runtime rewrite (AQE splitting observed-fat
+    // partitions) and the plan-time rewrite (saltedJoin spreading the
+    // hot key over salt buckets) are the same fix decided at different
+    // times — on the same Zipf-hot input they must produce the exact
+    // same multiset of rows, or one of them is not a pure plan change
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(50000L).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 99 + 1)
+          .as("key"),
+        (col("id") * 3).as("v"))
+      val small = spark.range(100L).select(col("id").as("key"),
+        (col("id") * 7).as("dim"))
+      val aqe = big.join(small, Seq("key"))
+        .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum("dim").as("sd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val salted = graft.operators.SkewTools
+        .saltedJoin(big, small, "key", salts = 8)
+        .groupBy("key").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+          sum("dim").as("sd"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(aqe == salted)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("AQE does NOT split a skewed aggregation — salting's remaining job") {
     // the documented negative result: the same hot key under groupBy
     // gets no runtime split (OptimizeSkewedJoin only rewrites joins),
