@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque `BINARY` payloads with typed
@@ -475,7 +476,56 @@ object Multimodal {
       }
   }
 
+  /** mm07 geometry: bytes per synthetic image patch, the joint
+    * sequence budget (text tokens + image patches), and the shard
+    * count of the packing layout. */
+  private val MmPatchBytes = 64
+  private val MmSeqBudget = 512L
+  private val MmShards = 8L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // mm07: INTERLEAVED MULTIMODAL PACKING — io11's sequence packing
+    // generalized to mixed modalities: each document contributes an
+    // IMAGE item (patch count; the stand-in is ceil(bytes/64), the
+    // shape a ViT patchifier yields per image) and a TEXT item (token
+    // count), the image preceding its text (the vision-language
+    // interleave order), and items pack greedily into fixed-budget
+    // training sequences per shard. The offsets say which sequences
+    // each item spans — the index a multimodal dataloader reads.
+    // Scale: identical to io11 — the cumsum windows partition BY
+    // SHARD (never a global window), items are metadata-only
+    // (id, cost), payloads never move.
+    "mm07_modality_pack" -> ((s, d) => {
+      import graft.functions.Funcs.{md5Long, tokens}
+      val h = md5Long(concat(lit("mmpack:"), col("doc_id").cast("string")), 15)
+      val base = documents(s, d)
+        .select(col("doc_id"), h.as("h"), (h % MmShards).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          ceil(octet_length(col("text").cast("binary")).cast("double")
+            / MmPatchBytes).cast("long").as("n_patches"))
+      val items = base
+        .select(col("doc_id"), col("h"), col("shard"),
+          lit("image").as("modality"), lit(0L).as("ord"),
+          col("n_patches").as("cost"))
+        .where(col("cost") > 0)
+        .unionByName(base
+          .select(col("doc_id"), col("h"), col("shard"),
+            lit("text").as("modality"), lit(1L).as("ord"),
+            col("n_tokens").as("cost"))
+          .where(col("cost") > 0))
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id", "ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      items
+        .withColumn("start_offset",
+          coalesce(sum("cost").over(w), lit(0L)))
+        .select(col("shard"), col("doc_id"), col("modality"), col("cost"),
+          col("start_offset"),
+          expr(s"start_offset div $MmSeqBudget").as("seq_first"),
+          expr(s"(start_offset + cost - 1) div $MmSeqBudget")
+            .as("seq_last"))
+        .orderBy("shard", "start_offset", "ord")
+    }),
+
     // mm05: overlapping chunk extraction over a REAL audio container —
     // the ASR/transcription batch shape (stride 32 < width 48 ⇒
     // consecutive windows share 16 frames of context), computed from
@@ -556,6 +606,38 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm07_modality_pack" -> {
+      val toksSql = graft.operators.TextAnalysis.toksSql
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('mmpack:' || CAST(doc_id AS VARCHAR)),
+         |      1, 15))::BIGINT AS h,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(ceil(CAST(octet_length(text::BLOB) AS DOUBLE) /
+         |      $MmPatchBytes) AS BIGINT) AS n_patches
+         |  FROM documents
+         |), items AS (
+         |  SELECT doc_id, h, CAST(h % $MmShards AS BIGINT) AS shard,
+         |    'image' AS modality, 0 AS ord, n_patches AS cost
+         |  FROM t WHERE n_patches > 0
+         |  UNION ALL
+         |  SELECT doc_id, h, CAST(h % $MmShards AS BIGINT) AS shard,
+         |    'text' AS modality, 1 AS ord, n_tokens AS cost
+         |  FROM t WHERE n_tokens > 0
+         |), p AS (
+         |  SELECT shard, doc_id, modality, ord, cost,
+         |    CAST(COALESCE(sum(cost) OVER (
+         |      PARTITION BY shard ORDER BY h, doc_id, ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_offset
+         |  FROM items)
+         |SELECT shard, doc_id, modality, cost, start_offset,
+         |  CAST(start_offset // $MmSeqBudget AS BIGINT) AS seq_first,
+         |  CAST((start_offset + cost - 1) // $MmSeqBudget AS BIGINT)
+         |    AS seq_last
+         |FROM p ORDER BY shard, start_offset, ord""".stripMargin
+    },
+
     // recomputes the WAV PCM generator over overlapping window ranges
     // (rate/channels/frames from wavGeometry, sample from sampleValue)
     "mm05_chunk_overlap" ->

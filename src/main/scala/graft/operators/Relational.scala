@@ -36,8 +36,9 @@ object Relational {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))"
 
   /** q33's echo window: a same-(user, type) event closer than this to
-    * its predecessor is a duplicate delivery, not a new action. */
-  private val DebounceUs = 10L * 60 * 1000000
+    * its predecessor is a duplicate delivery, not a new action.
+    * Shared with st13, the stateful streaming twin. */
+  private[graft] val DebounceUs = 10L * 60 * 1000000
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: pricing summary — scan → filter → partial+final hash agg

@@ -78,6 +78,40 @@ object Sessionize {
       }
   }
 
+  final case class TypedEv(user_id: Long, event_type: String,
+      event_id: Long, ts_us: Long)
+  final case class LastSeen(ts_us: Long)
+  final case class Kept(event_id: Long, user_id: Long, event_type: String,
+      ts_us: Long)
+
+  /** Stateful streaming debounce — q33's lag semantics on a live
+    * stream: the state store keeps ONE timestamp per (user, type) key
+    * (the last event seen, kept or dropped — q33 compares against the
+    * previous event, not the previous survivor), each micro-batch's
+    * group is processed in event-time order, and survivors emit in
+    * Append mode. State is O(active keys) with an 8-byte payload —
+    * the cheapest stateful operator in the engine; a production
+    * deployment adds a timeout to retire idle keys. */
+  def debounceStream(ds: Dataset[TypedEv], gapUs: Long): Dataset[Kept] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LastSeen, Kept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), evs: Iterator[TypedEv],
+            state: GroupState[LastSeen]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[Kept]
+          var prev = state.getOption.map(_.ts_us)
+          sorted.foreach { e =>
+            if (prev.forall(p => e.ts_us - p >= gapUs))
+              out += Kept(e.event_id, key._1, key._2, e.ts_us)
+            prev = Some(e.ts_us)
+          }
+          prev.foreach(p => state.update(LastSeen(p)))
+          out.iterator
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> ((s, d) =>
       relational(events(s, d))

@@ -48,6 +48,10 @@ object TextAnalysis {
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
 
+  /** ta21's fit width: the rank-frequency OLS runs over the top-N
+    * tokens (the head is where Zipf holds; the long tail bends). */
+  private[graft] val ZipfTopN = 100
+
   /** ta17 redaction patterns — restricted to the regex subset where
     * Java regex (Spark) and RE2 (DuckDB) provably agree: character
     * classes, greedy +/{n}, literal dots. No backrefs, no lookarounds
@@ -533,6 +537,47 @@ object TextAnalysis {
     // hash order so the tie-break is deterministic and unbiased, with
     // its leftover budget. Corpus-sized work: one aggregate + one
     // broadcast semi-join + one bin-bounded window.
+    // ta21: ZIPF RANK-FREQUENCY FIT — ta18's companion diagnostic: is
+    // the token distribution natural-language-shaped (log-log slope
+    // s ≈ −1) or telltale-synthetic/boilerplate (flat head, cliff
+    // tail)? A corpus whose Zipf slope drifts after a cleaning step
+    // usually lost its head or kept its template spam. Fit: ln(count)
+    // against ln(rank) over the top-N tokens, closed-form OLS with
+    // ta18's integer micro-unit quantization so the sums are
+    // order-free and the whole report hash-gates.
+    //
+    // Scale: the corpus-sized work is ONE hash aggregate to token
+    // counts; the unpartitioned rank window then runs over the
+    // VOCAB-sized table (corpus-independent, ta12's argument), and
+    // the OLS reduces N=100 rows.
+    "ta21_zipf_fit" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("token").asc)
+      val top = documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= ZipfTopN)
+      val q = (c: Column) => floor(log(c.cast("double")) * 1e6 + 0.5)
+      val nD = col("nn").cast("double")
+      val slope = (nD * col("sxy") - col("sx").cast("double") *
+          col("sy").cast("double")) /
+        (nD * col("sxx") - col("sx").cast("double") *
+          col("sx").cast("double"))
+      val fit = top
+        .select(q(col("rank")).as("xq"), q(col("n")).as("yq"))
+        .agg(count(lit(1)).as("nn"), sum("xq").as("sx"),
+          sum("yq").as("sy"), sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .select(round(slope, 6).as("zipf_s"),
+          round((col("sy").cast("double") - slope *
+            col("sx").cast("double")) / nD / 1e6, 6).as("zipf_log_c"))
+      top.crossJoin(broadcast(fit))
+        .select(col("rank").cast("long").as("rank"), col("token"),
+          col("n"), col("zipf_s"), col("zipf_log_c"))
+        .orderBy("rank")
+    }),
+
     // ta20: FEATURE-HASHING vectorization (the hashing trick) — the
     // vocabulary-free alternative to ta06's TF-IDF: each token maps to
     // bucket md5(token) % D with a sign bit from an independent hash,
@@ -1334,6 +1379,46 @@ object TextAnalysis {
 
     // the bin threshold re-derives ta02's quality score exactly; the
     // per-doc window runs only inside the boundary bin, like Spark's
+    "ta21_zipf_fit" ->
+      s"""WITH counts AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest($toksSql) AS token FROM documents)
+         |  GROUP BY token
+         |), top AS (
+         |  SELECT token, n, CAST(rank AS BIGINT) AS rank FROM (
+         |    SELECT token, n, row_number() OVER (
+         |      ORDER BY n DESC, token ASC) AS rank
+         |    FROM counts)
+         |  WHERE rank <= $ZipfTopN
+         |), fi AS (
+         |  SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS xq,
+         |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS yq
+         |  FROM top
+         |), sums AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+         |  FROM fi
+         |), fit AS (
+         |  SELECT
+         |    (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS s_raw,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(nn AS DOUBLE) AS nd
+         |  FROM sums
+         |)
+         |SELECT t.rank, t.token, t.n,
+         |  round(f.s_raw, 6) AS zipf_s,
+         |  round((f.syd - f.s_raw * f.sxd) / f.nd / 1e6, 6) AS zipf_log_c
+         |FROM top t CROSS JOIN fit f
+         |ORDER BY rank""".stripMargin,
+
     "ta20_feature_hashing" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($toksSql) AS token FROM documents

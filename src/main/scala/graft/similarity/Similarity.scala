@@ -66,6 +66,10 @@ object Similarity {
     * kept as the recall-1.0 sanity row). */
   private[graft] val MatryoshkaDims = Seq(8, 16, 32, 64)
 
+  /** ss20's sweep: probing all [[IvfCents]] cells is exhaustive
+    * search, so nprobe=8 is the recall-1.0 sanity row. */
+  private[graft] val NprobeSweep = Seq(1, 2, 4, 8)
+
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
     * single-table special case of [[multiBuckets]] (table 0 uses
@@ -99,6 +103,16 @@ object Similarity {
     * nearest cells). One broadcast cross join + map-side-combined
     * argmax per vector; probes are a tiny broadcastable table. */
   private[graft] def ivfCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (assigned, probeRanks) = ivfCellsRanked(s, d)
+    (assigned,
+      probeRanks.filter(col("rk") <= IvfProbe).select("query_id", "cell"))
+  }
+
+  /** [[ivfCells]] with the probe list UNCUT: (assigned, probeRanks)
+    * where probeRanks = (query_id, cell, rk) ranks every cell per
+    * query by centroid cosine — ss20 sweeps the `rk <= nprobe` cut. */
+  private[graft] def ivfCellsRanked(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
     val cents = e.filter(col("vec_id") < IvfCents)
@@ -113,11 +127,11 @@ object Similarity {
       .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"))
     val probeW = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id").asc)
-    val probes = centScores.filter(col("vec_id") < NumQueries)
+    val probeRanks = centScores.filter(col("vec_id") < NumQueries)
       .withColumn("rk", row_number().over(probeW))
-      .filter(col("rk") <= IvfProbe)
-      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
-    (assigned, probes)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+        col("rk"))
+    (assigned, probeRanks)
   }
 
   /** Per-query PQ lookup table (query_id, m, cid, ld2_u6): subspace
@@ -729,6 +743,58 @@ object Similarity {
       mmrSelect(s, d, cand)
     }),
 
+    // ss20: NPROBE→RECALL tuning curve — the operating-point table an
+    // IVF deployment is actually tuned from: for each nprobe, score
+    // only the probed cells' members (ss03's serve shape) and measure
+    // recall@k against the exhaustive truth. Probing all 8 cells IS
+    // exhaustive search, so the nprobe=8 row must read 1.0 — the
+    // built-in sanity check. At 100 TB each nprobe row's cost is
+    // nprobe/IvfCents of the index read (ss09's pruned layout), and
+    // this table is exactly how you pick the cheapest nprobe that
+    // clears the recall SLO.
+    "ss20_nprobe_recall" -> ((s, d) => {
+      import s.implicits._
+      val truth = queries("ss01_knn_brute")(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val (assigned, probeRanks0) = ivfCellsRanked(s, d)
+      val probeRanks = probeRanks0.localCheckpoint() // reused per sweep point
+      val members = assigned.join(e, Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("cell"),
+          col("embedding").as("ne"), col("nrm").as("nn"))
+        .localCheckpoint()
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val approx = NprobeSweep.map { p =>
+        val probes = probeRanks.filter(col("rk") <= p)
+          .select("query_id", "cell")
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        members.join(broadcast(probes), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("cos", round(
+            dot(s, col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(lit(p).as("nprobe"), col("query_id"),
+            col("neighbor_id").as("a_neighbor"))
+      }.reduce(_ unionByName _)
+      val truthP = truth.crossJoin(broadcast(NprobeSweep.toDF("nprobe")))
+      truthP.join(approx,
+          truthP("nprobe") === approx("nprobe") &&
+            truthP("query_id") === approx("query_id") &&
+            col("neighbor_id") === col("a_neighbor"), "left")
+        .groupBy(truthP("nprobe").as("nprobe"),
+          truthP("query_id").as("query_id"))
+        .agg(count(lit(1)).as("k"), count(col("a_neighbor")).as("n_found"))
+        .withColumn("recall_at_k",
+          round(col("n_found").cast("double") / col("k"), 6))
+        .orderBy("nprobe", "query_id")
+    }),
+
     // em08: MATRYOSHKA truncation recall — MRL-style embedding models
     // train nested prefixes so a pipeline can score with the first
     // 8/16/32 dims at a fraction of full-dim cost; this measures what
@@ -1263,6 +1329,54 @@ object Similarity {
          |  WHERE r.rank <= $MmrC
          |),
          |$mmrTailSql""".stripMargin,
+
+    // ss20: per-nprobe ranked CTEs cut from the shared probe ranking;
+    // truth is ss01's exhaustive ranking, replicated per sweep point
+    "ss20_nprobe_recall" -> {
+      val probeCtes = NprobeSweep.map { p =>
+        s"""probes$p AS (
+           |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+           |    SELECT vec_id, cent_id, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY cos_c DESC, cent_id ASC
+           |    ) AS rk FROM ivf_scores WHERE vec_id < $NumQueries)
+           |  WHERE rk <= $p
+           |), ivf${p}_ranked AS (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           |  ) AS rank FROM (
+           |    SELECT p.query_id, a.vec_id AS neighbor_id,
+           |      ${cosSql("q.embedding", "n.embedding")} AS cos
+           |    FROM probes$p p JOIN ivf_assigned a USING (cell)
+           |    JOIN embeddings q ON q.vec_id = p.query_id
+           |    JOIN embeddings n ON n.vec_id = a.vec_id
+           |    WHERE a.vec_id <> p.query_id)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val approxUnion = NprobeSweep.map(p =>
+        s"SELECT $p AS nprobe, query_id, neighbor_id " +
+          s"FROM ivf${p}_ranked WHERE rank <= $TopK").mkString("\n  UNION ALL ")
+      s"""WITH $ivfSqlCtes, $bruteRankedCte,
+         |$probeCtes,
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= $TopK
+         |), approx AS (
+         |  $approxUnion
+         |), sweep AS (
+         |  SELECT unnest([${NprobeSweep.mkString(", ")}]) AS nprobe
+         |), truthp AS (
+         |  SELECT w.nprobe, t.query_id, t.neighbor_id
+         |  FROM truth t CROSS JOIN sweep w
+         |)
+         |SELECT tp.nprobe, tp.query_id, count(*) AS k,
+         |  count(a.neighbor_id) AS n_found,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |    AS recall_at_k
+         |FROM truthp tp LEFT JOIN approx a
+         |  ON a.nprobe = tp.nprobe AND a.query_id = tp.query_id
+         |  AND a.neighbor_id = tp.neighbor_id
+         |GROUP BY 1, 2
+         |ORDER BY tp.nprobe, tp.query_id""".stripMargin
+    },
 
     // em08: per-prefix ranked CTEs generated over list slices; truth
     // is ss01's full-dim ranking, replicated per prefix for the

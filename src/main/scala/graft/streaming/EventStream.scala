@@ -346,6 +346,23 @@ object EventStream {
             .as[graft.operators.Sessionize.Ev]).toDF()
       }.orderBy("user_id", "session_start_us")),
 
+    // st13: stateful streaming DEBOUNCE — q33's echo suppression on a
+    // live stream (graft.operators.Sessionize.debounceStream): one
+    // last-seen timestamp per (user, type) in the state store,
+    // survivors emitted in Append mode. The q11/st01 twin discipline:
+    // the batch oracle IS q33's, so the lag window and the state-store
+    // chain provably implement the same rule.
+    "st13_stream_debounce" -> ((s, d) =>
+      runStream(s, d, "st_events_debounce", copies = 1,
+        outputMode = "append") { df =>
+        import df.sparkSession.implicits._
+        graft.operators.Sessionize.debounceStream(
+          df.select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+            .as[graft.operators.Sessionize.TypedEv],
+          graft.operators.Relational.DebounceUs).toDF()
+      }.orderBy("event_id")),
+
     // st06: SLIDING-window streaming aggregation — st01's tumbling
     // twin with overlap: 2-hour windows sliding hourly, so every
     // event lands in exactly two windows (Spark materializes both
@@ -593,6 +610,11 @@ object EventStream {
     // the streaming materialized view must equal the batch compaction
     "st07_stream_latest" ->
       graft.operators.Relational.oracles("q23_keep_latest"),
+
+    // shared verbatim with q33 — the lag window and the state-store
+    // chain implement the same debounce rule
+    "st13_stream_debounce" ->
+      graft.operators.Relational.oracles("q33_debounce"),
 
     "st06_stream_sliding" ->
       """SELECT w_start, event_type, count(*) AS n,
