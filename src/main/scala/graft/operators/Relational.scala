@@ -441,6 +441,26 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // q34: COHORT RETENTION — the matrix behind every retention
+    // dashboard: users grouped by their first-activity day (cohort),
+    // counted by how many distinct day-offsets later they came back.
+    // Two aggregates: a per-user min-day (argmin, map-side
+    // combinable), then a (cohort, offset)-keyed distinct count. The
+    // user-keyed shuffle is the same exchange q13/q33 pay; the output
+    // is |days|² rows, corpus-independent.
+    "q34_retention_cohorts" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // q28: SCD-2 dimension build — turn an event stream into validity
     // intervals (the slowly-changing-dimension shape every warehouse
     // maintains): collapse consecutive same-type runs per user, then
@@ -920,6 +940,20 @@ object Relational {
         |FROM base
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q34_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |), firstday AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT)
+        |    AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM ev e JOIN firstday f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q33_debounce" ->
       s"""WITH flagged AS (
