@@ -41,7 +41,11 @@ object Explain {
         // window), canonical dedup (digest-only shuffle), z-order
         // box read (PartitionFilters on shard), changelog tail read
         "ta20_feature_hashing", "q33_debounce", "dd17_canonical_dedup",
-        "io13_zorder_layout", "io14_changelog_consume")
+        "io13_zorder_layout", "io14_changelog_consume",
+        // round-6 second batch: Pregel-shaped power iteration (join+
+        // agg per step, truncated lineage) and the 8-row closed-form
+        // learning curve
+        "ss21_knn_pagerank", "ml18_learning_curve")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-explain")

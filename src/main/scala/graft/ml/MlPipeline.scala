@@ -477,6 +477,76 @@ object MlPipeline {
     // (ss06's trick — order-free, no float fold), and the positive
     // rate is integer/integer. One aggregate over the scored table;
     // 10 rows out regardless of corpus.
+    // ml18: LEARNING CURVE, closed form — "does more data still help?"
+    // answered without a single iterative fit: OLS (q27's closed form)
+    // trained on nested hash-bucket fractions (bucket < j, ta18's
+    // nesting so each training set contains the previous one) and
+    // evaluated on a held-out bucket the training sets never touch.
+    // Train and test MSE come ALGEBRAICALLY from exact decimal sums
+    // (SSE = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σx², each Σ exact,
+    // cast to double once) — no per-row residual pass, so the sums
+    // are order-free and the whole curve hash-gates. The classic
+    // diagnostic read: train MSE rises toward test MSE as data grows
+    // (variance shrinking), gap = remaining overfit.
+    //
+    // Scale: ONE aggregate over the corpus to 8 per-bucket sum rows;
+    // the cumsum, fits, and MSEs all run on ≤8 rows.
+    "ml18_learning_curve" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val bkt = md5Long(concat(lit("lc:"), col("l_orderkey").cast("string"),
+        lit(":"), col("l_linenumber").cast("string")), 15) % 8
+      val bs = lineitem(s, d).withColumn("b", bkt)
+        .groupBy("b").agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sx2"), sum(y * y).as("syy"))
+        .localCheckpoint() // 8 rows; feeds both the cumsum and the test row
+      val w = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      // decimal → double via exact centi-unit integers: DuckDB's
+      // direct DECIMAL(38,_)→DOUBLE cast double-rounds (int128 then
+      // ×10^-s) while the JVM's is correctly rounded — going through
+      // floor(x·100)→BIGINT→DOUBLE/100.0 makes every step exact or
+      // IEEE-identical in both engines (bounds: |x·100| < 2^63, fine
+      // through sf0.1 with 9 decimal digits to spare)
+      val d2 = (c: Column) =>
+        floor(c * 100).cast("long").cast("double") / lit(100.0)
+      val cum = bs.select(col("b"),
+          sum("n").over(w).as("n"),
+          sum("sx").over(w).as("sx"), sum("sy").over(w).as("sy"),
+          sum("sxy").over(w).as("sxy"), sum("sx2").over(w).as("sx2"),
+          sum("syy").over(w).as("syy"))
+        .filter(col("b") <= 6) // bucket 7 is the held-out test set
+        .select(col("b"), col("n"),
+          d2(col("sx")).as("sx"), d2(col("sy")).as("sy"),
+          d2(col("sxy")).as("sxy"), d2(col("sx2")).as("sx2"),
+          d2(col("syy")).as("syy"))
+      val test = bs.filter(col("b") === 7)
+        .select(col("n").as("tn"),
+          d2(col("sx")).as("tsx"), d2(col("sy")).as("tsy"),
+          d2(col("sxy")).as("tsxy"), d2(col("sx2")).as("tsx2"),
+          d2(col("syy")).as("tsyy"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sx2") - col("sx") * col("sx"))
+      val fitted = cum.crossJoin(broadcast(test))
+        .withColumn("slope", slope)
+        .withColumn("icept",
+          (col("sy") - col("slope") * col("sx")) / nD)
+      val a = col("icept"); val bb = col("slope")
+      val tnD = col("tn").cast("double")
+      fitted.select((col("b") + 1).cast("long").as("frac_j"),
+          col("n").as("n_train"), col("slope"), col("icept"),
+          ((col("syy") - lit(2.0) * a * col("sy") - lit(2.0) * bb * col("sxy")
+            + nD * a * a + lit(2.0) * a * bb * col("sx")
+            + bb * bb * col("sx2")) / nD).as("train_mse"),
+          ((col("tsyy") - lit(2.0) * a * col("tsy") - lit(2.0) * bb * col("tsxy")
+            + tnD * a * a + lit(2.0) * a * bb * col("tsx")
+            + bb * bb * col("tsx2")) / tnD).as("test_mse"))
+        .orderBy("frac_j")
+    }),
+
     "ml17_calibration" -> ((s, d) => {
       val scored = queries("ml12_logistic_score")(s, d)
         .select(col("vec_id"), col("score_6"))
@@ -521,6 +591,64 @@ object MlPipeline {
     * (driver records rows-only checks). The two closed-form scoring
     * queries (assignment + logistic inference) ARE oracle-checked. */
   val oracles: Map[String, String] = Map(
+    "ml18_learning_curve" ->
+      """WITH bs AS (
+        |  SELECT ('0x' || substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY 1
+        |), cum AS (
+        |  -- decimal→double via exact centi-unit BIGINTs: DuckDB's
+        |  -- direct wide-DECIMAL→DOUBLE cast double-rounds; this path
+        |  -- is exact/IEEE-identical in both engines
+        |  SELECT b, CAST(sum(n) OVER w AS BIGINT) AS n,
+        |    CAST(floor(sum(sx) OVER w * 100) AS BIGINT) / 100.0 AS sx,
+        |    CAST(floor(sum(sy) OVER w * 100) AS BIGINT) / 100.0 AS sy,
+        |    CAST(floor(sum(sxy) OVER w * 100) AS BIGINT) / 100.0 AS sxy,
+        |    CAST(floor(sum(sx2) OVER w * 100) AS BIGINT) / 100.0 AS sx2,
+        |    CAST(floor(sum(syy) OVER w * 100) AS BIGINT) / 100.0 AS syy
+        |  FROM bs
+        |  WINDOW w AS (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), test AS (
+        |  SELECT CAST(n AS BIGINT) AS tn,
+        |    CAST(floor(sx * 100) AS BIGINT) / 100.0 AS tsx,
+        |    CAST(floor(sy * 100) AS BIGINT) / 100.0 AS tsy,
+        |    CAST(floor(sxy * 100) AS BIGINT) / 100.0 AS tsxy,
+        |    CAST(floor(sx2 * 100) AS BIGINT) / 100.0 AS tsx2,
+        |    CAST(floor(syy * 100) AS BIGINT) / 100.0 AS tsyy
+        |  FROM bs WHERE b = 7
+        |), fitted AS (
+        |  SELECT c.*, t.*,
+        |    (CAST(c.n AS DOUBLE) * c.sxy - c.sx * c.sy) /
+        |    (CAST(c.n AS DOUBLE) * c.sx2 - c.sx * c.sx) AS slope
+        |  FROM cum c CROSS JOIN test t WHERE c.b <= 6
+        |), fitted2 AS (
+        |  SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+        |  FROM fitted
+        |)
+        |SELECT CAST(b + 1 AS BIGINT) AS frac_j, n AS n_train,
+        |  slope, icept,
+        |  (syy - 2.0 * icept * sy - 2.0 * slope * sxy
+        |    + CAST(n AS DOUBLE) * icept * icept
+        |    + 2.0 * icept * slope * sx + slope * slope * sx2)
+        |    / CAST(n AS DOUBLE) AS train_mse,
+        |  (tsyy - 2.0 * icept * tsy - 2.0 * slope * tsxy
+        |    + CAST(tn AS DOUBLE) * icept * icept
+        |    + 2.0 * icept * slope * tsx + slope * slope * tsx2)
+        |    / CAST(tn AS DOUBLE) AS test_mse
+        |FROM fitted2
+        |ORDER BY frac_j""".stripMargin,
+
     "ml11_kmeans_assign" ->
       s"""WITH centers AS (
          |  SELECT vec_id AS cid, embedding AS center FROM embeddings

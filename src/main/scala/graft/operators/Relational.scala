@@ -441,6 +441,32 @@ object Relational {
         .orderBy("user_id", "event_id")
     }),
 
+    // q35: EVENT-TRANSITION MATRIX — first-order Markov counts over
+    // each user's event sequence: how often does type A follow type
+    // B, and with what conditional probability? The
+    // sequence-modeling summary behind next-event prediction
+    // features, anomaly detection (a transition that never happens
+    // suddenly spiking), and behavioral cohorting. One lag window on
+    // the user-keyed exchange (q13/q33's shuffle), then an aggregate
+    // to the |types|² transition table — the probability
+    // normalization window runs over that bounded table, never the
+    // corpus. p is derived from the two integer counts (n over the
+    // per-prev total), so the whole matrix hash-gates.
+    "q35_event_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wp = Window.partitionBy("prev_type")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n").cast("double") / sum("n").over(wp), 6))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // q34: COHORT RETENTION — the matrix behind every retention
     // dashboard: users grouped by their first-activity day (cohort),
     // counted by how many distinct day-offsets later they came back.
@@ -940,6 +966,23 @@ object Relational {
         |FROM base
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, event_id""".stripMargin,
+
+    "q35_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM pairs
+        |ORDER BY prev_type, next_type""".stripMargin,
 
     "q34_retention_cohorts" ->
       """WITH ev AS (

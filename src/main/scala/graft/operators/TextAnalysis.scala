@@ -186,6 +186,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta22: LANGUAGE CONFUSION MATRIX — the QA table over ta03's
+    // classifier: declared language vs predicted, with each row's
+    // share of its declared-language total. The routine check before
+    // trusting any model-derived column at corpus scale (a drifting
+    // classifier shows up as off-diagonal mass here long before it
+    // shows up downstream). One aggregate to a |langs|² table; the
+    // share window runs over that bounded table.
+    "ta22_lang_confusion" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scores = Profiles.map { case (l, ws) => l -> countIn(toks, ws) }
+      val Seq(en, de, es) = scores.map(_._2)
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      documents(s, d)
+        .select(col("lang"),
+          when(en >= de && en >= es, "en")
+            .when(de >= es, "de").otherwise("es").as("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          round(col("n").cast("double") / sum("n").over(wl), 6))
+        .orderBy("lang", "predicted_lang")
+    }),
+
     // ta04: document fingerprint — rolling polynomial hash over the
     // characters (content-defined, engine-independent int arithmetic).
     // Uses the native codegen'd Catalyst expression; Funcs.fingerprint
@@ -1119,6 +1142,24 @@ object TextAnalysis {
          |       WHEN ${countInSql(Profiles(1)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'de'
          |       ELSE 'es' END AS predicted_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ta22_lang_confusion" ->
+      s"""WITH pred AS (
+         |  SELECT lang,
+         |    CASE WHEN ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(1)._2)}
+         |          AND ${countInSql(Profiles(0)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'en'
+         |         WHEN ${countInSql(Profiles(1)._2)} >= ${countInSql(Profiles(2)._2)} THEN 'de'
+         |         ELSE 'es' END AS predicted_lang
+         |  FROM documents
+         |), counts AS (
+         |  SELECT lang, predicted_lang, count(*) AS n
+         |  FROM pred GROUP BY 1, 2
+         |)
+         |SELECT lang, predicted_lang, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    sum(n) OVER (PARTITION BY lang), 6) AS share
+         |FROM counts
+         |ORDER BY lang, predicted_lang""".stripMargin,
 
     "ta04_fingerprint" ->
       """SELECT doc_id,

@@ -70,6 +70,12 @@ object Similarity {
     * search, so nprobe=8 is the recall-1.0 sanity row. */
   private[graft] val NprobeSweep = Seq(1, 2, 4, 8)
 
+  /** ss21's PageRank geometry: fixed power iterations, the integer
+    * mass unit (1e9 — every rank is pr_u/1e9), and damping 85/100 in
+    * exact integer arithmetic. */
+  private[graft] val PrIters = 3
+  private[graft] val PrUnit = 1000000000L
+
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
     * single-table special case of [[multiBuckets]] (table 0 uses
@@ -795,6 +801,51 @@ object Similarity {
         .orderBy("nprobe", "query_id")
     }),
 
+    // ss21: PAGERANK over the k-NN graph — graph centrality on ss13's
+    // edges: a document whose neighbors' neighbors keep pointing back
+    // at it sits in a dense semantic region (a canonical/hub
+    // document); low-rank nodes are isolates. The
+    // graph-analytics shape (power iteration = one join + one
+    // aggregate per step) every label-propagation / dedup-authority /
+    // link-analysis pipeline reuses. Determinism discipline: all mass
+    // is INTEGER micro-units (PrUnit=1e9) — contributions are
+    // pr_u div outdeg (exact), damping is ×85 div 100 (exact), sums
+    // are order-free integer sums — so three unrolled iterations
+    // hash-gate against the same arithmetic unrolled in SQL. The
+    // simplified variant lets dangling mass evaporate (documented;
+    // both engines agree).
+    //
+    // Scale: per iteration one (src-keyed broadcast-or-shuffle) join
+    // edges⋈ranks and one dst-keyed aggregate — the textbook Pregel
+    // step as two relational ops; lineage truncated per iteration
+    // (the CC/em05 discipline). Edges are bucket-bounded (ss13), so
+    // the join never sees corpus² rows.
+    "ss21_knn_pagerank" -> ((s, d) => {
+      val edges = queries("ss13_knn_graph")(s, d)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val nodes = embeddings(s, d).select(col("vec_id")).localCheckpoint()
+      val n = nodes.count()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val baseU = ((PrUnit / n) * 15L) / 100L
+      var pr = nodes.select(col("vec_id"), lit(PrUnit / n).as("pr_u"))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst"), expr("pr_u div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_u"))
+        pr = nodes
+          .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"),
+            "left")
+          .select(col("vec_id"),
+            (lit(baseU) + expr("coalesce(in_u, 0L) * 85 div 100"))
+              .as("pr_u"))
+          .localCheckpoint()
+      }
+      pr.orderBy("vec_id")
+    }),
+
     // em08: MATRYOSHKA truncation recall — MRL-style embedding models
     // train nested prefixes so a pipeline can score with the first
     // 8/16/32 dims at a fraction of full-dim cost; this measures what
@@ -1329,6 +1380,52 @@ object Similarity {
          |  WHERE r.rank <= $MmrC
          |),
          |$mmrTailSql""".stripMargin,
+
+    // ss21: the same integer power iteration unrolled to PrIters CTE
+    // steps over ss13's edge CTE — all-integer arithmetic (floor div,
+    // 85/100 damping) so both engines agree bit-for-bit
+    "ss21_knn_pagerank" -> {
+      val iterCtes = (1 to PrIters).map { t =>
+        val prev = s"pr${t - 1}"
+        s"""pr$t AS (
+           |  SELECT nd.vec_id,
+           |    (($PrUnit // (SELECT n FROM cnt)) * 15) // 100 +
+           |    (COALESCE(c.in_u, 0) * 85) // 100 AS pr_u
+           |  FROM nodes nd LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(p.pr_u // o.deg) AS BIGINT) AS in_u
+           |    FROM kg_edges e
+           |    JOIN $prev p ON p.vec_id = e.src
+           |    JOIN outdeg o ON o.src = e.src
+           |    GROUP BY e.dst) c ON c.dst = nd.vec_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bucketsCte, kg_scored AS (
+         |  SELECT ab.vec_id AS src, bb.vec_id AS dst,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM buckets ab
+         |  JOIN buckets bb ON bb.bucket = ab.bucket
+         |    AND bb.vec_id <> ab.vec_id
+         |  JOIN embeddings a ON a.vec_id = ab.vec_id
+         |  JOIN embeddings b ON b.vec_id = bb.vec_id
+         |), kg_edges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (PARTITION BY src
+         |      ORDER BY cos DESC, dst ASC) AS rank FROM kg_scored)
+         |  WHERE rank <= 3
+         |), nodes AS (SELECT vec_id FROM embeddings),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |outdeg AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM kg_edges GROUP BY src
+         |),
+         |pr0 AS (
+         |  SELECT vec_id, $PrUnit // (SELECT n FROM cnt) AS pr_u
+         |  FROM nodes
+         |),
+         |$iterCtes
+         |SELECT vec_id, CAST(pr_u AS BIGINT) AS pr_u FROM pr$PrIters
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // ss20: per-nprobe ranked CTEs cut from the shared probe ranking;
     // truth is ss01's exhaustive ranking, replicated per sweep point
