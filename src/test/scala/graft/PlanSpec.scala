@@ -266,4 +266,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"ta16: the corpus side must not shuffle into a merge join:\n$p")
   }
+
+  test("ta20 hashed vectorizer is one partial+final aggregate, no join") {
+    // the whole point of feature hashing is NO vocabulary pass: the
+    // plan must be scan → explode → two-phase hash aggregate, with no
+    // join (a dictionary join would mean someone reintroduced a vocab)
+    val p = plan("ta20_feature_hashing")
+    assert(!p.contains("Join"), s"ta20 must not join a vocabulary:\n$p")
+    val aggs = "HashAggregate".r.findAllMatchIn(p).length
+    assert(aggs >= 2, s"ta20: expected partial+final aggregation:\n$p")
+  }
+
+  test("q33/q35 ride one user-keyed exchange, no self-join") {
+    // lag-window operators: the only wide op is the user-keyed window
+    // exchange; a Join node would mean the debounce/transition pair
+    // was built by self-joining events
+    for (q <- Seq("q33_debounce", "q35_event_transitions")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not self-join events:\n$p")
+      assert(p.contains("Window"), s"$q: expected a window plan:\n$p")
+    }
+  }
+
+  test("ml18 learning curve aggregates the corpus exactly once") {
+    // one corpus-sized aggregate to 8 bucket rows; the cumsum/fit/MSE
+    // algebra must run on the checkpointed 8-row table, so exactly
+    // one corpus FileScan survives in the final plan
+    val p = plan("ml18_learning_curve")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 0,
+      s"ml18: the 8-row fit must run off the materialized bucket sums:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
