@@ -143,6 +143,10 @@ object Dedup {
   private def withSigBank(s: SparkSession, d: String): DataFrame =
     sigBank(documents(s, d)).select("doc_id", "sig_")
 
+  /** dd18's sweep: every factorization of the 16-hash signature into
+    * (bands × rows-per-band). */
+  private[graft] val LshTuningConfigs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
   /** Collection-level (per-source) sketches by elementwise-min merge
     * of [[sigBank]]'s per-document signatures — the UNORDERED core of
     * dd14, shared with the streaming materialized view (st09): min is
@@ -367,6 +371,51 @@ object Dedup {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
         .filter(col("n_docs") > 1)
         .orderBy("canon_key")),
+
+    // dd18: LSH TUNING CURVE — the (bands × rows) operating-point
+    // table a dedup deployment is tuned from, the dedup twin of
+    // ss20's nprobe sweep: for each way of banding the 16-hash
+    // signature ((16,1), (8,2), (4,4), (2,8)), how many candidate
+    // pairs does the OR-over-bands collision rule produce, and how
+    // similar are they (mean signature-agreement Jaccard estimate,
+    // dd12's estimator)? More rows per band = a sharper s-curve =
+    // fewer, higher-similarity candidates — this table is where the
+    // verification budget gets chosen. Scale: per config the shuffle
+    // carries (band, key) strings; candidates are bucket-bounded;
+    // the estimate joins signatures for candidate pairs only.
+    "dd18_lsh_tuning" -> ((s, d) => {
+      val sigs = withSigBank(s, d).localCheckpoint()
+      val cand = LshTuningConfigs.map { case (b, r) =>
+        val banded = sigs.select(col("doc_id"), explode(array(
+          (0 until b).map(i => struct(lit(i).as("band"),
+            concat_ws(":", transform(slice(col("sig_"), i * r + 1, r),
+              _.cast("string"))).as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
+        banded.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+          .join(banded.select(col("band"), col("key"),
+            col("doc_id").as("doc_b")), Seq("band", "key"))
+          .where(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _)
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig_").as("sa")),
+          Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig_").as("sb")),
+          Seq("doc_b"))
+        .withColumn("est_u6", floor(
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L),
+            (acc, v) => acc + v).cast("double") / 16 * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy("bands", "rows_per_band")
+        .agg(count(lit(1)).as("n_candidate_pairs"),
+          round(sum("est_u6").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_est_jaccard"))
+        .orderBy(col("bands").desc)
+    }),
 
     // dd02: MinHash signatures (16 hashes), long form — per-row array
     // math, no shuffle (fused native bank, one pass over the hashes).
@@ -795,6 +844,49 @@ object Dedup {
     "dd02_minhash_sig" ->
       s"""WITH $sigCte
          |SELECT doc_id, j, minhash FROM sig ORDER BY doc_id, j""".stripMargin,
+
+    // dd18: per-config band CTEs (band key = the ordered minhash
+    // slice as a ':'-joined string, matching Spark's concat_ws over
+    // slice), distinct OR-over-bands pairs, signature-agreement
+    // estimate joined for candidates only
+    "dd18_lsh_tuning" -> {
+      val cfgCtes = LshTuningConfigs.map { case (b, r) =>
+        s"""bd$b AS (
+           |  SELECT doc_id, j // $r AS band,
+           |    string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY j) AS key
+           |  FROM sig GROUP BY doc_id, j // $r
+           |), pp$b AS (
+           |  SELECT DISTINCT $b AS bands, $r AS rows_per_band,
+           |    a.doc_id AS doc_a, b2.doc_id AS doc_b
+           |  FROM bd$b a JOIN bd$b b2
+           |    ON a.band = b2.band AND a.key = b2.key
+           |   AND a.doc_id < b2.doc_id
+           |)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = LshTuningConfigs.map { case (b, _) =>
+        s"SELECT * FROM pp$b" }.mkString("\n  UNION ALL ")
+      s"""WITH $sigCte,
+         |$cfgCtes,
+         |cand AS (
+         |  $unionAll
+         |), est AS (
+         |  SELECT c.bands, c.rows_per_band, c.doc_a, c.doc_b,
+         |    CAST(floor(CAST((
+         |      SELECT count(*) FROM sig xa JOIN sig xb
+         |      ON xa.j = xb.j AND xa.minhash = xb.minhash
+         |      WHERE xa.doc_id = c.doc_a AND xb.doc_id = c.doc_b
+         |    ) AS DOUBLE) / 16 * 1000000 + 0.5) AS BIGINT) AS est_u6
+         |  FROM cand c
+         |)
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  count(*) AS n_candidate_pairs,
+         |  round(CAST(sum(est_u6) AS DOUBLE) / count(*) / 1000000.0, 6)
+         |    AS mean_est_jaccard
+         |FROM est
+         |GROUP BY 1, 2
+         |ORDER BY bands DESC""".stripMargin
+    },
 
     "dd03_lsh_pairs" ->
       s"""WITH $sigCte,
