@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** The one manifest-commit primitive behind every durable artifact in
@@ -19,20 +19,26 @@ object Commit {
   def fileSystem(s: SparkSession): FileSystem =
     FileSystem.get(s.sparkContext.hadoopConfiguration)
 
-  /** Atomically materialize `content` at `path`: write `<path>.tmp`,
-    * then rename over. A reader sees the previous marker or the new
-    * one, never a torn half-write — the crash window leaves only a
-    * `.tmp` that every reader in this module ignores. */
+  /** Atomically materialize `content` at `path`: write a uniquely
+    * named `<path>.tmp-<uuid>`, then atomically rename OVER the
+    * destination (`FileContext.rename(OVERWRITE)` — one filesystem
+    * operation on local and HDFS). A reader sees the previous marker
+    * or the new one, never a torn half-write and never *no* marker:
+    * there is no delete step, so a crash at any point leaves either
+    * the old committed marker (plus an ignorable `.tmp-*` file) or
+    * the new one. The uuid staging name also makes concurrent writers
+    * safe — each renames its own durable staging file; the last
+    * rename wins whole. */
   def writeMarker(s: SparkSession, path: String, content: String): Unit = {
     val fs = fileSystem(s)
-    val tmp = new Path(path + ".tmp")
+    val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString)
     val dst = new Path(path)
     val out = fs.create(tmp, true)
     out.write(content.getBytes("UTF-8")); out.close()
-    // local/HDFS rename refuses to clobber — drop the old marker just
-    // before the swap (the .tmp is already durable at this point)
-    fs.delete(dst, false)
-    require(fs.rename(tmp, dst), s"marker rename failed for $path")
+    val fc = FileContext.getFileContext(
+      fs.makeQualified(dst).toUri, s.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      Options.Rename.OVERWRITE)
   }
 
   /** The committed marker's content (the reader half). */
@@ -46,10 +52,11 @@ object Commit {
     fileSystem(s).exists(new Path(path))
 
   /** Marker names under `dir` starting with `prefix` — the durable
-    * commit log, read as a directory listing. In-flight `.tmp` files
-    * are invisible by contract; the listing is name-sorted (the
-    * filesystem's enumeration order is not deterministic). */
+    * commit log, read as a directory listing. In-flight `.tmp*`
+    * staging files are invisible by contract; the listing is
+    * name-sorted (the filesystem's enumeration order is not
+    * deterministic). */
   def listMarkers(s: SparkSession, dir: String, prefix: String): Seq[String] =
     fileSystem(s).listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp")).sorted
+      .filter(n => n.startsWith(prefix) && !n.contains(".tmp")).sorted
 }

@@ -28,10 +28,25 @@ object JsonLines {
     * (observed: concurrent Verify runs failing io08's partitioned
     * write on the old shared fixed path). The per-process root is
     * removed by a shutdown hook, so successive runs don't accumulate
-    * corpus copies either. */
+    * corpus copies either; a SIGKILL/OOM-killed run skips the hook,
+    * so init also sweeps stale sibling roots whose owning PID is no
+    * longer alive (round-6 advice — without the sweep, killed runs
+    * leak a full corpus copy per crash). */
   private val stagingRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
+    val tmpdir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    // Reclaim siblings left by crashed JVMs: graft_io_<pid> where <pid>
+    // is not a live process (or is recycled — then deletion fails
+    // harmlessly on open handles and we leave it alone).
+    val stale = Option(tmpdir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_io_"))
+      .filter { f =>
+        f.getName.stripPrefix("graft_io_").toLongOption.exists { pid =>
+          val h = java.lang.ProcessHandle.of(pid)
+          !h.isPresent || !h.get().isAlive
+        }
+      }
+    stale.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    val p = tmpdir.resolve(
       s"graft_io_${java.lang.ProcessHandle.current().pid()}")
     java.nio.file.Files.createDirectories(p)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -255,6 +255,52 @@ object Similarity {
       .orderBy("query_id", "sel_rank")
   }
 
+  /** ss18's candidate build — the SERVED shortlist: ss09's
+    * cell-partitioned PQ index read back pruned to the probe cells,
+    * ADC-scored, cut to C per query, and only those C rows fetched as
+    * true vectors for the exact relevance. Exposed `private[graft]`
+    * so PlanSpec can lock the scale-critical shape on the
+    * pre-checkpoint plan (mmrSelect checkpoints its input, which
+    * erases the build from the final executed plan): the index scan
+    * must carry PartitionFilters, every join must broadcast its
+    * bounded side (probes, LUT, shortlist, query set), and no
+    * corpus-wide exchange may appear before the shortlist. */
+  private[graft] def ss18Candidates(s: SparkSession, d: String): DataFrame = {
+    val (idx, probes, _) = pqCellIndex(s, d)
+    val lut = pqLut(s, d)
+      .select(col("query_id").as("lq"), col("m").as("lm"),
+        col("cid"), col("ld2_u6"))
+    val adc = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("m"), col("code"))
+      .join(broadcast(lut),
+        col("query_id") === col("lq") && col("m") === col("lm") &&
+          col("code") === col("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("ld2_u6").as("adc_u6"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+    val shortlist = adc.withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= MmrC)
+      .select("query_id", "neighbor_id")
+    // exact-cosine relevance fetched for the C shortlist rows only;
+    // the shortlist (≤ C·|queries| rows) broadcasts onto the
+    // embeddings scan, so the corpus side streams — no exchange
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    e.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        floor(round(dot(s, col("qe"), col("embedding")) /
+          (col("qn") * col("nrm")), 6) * lit(1000000.0) + 0.5)
+          .cast("long").as("rel_u6"))
+  }
+
   /** recall@k of `approxName`'s neighbor list against the brute-force
     * ground truth (ss01), per query — one shape for every approximate
     * index (ss04 = LSH, ss10 = PQ/ADC, ss11 = IVF-PQ). Left join so a
@@ -713,41 +759,7 @@ object Similarity {
     // probe reads nprobe partitions, scores 8-byte codes, and every
     // later stage is shortlist-bounded. ss15 stays as the exact
     // reference; the oracle recomputes the identical pipeline in SQL.
-    "ss18_mmr_served" -> ((s, d) => {
-      val (idx, probes, _) = pqCellIndex(s, d)
-      val lut = pqLut(s, d)
-        .select(col("query_id").as("lq"), col("m").as("lm"),
-          col("cid"), col("ld2_u6"))
-      val adc = idx.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("m"), col("code"))
-        .join(broadcast(lut),
-          col("query_id") === col("lq") && col("m") === col("lm") &&
-            col("code") === col("cid"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(sum("ld2_u6").as("adc_u6"))
-      val wAdc = Window.partitionBy("query_id")
-        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
-      val shortlist = adc.withColumn("crank", row_number().over(wAdc))
-        .filter(col("crank") <= MmrC)
-        .select("query_id", "neighbor_id")
-      // exact-cosine relevance fetched for the C shortlist rows only
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
-      val q = e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val cand = shortlist
-        .join(e.withColumnRenamed("vec_id", "neighbor_id"),
-          Seq("neighbor_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          floor(round(dot(s, col("qe"), col("embedding")) /
-            (col("qn") * col("nrm")), 6) * lit(1000000.0) + 0.5)
-            .cast("long").as("rel_u6"))
-      mmrSelect(s, d, cand)
-    }),
+    "ss18_mmr_served" -> ((s, d) => mmrSelect(s, d, ss18Candidates(s, d))),
 
     // ss20: NPROBE→RECALL tuning curve — the operating-point table an
     // IVF deployment is actually tuned from: for each nprobe, score

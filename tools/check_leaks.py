@@ -42,7 +42,11 @@ API_KEY = re.compile(
 )
 # env vars read by the code must be the repo's own contract
 ENV_OK = re.compile(r"^(SPARK_\w+|GRAFT_\w+|HOME|PATH|TMPDIR|USER)$")
-ENV_READ = re.compile(r'sys\.env(?:\.get(?:OrElse)?)?\(\s*"([^"]+)"')
+# Scala sys.env reads AND Python os.environ / os.getenv reads
+ENV_READ = re.compile(
+    r'sys\.env(?:\.get(?:OrElse)?)?\(\s*"([^"]+)"'
+    r'|os\.environ(?:\.get)?\s*[\[(]\s*["\']([^"\']+)["\']'
+    r'|os\.getenv\(\s*["\']([^"\']+)["\']')
 # second-level package roots that are neither public libs nor this repo
 PKG2 = re.compile(r"^\s*package\s+(?!graft\b)(\w+)\.(\w+)")
 
@@ -61,7 +65,7 @@ def main():
     root = argv[0] if argv else "."
     files = subprocess.run(["git", "-C", root, "ls-files"],
                            capture_output=True, text=True,
-                           check=True).stdout.split()
+                           check=True).stdout.splitlines()
     files = [f for f in files if f.endswith(SCAN_SUFFIXES)
              and not any(s in f for s in SKIP)]
     hits = {k: [] for k in ["internal-import", "internal-url",
@@ -88,7 +92,8 @@ def main():
             if API_KEY.search(line):
                 hits["api-key"].append(where)
             for m in ENV_READ.finditer(line):
-                if not ENV_OK.match(m.group(1)):
+                name = next(g for g in m.groups() if g is not None)
+                if not ENV_OK.match(name):
                     hits["axon-env"].append(where)
     out = {
         "round": rnd,
