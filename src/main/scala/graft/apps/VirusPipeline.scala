@@ -130,6 +130,47 @@ object VirusPipeline {
     (dt ++ svc).toDF("model", "param", "auc", "line")
   }
 
+  /** The reference's EXACT SVM optimizer on the virus corpus —
+    * `SVMWithSGD` with the `trainWithParams` settings
+    * (`SVMDT.scala:204-214`: 10 iterations, step 1.0,
+    * SquaredL2Updater, regParam sweep), for band parity with the
+    * published CV-SVM table (readme.md:108-118): the over-regularized
+    * reg=10 point collapses toward coin-flip there BECAUSE of this
+    * optimizer — modern LinearSVC/OWLQN does not reproduce that
+    * artifact (it converges to a usable margin even at reg=10), which
+    * is exactly why both routes ship (SURVEY §2.8; ml04 vs ml10).
+    * VirusPipelineSpec asserts the published bands on this report. */
+  def sgdReport(spark: SparkSession, samples: DataFrame,
+                seed: Long = 42L): DataFrame = {
+    import org.apache.spark.mllib.classification.SVMWithSGD
+    import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.optimization.SquaredL2Updater
+    import org.apache.spark.mllib.regression.LabeledPoint
+    val Array(train0, _, test0) = samples.select("label", "features")
+      .randomSplit(Array(0.5, 0.25, 0.25), seed)
+    def toRdd(df: DataFrame) = df.rdd.map { r =>
+      LabeledPoint(r.getDouble(0), OldVectors.fromML(
+        r.getAs[org.apache.spark.ml.linalg.Vector](1)))
+    }
+    val train = toRdd(train0).coalesce(8).cache()
+    val test = toRdd(test0).coalesce(8).cache()
+    train.count(); test.count()
+    val rows = Seq(0.001, 0.01, 0.1, 1.0, 10.0).map { reg =>
+      val svm = new SVMWithSGD()
+      svm.optimizer.setNumIterations(10).setStepSize(1.0)
+        .setRegParam(reg).setUpdater(new SquaredL2Updater)
+      val m = svm.run(train)
+      m.clearThreshold()
+      val auc = new BinaryClassificationMetrics(
+        test.map(p => (m.predict(p.features), p.label))).areaUnderROC()
+      (reg, auc)
+    }
+    train.unpersist(false); test.unpersist(false)
+    import spark.implicits._
+    rows.toDF("reg_param", "auc").orderBy("reg_param")
+  }
+
   /** Writes the reference's four file artifacts. */
   def writeArtifacts(a: Artifacts, outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()

@@ -89,5 +89,36 @@ class VirusPipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(3).matches(""".*AUC = \d+\.\d\d%""")))
     // qualitative parity (readme.md:89-118): every AUC is a valid prob.
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // Band parity with the reference's published tables (readme.md:
+    // 89-118; SURVEY §5; round-6 verdict #8), part 1: deeper entropy
+    // trees separate better than the depth-1 stump (the published
+    // table climbs 64.88% → 79.17% at depth 3). Seeded split, so
+    // deterministic on the full corpus.
+    def auc(model: String, param: Double): Double =
+      rows.find(r => r.getString(0) == model && r.getDouble(1) == param)
+        .getOrElse(fail(s"missing report row $model/$param")).getDouble(2)
+    assert(auc("dt-entropy", 3) >= auc("dt-entropy", 1),
+      "depth-3 entropy tree must not separate worse than the stump")
+  }
+
+  test("faithful-SGD SVM reproduces the published reg-10 collapse") {
+    // Band parity part 2 (readme.md:108-118): the reference's CV-SVM
+    // table collapses at reg=10.0 (44.05%, BELOW every other point,
+    // near coin-flip) — an artifact of SVMWithSGD's 10 fixed-step L2
+    // iterations, which the modern LinearSVC route deliberately does
+    // NOT reproduce (it stays ~0.85 here; that's why both optimizers
+    // ship — SURVEY §2.8). Assert the band on the byte-faithful
+    // optimizer, where the published shape is a property of the
+    // algorithm, not of one dataset draw.
+    assume(new java.io.File("/root/reference/api_logs").isDirectory)
+    val a = VirusPipeline.run(spark, "/root/reference/api_logs", topN = 2000)
+    val samples = VirusPipeline.assemble(a.vectors, a.top.count().toInt)
+    val sgd = VirusPipeline.sgdReport(spark, samples).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val others = Seq(0.001, 0.01, 0.1, 1.0).map(sgd)
+    assert(sgd(10.0) < others.min,
+      s"reg-10 must be the worst point on the board: ${sgd(10.0)} vs $others")
+    assert(math.abs(sgd(10.0) - 0.5) < 0.25,
+      s"reg-10 must collapse toward coin-flip, got ${sgd(10.0)}")
   }
 }
