@@ -28,18 +28,29 @@ object Bench {
     if (only.isDefined || !new java.io.File(logs).isDirectory) return Nil
     val out = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_bench_pipeline").toString
+    // stage-level attribution (round-6 verdict #1): the run callback
+    // reports s1 (read+features) and s2 (cluster+assign); s3 is the
+    // report + all four file artifacts, timed here. The e2e row stays
+    // the single wall-clock around the whole thing, so stage rows sum
+    // to ~e2e and a divergent round names its divergent stage.
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val t0 = System.nanoTime()
     val ok =
       try {
-        val a = graft.apps.VirusPipeline.run(spark, logs)
+        val a = graft.apps.VirusPipeline.run(spark, logs,
+          onStage = (n, s) => stages += (s"${name}_$n" -> s))
+        val t3 = System.nanoTime()
         graft.apps.VirusPipeline.writeArtifacts(a, out)
         a.clusterReport.select("line").collect()
+        stages += (s"${name}_s3_artifacts" ->
+          (System.nanoTime() - t3) / 1e9)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
-    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)) ++
+      stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
   }
 
   /** The curation-pipeline end-to-end wall time (exact dedup → LSH/CC
@@ -52,20 +63,27 @@ object Bench {
       sfDir: String, only: Option[Set[String]]): Seq[(String, Double)] = {
     val name = "pipeline_curation_e2e"
     if (only.isDefined) return Nil
+    // stage rows s1..s6 come from the run's forcing counts (zero
+    // added work); s7 is the three output materializations timed here
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val t0 = System.nanoTime()
     val ok =
       try {
-        val r = graft.apps.CurationPipeline.run(spark, sfDir)
+        val r = graft.apps.CurationPipeline.run(spark, sfDir,
+          onStage = (n, s) => stages += (s"${name}_$n" -> s))
         // force every output the way a real run lands them
+        val t7 = System.nanoTime()
         r.curated.write.format("noop").mode("overwrite").save()
         r.compressed.write.format("noop").mode("overwrite").save()
         r.stats.collect()
+        stages += (s"${name}_s7_outputs" -> (System.nanoTime() - t7) / 1e9)
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false
       }
-    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)) ++
+      stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,7 +149,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // pipeline_*_sN_* stage rows are attributions of their e2e row and
+    // sum to ~it — counting them again would double the pipelines in
+    // the round-over-round total
+    val total = results
+      .filter { case (k, v) => v >= 0 && !k.matches("pipeline_.*_s\\d+_.*") }
+      .map(_._2).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(line)

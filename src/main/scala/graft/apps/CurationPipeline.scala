@@ -54,9 +54,19 @@ object CurationPipeline {
           maxDupBigramFrac: Double = 0.2,
           benchN: Int = TextAnalysis.DeconBenchN,
           checkpoint: Option[Dedup.CheckpointStrategy] = None,
-          requireEmbeddingCoverage: Boolean = false): Result = {
+          requireEmbeddingCoverage: Boolean = false,
+          onStage: (String, Double) => Unit = (_, _) => ()): Result = {
+    // stage attribution (round-6 verdict #1): every stage below
+    // already ends in a forcing count, so the deltas between those
+    // counts ARE the stage wall-clocks — the callback adds zero work
+    var mark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
+      mark = now
+    }
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
+    stageDone("s1_read")
     // one scoring pass, reused by the near-dup keeper (stage 2) and
     // the gate (stage 3)
     val scoredAll = TextAnalysis.scored(docs)
@@ -67,6 +77,7 @@ object CurationPipeline {
       .groupBy("content_key").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val nExact = exactKeep.count()
+    stageDone("s2_exact_dedup")
 
     // 2. near-dup removal: LSH pairs → CC groups → keep the
     // highest-QUALITY member per group (dd16's oracle-checked rule;
@@ -93,6 +104,7 @@ object CurationPipeline {
       .select("doc_id")
     val nearKeep = exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
+    stageDone("s3_neardup_cc")
 
     // 3. quality + language + repetition gate — two per-row scoring
     // projections over the cached docs, id-joined to the survivors
@@ -103,6 +115,7 @@ object CurationPipeline {
         col("predicted_lang").isin(langs: _*) &&
         col("dup_bigram_frac") <= maxDupBigramFrac)
     val nGated = gated.count()
+    stageDone("s4_gates")
 
     // 3b. DECONTAMINATION (ta16's overlap core): the held-out
     // benchmark sample is excluded from the training corpus outright,
@@ -124,6 +137,7 @@ object CurationPipeline {
       .select("doc_id", "text", "lang", "source", "predicted_lang",
         "quality_score", "dup_bigram_frac", "n_tokens", "split")
     val nFinal = curated.count()
+    stageDone("s5_decon_split")
     docs.unpersist(false)
 
     // 5. embedding compression for the survivors: PQ codes (the
@@ -159,6 +173,7 @@ object CurationPipeline {
         count(when(col("pq_codes").isNull, 1)).as("n_missing"))
       .head()
     val (nAudited, nMissing) = (cRow.getLong(0), cRow.getLong(1))
+    stageDone("s6_pq_compress")
     if (nMissing > 0 && requireEmbeddingCoverage)
       throw new IllegalStateException(
         s"$nMissing of $nAudited curated documents have no embedding " +

@@ -42,17 +42,32 @@ object VirusPipeline {
       .agg(sort_array(collect_list(col("feature_index"))).as("indices"))
       .withColumn("features", toSparse(lit(nFeatures), col("indices")))
 
+  /** @param onStage stage-attribution callback (round-6 verdict #1):
+    *   called at each stage boundary with (name, seconds). The
+    *   boundaries force the stage's cached frame, which the next
+    *   stage would materialize anyway — same total work, attributable
+    *   wall-clock. Bench feeds these into `pipeline_virus_s*` rows so
+    *   a per-round series can name the stage that diverges instead of
+    *   one opaque e2e number. */
   def run(spark: SparkSession, apiLogsDir: String, topN: Int = 2000,
-          k: Int = 10, seed: Long = 42L, runs: Int = 10): Artifacts = {
+          k: Int = 10, seed: Long = 42L, runs: Int = 10,
+          onStage: (String, Double) => Unit = (_, _) => ()): Artifacts = {
+    var mark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
+      mark = now
+    }
     // stage 1 — feature selection (FeatureSelectionCloud)
     val calls = ApiLogReader.read(spark, apiLogsDir).cache()
     val totals = ApiLogReader.totals(spark, apiLogsDir, "virus")
     val ranked = FeatureSelection.infoGainRanked(calls, "virus", totals)
     val top = FeatureSelection.topFeatures(ranked, topN).cache()
     val vec = FeatureSelection.vectorize(calls, top, "virus").cache()
+    val nFeatures = top.count().toInt
+    vec.count() // boundary: stage-2 reads the populated cache
+    stageDone("s1_features")
 
     // stage 2 — clustering (KmeansVirus): sparse vectors per sample
-    val nFeatures = top.count().toInt
     val samples = assemble(vec, nFeatures).cache()
     // L1 setRuns parity: the reference trains with `setRuns(10)`
     // (`KmeansVirus.scala:183-186`) — best-of-`runs` seeded fits
@@ -75,6 +90,8 @@ object VirusPipeline {
       .join(apiStructs, Seq("sample_id")) // J3 done right: key join, not zip
       .select("cluster", "label", "sample_id", "apis")
       .cache()
+    assignments.count() // boundary: report/export read the cache
+    stageDone("s2_cluster")
 
     // A4+O4+K6: "Cluster N contains C L files" report rows
     val clusterReport = assignments
