@@ -76,6 +76,10 @@ object Dedup {
       (j, (1000003L * (2 * j + 3)) % P, (998244353L * (j + 7)) % P)
     }
 
+  // dd19's SemDeDup cosine cutoff — the keep-first threshold applied
+  // within each IVF cell
+  private val SemTau = 0.3
+
   private val NumBands = 4
   private val RowsPerBand = 4
 
@@ -670,6 +674,42 @@ object Dedup {
     "dd14_sketch_merge" -> ((s, d) =>
       sourceSketch(sigBank(documents(s, d))).orderBy("source", "j")),
 
+    // dd19: SEMANTIC dedup, cluster-scoped (the SemDeDup recipe:
+    // Abbas et al. 2023) — partition the embedding space with the
+    // IVF coarse quantizer (ss03's cells, oracle-reproducible), then
+    // compare pairs ONLY within a cell and mark every vector that has
+    // a higher-similarity-than-τ neighbor with a smaller id. Unlike
+    // dd13 (transitive CC groups over LSH pairs), this is the
+    // non-transitive keep-first rule the published pipeline uses, and
+    // the cluster scoping is what makes it train-scale: pair work is
+    // Σ|cell|², bounded by the quantizer's cell size, never corpus².
+    //
+    // Scale: one cell-keyed equi-shuffle of (id, vector) rows; at
+    // 100 TB the cell count grows with the corpus (k ∝ n / target
+    // cell size), keeping |cell| constant — the pair join stays
+    // linear-ish in n while an unscoped pair join would be n².
+    "dd19_semdedup" -> ((s, d) => {
+      val (assigned, _) = graft.similarity.Similarity.ivfCells(s, d)
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val m = assigned.join(e, Seq("vec_id"))
+      val a = m.select(col("cell"), col("vec_id").as("keep_id"),
+        col("embedding").as("ae"), col("nrm").as("an"))
+      val b = m.select(col("cell"), col("vec_id"),
+        col("embedding").as("be"), col("nrm").as("bn"))
+      val dups = a.join(b, Seq("cell"))
+        .filter(col("keep_id") < col("vec_id"))
+        .withColumn("cos", round(
+          dot(s, col("ae"), col("be")) / (col("an") * col("bn")), 6))
+        .filter(col("cos") >= SemTau)
+        .select("vec_id").distinct()
+      assigned
+        .join(dups.withColumn("dup_", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup_").isNotNull.as("is_semdup"))
+        .orderBy("vec_id")
+    }),
+
     // dd06: embedding-cosine near-dup pairs on a FIXED-SIZE sampled
     // subset (in-order double fold → bit-identical to the oracle).
     // Same corpus-independent ≤ SampleN²/2 pair bound as dd05; the
@@ -1173,6 +1213,24 @@ object Dedup {
          |SELECT vec_a, vec_b, cos FROM pairs
          |WHERE cos >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dd19_semdedup" ->
+      s"""WITH ${graft.similarity.Similarity.ivfSqlCtes}, pairs AS (
+         |  SELECT bb.vec_id,
+         |    round(${dotSql("ea.embedding", "eb.embedding")} /
+         |      (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+         |       sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cos
+         |  FROM ivf_assigned ab
+         |  JOIN ivf_assigned bb ON ab.cell = bb.cell
+         |   AND ab.vec_id < bb.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = ab.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+         |), dups AS (
+         |  SELECT DISTINCT vec_id FROM pairs WHERE cos >= $SemTau
+         |)
+         |SELECT v.vec_id, v.cell, (d.vec_id IS NOT NULL) AS is_semdup
+         |FROM ivf_assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id""".stripMargin,
 
     "dd15_dup_spans" ->
       s"""WITH spans AS (

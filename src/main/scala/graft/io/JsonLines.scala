@@ -384,6 +384,58 @@ object JsonLines {
         .orderBy("event_type")
     }),
 
+    // io15: PARTITION-SCHEME EVOLUTION — the migration every
+    // long-lived table eventually runs: history was laid out under
+    // one partitioning (here by event_type — fine when queries were
+    // per-type), the workload changed, and new data lands under a
+    // better one (by day) WITHOUT rewriting history. A cutover
+    // timestamp (recorded in a commit marker like any other table
+    // metadata) splits ownership: generation 1 owns rows strictly
+    // before it, generation 2 the rest, so every row lives in exactly
+    // one layout. The reader unions the two generations — each scan
+    // still prunes in ITS OWN partitioning — and the per-(type)
+    // generation counts prove the migration lost and duplicated
+    // nothing (the oracle recomputes the same cutover arithmetic from
+    // the source). At 100 TB this is how layouts actually evolve:
+    // cutover marker + dual-generation reads, then history rewrites
+    // lazily, if ever.
+    "io15_layout_migration" -> ((s, d) => {
+      val root = stagingDir("layout_migration")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      // deterministic cutover: the midpoint of the observed span
+      // (driver-side arithmetic over two longs; the oracle repeats it)
+      val b = ev.agg(min("ts_us"), max("ts_us")).head()
+      val cutUs = (b.getLong(0) + b.getLong(1)) / 2
+      ev.filter(col("ts_us") < cutUs)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$root/gen1")
+      ev.filter(col("ts_us") >= cutUs)
+        .withColumn("day",
+          expr(s"ts_us div ${24L * graft.operators.Relational.HourUs}"))
+        .write.mode("overwrite").partitionBy("day")
+        .parquet(s"$root/gen2")
+      Commit.writeMarker(s, s"$root/_CUTOVER", cutUs.toString)
+      val cut = Commit.readMarker(s, s"$root/_CUTOVER").toLong
+      val g1 = s.read.parquet(s"$root/gen1")
+        .select(col("event_id"), col("event_type").cast("string"),
+          col("ts_us"), lit(1).as("gen"))
+      val g2 = s.read.parquet(s"$root/gen2")
+        .select(col("event_id"), col("event_type"), col("ts_us"),
+          lit(2).as("gen"))
+      g1.unionByName(g2)
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("gen") === 1, 1L).otherwise(0L)).as("n_gen1"),
+          sum(when(col("gen") === 2, 1L).otherwise(0L)).as("n_gen2"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("gen") === 1 && col("ts_us") >= cut, 1L)
+            .when(col("gen") === 2 && col("ts_us") < cut, 1L)
+            .otherwise(0L)).as("n_misplaced"))
+        .orderBy("event_type")
+    }),
+
     // io09: WRITE-AUDIT-PUBLISH — the commit protocol a shared 100 TB
     // table needs so readers never observe a half-written tree:
     //   WRITE the new snapshot into a staging directory invisible to
@@ -692,6 +744,21 @@ object JsonLines {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 3 IN (1, 2)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io15_layout_migration" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN epoch_us(ts) < cut_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gen1,
+        |  CAST(sum(CASE WHEN epoch_us(ts) >= cut_us THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gen2,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(0 AS BIGINT) AS n_misplaced
+        |FROM events CROSS JOIN b
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "io05_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,

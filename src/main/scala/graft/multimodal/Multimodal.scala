@@ -445,6 +445,44 @@ object Multimodal {
     }
   }
 
+  final case class AudioEnergy(doc_id: Long, window_idx: Int,
+      n_samples: Int, energy: Long, is_voiced: Boolean)
+
+  /** mm08 worker: decode the container, then compute per-32-frame
+    * window ENERGY (Σ sample² across channels — exact integer, ≤
+    * 64·2³⁰ per window, far inside long range) over EVERY window.
+    * `is_voiced` is the VAD-style gate — mean square above ⅓ of
+    * full-scale², kept as an integer cross-multiplication
+    * (energy·3 > n_samples·32768²) so the flag is engine-exact. The
+    * segmentation primitive an audio-curation pipeline runs to drop
+    * silence before feature extraction. */
+  def wavEnergyWindows(r: MediaRecord): Iterator[AudioEnergy] = {
+    val wav = decodeWav(r.payload)
+    val blockAlign = wav.channels * 2
+    val totalFrames = wav.pcm.length / blockAlign
+    val nWin = (totalFrames + WavWindowFrames - 1) / WavWindowFrames
+    Iterator.range(0, nWin).map { w =>
+      val from = w * WavWindowFrames
+      val until = math.min(from + WavWindowFrames, totalFrames)
+      var energy = 0L
+      var i = from
+      while (i < until) {
+        var c = 0
+        while (c < wav.channels) {
+          val off = (i * wav.channels + c) * 2
+          val s = ((wav.pcm(off + 1).toInt << 8) |
+            (wav.pcm(off) & 0xFF)).toLong
+          energy += s * s
+          c += 1
+        }
+        i += 1
+      }
+      val nSamples = (until - from) * wav.channels
+      AudioEnergy(r.doc_id, w, nSamples, energy,
+        energy * 3 > nSamples.toLong * 32768L * 32768L)
+    }
+  }
+
   /** Synthetic audio table: (doc_id, payload) where payload is a real
     * RIFF/WAVE file whose geometry derives from the document — the
     * binary-column source mm06 decodes. */
@@ -602,6 +640,20 @@ object Multimodal {
         .mapPartitions(_.flatMap(sampleWavWindows))
         .toDF()
         .orderBy("doc_id", "window_idx")
+    }),
+
+    // mm08: audio ENERGY segmentation (VAD shape) over the decoded
+    // PCM — mm06's container round trip extended to the per-window
+    // sum-of-squares feature and an integer-exact voiced/silence
+    // gate. One record → many windows, payloads never shuffle; the
+    // oracle recomputes the PCM generator's samples, so the hash
+    // proves decode + windowing + energy math end to end.
+    "mm08_audio_energy" -> ((s, d) => {
+      import s.implicits._
+      wavPayloads(s, d)
+        .mapPartitions(_.flatMap(wavEnergyWindows))
+        .toDF()
+        .orderBy("doc_id", "window_idx")
     })
   )
 
@@ -722,6 +774,46 @@ object Multimodal {
     // rate = 8000 + 4000*(id%3), channels = 1 + id%2, frames =
     // 16 + len%101, sample(i,c) = ((id*37 + i*11 + c*5) % 65536) -
     // 32768 — see sampleValue/wavGeometry
+    "mm08_audio_energy" ->
+      """WITH geom AS (
+        |  SELECT doc_id,
+        |    1 + (doc_id % 2) AS n_channels,
+        |    16 + (length(text) % 101) AS total_frames
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, n_channels, total_frames, w.w AS window_idx
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0,
+        |      (total_frames + 31) // 32 - 1)) AS w(w)
+        |)
+        |SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+        |  CAST(least(total_frames - window_idx * 32, 32) * n_channels
+        |    AS INT) AS n_samples,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(0,
+        |      least(total_frames - window_idx * 32, 32) * n_channels - 1),
+        |      k -> (((doc_id * 37
+        |              + (window_idx * 32 + k // n_channels) * 11
+        |              + (k % n_channels) * 5) % 65536) - 32768)
+        |           * (((doc_id * 37
+        |              + (window_idx * 32 + k // n_channels) * 11
+        |              + (k % n_channels) * 5) % 65536) - 32768))),
+        |    (a, b) -> a + b) AS energy,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(0,
+        |      least(total_frames - window_idx * 32, 32) * n_channels - 1),
+        |      k -> (((doc_id * 37
+        |              + (window_idx * 32 + k // n_channels) * 11
+        |              + (k % n_channels) * 5) % 65536) - 32768)
+        |           * (((doc_id * 37
+        |              + (window_idx * 32 + k // n_channels) * 11
+        |              + (k % n_channels) * 5) % 65536) - 32768))),
+        |    (a, b) -> a + b) * 3
+        |    > least(total_frames - window_idx * 32, 32) * n_channels
+        |      * 32768 * 32768 AS is_voiced
+        |FROM wins
+        |ORDER BY doc_id, window_idx""".stripMargin,
+
     "mm06_wav_frames" ->
       """WITH geom AS (
         |  SELECT doc_id,

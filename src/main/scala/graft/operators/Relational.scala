@@ -39,6 +39,11 @@ object Relational {
     * its predecessor is a duplicate delivery, not a new action.
     * Shared with st13, the stateful streaming twin. */
   private[graft] val DebounceUs = 10L * 60 * 1000000
+  // q36/st14 rate limiting: at most RateLimitN events per user per
+  // tumbling hour survive (N=2 binds on the testdata's burstiest
+  // user-hours, so the drop path is actually exercised)
+  private[graft] val RateLimitN = 2
+  private[graft] val HourUs = 3600L * 1000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: pricing summary — scan → filter → partial+final hash agg
@@ -510,6 +515,31 @@ object Relational {
     // per partition, and the shuffle is the same (user-keyed) exchange
     // q13/q28 already pay; at 100 TB this rides the ingest's existing
     // user partitioning.
+    // q36: RATE LIMITING (quota enforcement) — keep only the first N
+    // events per user per tumbling hour; everything beyond the quota
+    // is dropped as a burst (bot storms, runaway SDK loops, scrape
+    // floods — the ingest-protection rule telemetry pipelines apply
+    // before anything downstream). One (user, hour)-keyed window with
+    // row_number ≤ N, which compiles with a partial WindowGroupLimit:
+    // each task forwards at most N rows per key BEFORE the exchange,
+    // so the shuffle carries ≈ the quota'd output, not the burst. The
+    // hour key joins the partitioning, so a single hot user spreads
+    // over hours (bounded skew by construction). st14 is the same
+    // rule as a stateful stream (one counter per open (user, hour)
+    // key); both share this oracle.
+    "q36_rate_limit" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "hour_us")
+        .orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("hour_us", expr(s"ts_us div $HourUs") * HourUs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= RateLimitN)
+        .select("event_id", "user_id", "hour_us", "ts_us")
+        .orderBy("event_id")
+    }),
+
     "q33_debounce" -> ((s, d) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
@@ -702,6 +732,23 @@ object Relational {
     * (before small-bucket capping). Small enough that sf0.001's 50-doc
     * fixture still exercises the cap path. */
   private val MixTargetN = 200
+
+  /** The one rate-limit oracle both engines answer to — q36 (batch
+    * window) and st14 (stateful stream) register it verbatim, the
+    * st13/q33 twin discipline. */
+  private[graft] def rateLimitOracle: String =
+    s"""WITH numbered AS (
+       |  SELECT event_id, user_id,
+       |    (epoch_us(ts) // $HourUs) * $HourUs AS hour_us,
+       |    epoch_us(ts) AS ts_us,
+       |    row_number() OVER (
+       |      PARTITION BY user_id, (epoch_us(ts) // $HourUs)
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, hour_us, ts_us FROM numbered
+       |WHERE rn <= $RateLimitN
+       |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1001,6 +1048,8 @@ object Relational {
         |FROM ev e JOIN firstday f USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q36_rate_limit" -> rateLimitOracle,
 
     "q33_debounce" ->
       s"""WITH flagged AS (

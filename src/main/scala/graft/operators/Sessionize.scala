@@ -112,6 +112,40 @@ object Sessionize {
       }
   }
 
+  final case class HourEv(user_id: Long, hour_us: Long, event_id: Long,
+      ts_us: Long)
+  final case class HourQuota(n: Long)
+  final case class KeptHour(event_id: Long, user_id: Long, hour_us: Long,
+      ts_us: Long)
+
+  /** Stateful streaming RATE LIMIT — q36's quota rule on a live
+    * stream: the state store keeps one counter per open (user, hour)
+    * key; each micro-batch's group is processed in event-time order
+    * and only the first `n` events of the hour survive (Append mode).
+    * State is an 8-byte counter per active key — hour keys retire
+    * naturally as event time advances (a production deployment adds
+    * an event-time timeout to reap them; a finite replay just leaves
+    * the last hour open, which changes nothing emitted). */
+  def rateLimitStream(ds: Dataset[HourEv], n: Int): Dataset[KeptHour] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.hour_us))
+      .flatMapGroupsWithState[HourQuota, KeptHour](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), evs: Iterator[HourEv],
+            state: GroupState[HourQuota]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var used = state.getOption.map(_.n).getOrElse(0L)
+          val out = scala.collection.mutable.ListBuffer.empty[KeptHour]
+          sorted.foreach { e =>
+            if (used < n)
+              out += KeptHour(e.event_id, key._1, key._2, e.ts_us)
+            used += 1
+          }
+          state.update(HourQuota(used))
+          out.iterator
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> ((s, d) =>
       relational(events(s, d))

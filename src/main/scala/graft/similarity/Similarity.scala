@@ -75,6 +75,10 @@ object Similarity {
     * exact integer arithmetic. */
   private[graft] val PrIters = 3
   private[graft] val PrUnit = 1000000000L
+  // RRF (ss22): the standard k=60 damping; contributions in integer
+  // nano-units so 1/(60+r) sums are exact on both engines
+  private[graft] val RrfK = 60
+  private[graft] val RrfUnit = 1000000000L
 
   /** (vec_id, bucket) for every vector: bit b = [dot(v, plane_b) >= 0].
     * Shared with dedup.Dedup (dd08 pairs within a bucket). The
@@ -1013,6 +1017,82 @@ object Similarity {
           (sum(col("cos").cast("decimal(18,6)")).cast("double") /
             count(lit(1))).as("avg_cos"))
         .orderBy("bin")
+    }),
+
+    // em09: BINARY (1-bit) quantization + Hamming search — the most
+    // aggressive embedding compression in the family ladder (float32
+    // 256 B → int8 64 B (em02) → PQ 8 B (em03) → SIGN BITS 16 B):
+    // each 64-dim vector becomes two BIGINT sign masks, and the
+    // nearest-neighbor scan ranks by Hamming distance =
+    // bit_count(xor(lo)) + bit_count(xor(hi)) — pure integer ops, so
+    // the whole ranked list hash-gates with no float anywhere. Two
+    // 32-bit halves (not one 64-bit mask) because bit 63 would
+    // overflow Spark's long SUM where DuckDB's widens to HUGEINT.
+    //
+    // Scale: the signature build is one linear projection-free pass
+    // (16 bytes/vector out); the search is a broadcast of the query
+    // masks over a 16-byte-per-row stream with a per-task top-k
+    // (WindowGroupLimit) — the cheapest possible first-stage filter
+    // before exact re-ranking (ss14's shape takes it from here).
+    "em09_binary_hamming" -> ((s, d) => {
+      def sigHalf(off: Int) = expr(
+        s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + $off) >= 0.0, shiftleft(1L, i), 0L))")
+      val sigs = embeddings(s, d)
+        .select(col("vec_id"), sigHalf(1).as("sig_lo"),
+          sigHalf(33).as("sig_hi"))
+      val q = sigs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("sig_lo").as("ql"),
+          col("sig_hi").as("qh"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      sigs.select(col("vec_id").as("neighbor_id"), col("sig_lo"),
+          col("sig_hi"))
+        .crossJoin(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          (bit_count(col("sig_lo").bitwiseXOR(col("ql"))) +
+            bit_count(col("sig_hi").bitwiseXOR(col("qh")))).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ss22: RECIPROCAL-RANK FUSION of two shipped retrievers — the
+    // standard hybrid-search merge (Cormack et al.'s RRF): each
+    // retriever contributes 1/(60+rank) for its top-k list, summed
+    // per candidate, re-ranked by the fused score. Here the two lists
+    // are the library's own oracle-checked LSH (ss02) and PQ/ADC
+    // (ss07) paths, so the fusion is provably over the served
+    // rankings, not a re-derivation. Contributions are exact integer
+    // micro-units (1e9 div (60+rank)) — no float sums, the whole
+    // fused table hash-gates. n_lists records 1- vs 2-list support
+    // (the consensus signal RRF is used for).
+    //
+    // Scale: inputs are k rows per query per retriever by
+    // construction, so the fusion join/window touch ≤ 2k rows per
+    // query — corpus-independent; the expensive parts are the
+    // retrievers themselves, already benched and plan-locked.
+    "ss22_rrf_fusion" -> ((s, d) => {
+      def contrib(name: String) = queries(name)(s, d)
+        .select(col("query_id"), col("neighbor_id"),
+          expr(s"${RrfUnit}L div ($RrfK + rank)").as(s"c_$name"))
+      val a = contrib("ss02_knn_lsh")
+        .withColumnRenamed("c_ss02_knn_lsh", "c_lsh")
+      val b = contrib("ss07_knn_pq")
+        .withColumnRenamed("c_ss07_knn_pq", "c_pq")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_u9").desc, col("neighbor_id").asc)
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"),
+          (coalesce(col("c_lsh"), lit(0L)) +
+            coalesce(col("c_pq"), lit(0L))).as("rrf_u9"),
+          (when(col("c_lsh").isNotNull, 1).otherwise(0) +
+            when(col("c_pq").isNotNull, 1).otherwise(0)).as("n_lists"))
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "neighbor_id", "rrf_u9", "n_lists")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1023,7 +1103,7 @@ object Similarity {
     * NumQueries — consumed by ss03 and ss08 so the cell geometry can
     * never drift between them. A def (not val) so map-initialization
     * order can't capture null. */
-  private def ivfSqlCtes: String =
+  private[graft] def ivfSqlCtes: String =
     s"""ivf_cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
        |  WHERE vec_id < $IvfCents
@@ -1095,6 +1175,63 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "em09_binary_hamming" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(0, 31), i ->
+         |        CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+         |             ELSE 0::BIGINT END)), (a, b) -> a + b) AS sig_lo,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(0, 31), i ->
+         |        CASE WHEN embedding[i + 33] >= 0 THEN (1::BIGINT << i)
+         |             ELSE 0::BIGINT END)), (a, b) -> a + b) AS sig_hi
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(c.sig_lo, q.sig_lo)) +
+         |         bit_count(xor(c.sig_hi, q.sig_hi)) AS BIGINT) AS hamming
+         |  FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, hamming,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, neighbor_id, hamming FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ss22_rrf_fusion" ->
+      s"""WITH $lshRankedCte, ${graft.operators.TextAnalysis.pqSqlCtes},
+         |$pqAdcRankedSql, la AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST($RrfUnit // ($RrfK + rank) AS BIGINT) AS c
+         |  FROM lsh_ranked WHERE rank <= $TopK
+         |), lb AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST($RrfUnit // ($RrfK + rank) AS BIGINT) AS c
+         |  FROM pq_ranked WHERE rank <= $TopK
+         |), fused AS (
+         |  SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+         |    coalesce(la.neighbor_id, lb.neighbor_id) AS neighbor_id,
+         |    CAST(coalesce(la.c, 0) + coalesce(lb.c, 0) AS BIGINT)
+         |      AS rrf_u9,
+         |    CAST((CASE WHEN la.c IS NULL THEN 0 ELSE 1 END) +
+         |         (CASE WHEN lb.c IS NULL THEN 0 ELSE 1 END) AS INT)
+         |      AS n_lists
+         |  FROM la FULL OUTER JOIN lb
+         |    ON la.query_id = lb.query_id
+         |   AND la.neighbor_id = lb.neighbor_id
+         |)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_u9 DESC, neighbor_id ASC) AS INT) AS rank,
+         |  neighbor_id, rrf_u9, n_lists
+         |FROM fused
+         |ORDER BY query_id, rank""".stripMargin,
+
     "ss06_cos_histogram" ->
       s"""WITH sub AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -363,6 +363,25 @@ object EventStream {
           graft.operators.Relational.DebounceUs).toDF()
       }.orderBy("event_id")),
 
+    // st14: stateful streaming RATE LIMIT — q36's per-(user, hour)
+    // quota on a live stream (graft.operators.Sessionize
+    // .rateLimitStream): one counter per open key in the state store,
+    // survivors emitted in Append mode. Same twin discipline as
+    // st13/q33: the batch window and the state-store counter answer
+    // to ONE oracle, so both engines provably enforce the same quota.
+    "st14_stream_rate_limit" -> ((s, d) =>
+      runStream(s, d, "st_events_rate_limit", copies = 1,
+        outputMode = "append") { df =>
+        import df.sparkSession.implicits._
+        val hourUs = graft.operators.Relational.HourUs
+        graft.operators.Sessionize.rateLimitStream(
+          df.select(col("user_id"),
+            (expr(s"unix_micros(ts) div $hourUs") * hourUs).as("hour_us"),
+            col("event_id"), unix_micros(col("ts")).as("ts_us"))
+            .as[graft.operators.Sessionize.HourEv],
+          graft.operators.Relational.RateLimitN).toDF()
+      }.orderBy("event_id")),
+
     // st06: SLIDING-window streaming aggregation — st01's tumbling
     // twin with overlap: 2-hour windows sliding hourly, so every
     // event lands in exactly two windows (Spark materializes both
@@ -615,6 +634,10 @@ object EventStream {
     // chain implement the same debounce rule
     "st13_stream_debounce" ->
       graft.operators.Relational.oracles("q33_debounce"),
+
+    // shared verbatim with q36 — one quota rule, two engines
+    "st14_stream_rate_limit" ->
+      graft.operators.Relational.rateLimitOracle,
 
     "st06_stream_sliding" ->
       """SELECT w_start, event_type, count(*) AS n,
