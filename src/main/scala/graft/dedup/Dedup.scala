@@ -78,7 +78,7 @@ object Dedup {
 
   // dd19's SemDeDup cosine cutoff — the keep-first threshold applied
   // within each IVF cell
-  private val SemTau = 0.3
+  private[graft] val SemTau = 0.3
 
   private val NumBands = 4
   private val RowsPerBand = 4

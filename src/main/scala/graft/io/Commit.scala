@@ -19,31 +19,61 @@ object Commit {
   def fileSystem(s: SparkSession): FileSystem =
     FileSystem.get(s.sparkContext.hadoopConfiguration)
 
+  /** Marker I/O goes through the RAW filesystem on the local scheme:
+    * LocalFileSystem is a ChecksumFileSystem whose `.crc` sidecar is a
+    * second, non-atomically-maintained file — exactly what a
+    * single-file atomic-rename protocol cannot tolerate (a racing
+    * swap can pair new content with a stale sidecar and fail every
+    * later read). HDFS/object stores have no client-side sidecar, so
+    * they pass through unchanged. */
+  private def rawFs(s: SparkSession): FileSystem =
+    fileSystem(s) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
   /** Atomically materialize `content` at `path`: write a uniquely
     * named `<path>.tmp-<uuid>`, then atomically rename OVER the
-    * destination (`FileContext.rename(OVERWRITE)` — one filesystem
-    * operation on local and HDFS). A reader sees the previous marker
-    * or the new one, never a torn half-write and never *no* marker:
-    * there is no delete step, so a crash at any point leaves either
-    * the old committed marker (plus an ignorable `.tmp-*` file) or
-    * the new one. The uuid staging name also makes concurrent writers
-    * safe — each renames its own durable staging file; the last
-    * rename wins whole. */
+    * destination. A reader sees the previous marker or the new one,
+    * never a torn half-write and never *no* marker: there is no
+    * delete step, so a crash at any point leaves either the old
+    * committed marker (plus an ignorable `.tmp-*` file) or the new
+    * one. The uuid staging name also makes concurrent writers safe —
+    * each renames its own durable staging file; the last rename wins
+    * whole (CommitSpec races 8 writers to pin this).
+    *
+    * The clobbering rename is scheme-specific because Hadoop's local
+    * `FileContext.rename(OVERWRITE)` is emulated as
+    * check-delete-rename — NOT atomic under concurrency (two racers
+    * both pass the check, and the loser hits the winner's re-created
+    * destination). On `file:` the primitive is POSIX `rename(2)` via
+    * NIO `ATOMIC_MOVE + REPLACE_EXISTING`; everywhere else
+    * `FileContext.rename(OVERWRITE)` is a single atomic namespace
+    * operation server-side (HDFS), which is the deployment this
+    * protocol targets. */
   def writeMarker(s: SparkSession, path: String, content: String): Unit = {
-    val fs = fileSystem(s)
+    val fs = rawFs(s)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString)
     val dst = new Path(path)
     val out = fs.create(tmp, true)
     out.write(content.getBytes("UTF-8")); out.close()
-    val fc = FileContext.getFileContext(
-      fs.makeQualified(dst).toUri, s.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
-      Options.Rename.OVERWRITE)
+    val qDst = fs.makeQualified(dst)
+    if (qDst.toUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri),
+        java.nio.file.Paths.get(qDst.toUri),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = FileContext.getFileContext(
+        qDst.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), qDst, Options.Rename.OVERWRITE)
+    }
   }
 
   /** The committed marker's content (the reader half). */
   def readMarker(s: SparkSession, path: String): String = {
-    val in = fileSystem(s).open(new Path(path))
+    val in = rawFs(s).open(new Path(path))
     try scala.io.Source.fromInputStream(in).mkString finally in.close()
   }
 

@@ -43,7 +43,7 @@ object Similarity {
   private[graft] val IvfCents = 8
   private[graft] val IvfProbe = 2
   private val NumTables = 3
-  private val TopK = 10
+  private[graft] val TopK = 10
 
   /** ss14's shortlist size: the ADC stage keeps this many candidates
     * per query before the exact re-rank trims to [[TopK]]. */

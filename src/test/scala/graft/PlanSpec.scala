@@ -363,4 +363,43 @@ class PlanSpec extends AnyFunSuite {
       s"ss21: iterations must not re-scan the corpus, got $scans scans:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q36 rate limit compiles to a partial WindowGroupLimit") {
+    // the quota must bind BEFORE the exchange: each task forwards at
+    // most N rows per (user, hour) key, so the shuffle carries ≈ the
+    // quota'd output, not the burst — the property that makes the
+    // operator an ingest protection instead of an ingest victim
+    val p = plan("q36_rate_limit")
+    assert(p.contains("WindowGroupLimit"),
+      s"q36: expected the rank filter to compile to WindowGroupLimit:\n$p")
+    assert(p.toLowerCase.contains("partial"),
+      s"q36: the group limit must run map-side (Partial mode):\n$p")
+    assert(!p.contains("Join"), s"q36 must not self-join events:\n$p")
+  }
+
+  test("dd19 semdedup pairs join on the cell key, never all-pairs") {
+    // SemDeDup's whole scale argument is cluster scoping: the pair
+    // join must be an equi-join on cell (hash or sort-merge both
+    // fine), and nothing may degenerate into a cartesian or an
+    // unbounded nested loop over the full embedding table
+    // (the BroadcastNestedLoopJoin that DOES appear is the intended
+    // 8-row-centroid broadcast scoring from the IVF assignment —
+    // bounded by IvfCents, not a pair join)
+    val p = plan("dd19_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"dd19 must never plan an all-pairs cartesian:\n$p")
+    assert(p.contains("hashpartitioning(cell"),
+      s"dd19: the pair join must shuffle on the cell key:\n$p")
+  }
+
+  test("em09 binary search broadcasts the query masks, no shuffle join") {
+    // the 16-byte-per-row stream side must never shuffle: the only
+    // join is the broadcast of the NumQueries-row mask table
+    val p = plan("em09_binary_hamming")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"em09: expected the query masks to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"em09: the corpus side must not shuffle for the join:\n$p")
+  }
 }
