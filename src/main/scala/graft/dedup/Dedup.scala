@@ -596,6 +596,33 @@ object Dedup {
       connectedComponents(candidatePairs(s, d),
         checkpoint = CheckpointStrategy.fromConf(s)).orderBy("doc_id")),
 
+    // dd20: DUPLICATE-AWARE LOSS WEIGHTS (soft dedup) — the
+    // alternative to dropping duplicates that recent pretraining
+    // pipelines prefer: keep every copy but weight each document
+    // 1/|dup group| so a page duplicated 1000× contributes one
+    // document's worth of gradient instead of dominating the loss.
+    // Composes dd07's CC groups; docs in no candidate pair are their
+    // own singleton group (weight 1.0). The weight is one exact IEEE
+    // division per group size, so the whole table hash-gates.
+    //
+    // Scale: dd07's CC cost (pairs/labels only) + one group-size
+    // aggregate + a doc_id equi-join of ids — text and vectors never
+    // shuffle; the output is the (doc_id, weight) side input a
+    // training dataloader joins on.
+    "dd20_dup_weights" -> ((s, d) => {
+      val groups = connectedComponents(candidatePairs(s, d),
+        checkpoint = CheckpointStrategy.fromConf(s))
+      val g = documents(s, d).select(col("doc_id"))
+        .join(groups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      val sizes = g.groupBy("group_id").agg(count(lit(1)).as("n_members"))
+      g.join(sizes, Seq("group_id"))
+        .select(col("doc_id"), col("group_id"), col("n_members"),
+          round(lit(1.0) / col("n_members").cast("double"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // dd08: embedding near-dup at scale — the UNSAMPLED version of
     // dd06: candidate pairs come only from within a random-hyperplane
     // LSH bucket (same bucketing as ss02), so the join is an equi-join
@@ -1087,6 +1114,23 @@ object Dedup {
          |$minhashGroupsCte
          |SELECT doc_id, group_id FROM groups
          |ORDER BY doc_id""".stripMargin,
+
+    // dd07's groups extended to every document (singletons are their
+    // own group), sized, and inverted into loss weights
+    "dd20_dup_weights" ->
+      s"""WITH $sigCte,
+         |$minhashGroupsCte,
+         |all_g AS (
+         |  SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN groups g USING (doc_id)
+         |), sizes AS (
+         |  SELECT group_id, count(*) AS n_members
+         |  FROM all_g GROUP BY group_id
+         |)
+         |SELECT a.doc_id, a.group_id, s.n_members,
+         |  round(1.0 / CAST(s.n_members AS DOUBLE), 6) AS weight
+         |FROM all_g a JOIN sizes s USING (group_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     // dd07's group resolution + ta02's quality CTE: the keep-list is
     // derivable entirely in SQL, so the hash gate checks the whole

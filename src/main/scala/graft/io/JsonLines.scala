@@ -436,6 +436,53 @@ object JsonLines {
         .orderBy("event_type")
     }),
 
+    // io16: MIN/MAX STATS PRUNING (data skipping) — the manifest-level
+    // file skipping every lakehouse read begins with: the table is
+    // range-clustered on ts at write time (shard = width-bucket of the
+    // span, pure function of two driver-side longs the oracle
+    // repeats), per-shard min/max stats are collected into a tiny
+    // STATS TABLE at write time, and a time-range query consults the
+    // stats FIRST — the scan reads only shards whose [min,max]
+    // overlaps the predicate (here the middle third of the span →
+    // ~1/3 of the files). Unlike io03/io13's directory-name pruning,
+    // the skip decision comes from a stats side-table — the shape that
+    // generalizes to any column you collect stats on, which is how
+    // 100 TB tables skip files on non-partition columns. The oracle
+    // recomputes the predicate from the source, so the hash proves
+    // cluster → stats → prune → read loses nothing.
+    "io16_stats_pruning" -> ((s, d) => {
+      val root = stagingDir("stats_prune")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val b = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val width = (hi - lo) / 16 + 1
+      ev.withColumn("shard", expr(s"(ts_us - ${lo}L) div ${width}L"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$root/data")
+      // stats collected at write time: one tiny parquet beside the data
+      s.read.parquet(s"$root/data")
+        .groupBy("shard")
+        .agg(min("ts_us").as("smin"), max("ts_us").as("smax"))
+        .write.mode("overwrite").parquet(s"$root/stats")
+      // the read side: predicate → stats table → shard list → pruned
+      // scan (the shard list is bounded by the shard count, never data)
+      val span3 = (hi - lo) / 3
+      val (qlo, qhi) = (lo + span3, lo + 2 * span3)
+      val shards = s.read.parquet(s"$root/stats")
+        .filter(col("smax") >= qlo && col("smin") < qhi)
+        .select(col("shard").cast("long")).collect().map(_.getLong(0))
+      s.read.parquet(s"$root/data")
+        .filter(col("shard").isin(shards: _*) &&
+          col("ts_us") >= qlo && col("ts_us") < qhi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // io09: WRITE-AUDIT-PUBLISH — the commit protocol a shared 100 TB
     // table needs so readers never observe a half-written tree:
     //   WRITE the new snapshot into a staging directory invisible to
@@ -760,6 +807,18 @@ object JsonLines {
         |  CAST(0 AS BIGINT) AS n_misplaced
         |FROM events CROSS JOIN b
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "io16_stats_pruning" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN b
+        |WHERE epoch_us(ts) >= lo + (hi - lo) // 3
+        |  AND epoch_us(ts) < lo + 2 * ((hi - lo) // 3)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "io05_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -94,6 +94,23 @@ object MlPipeline {
       when(col("label") < 5, 1.0).otherwise(0.0).as("label"),
       array_to_vector(col("embedding")).as("features"))
 
+  /** ml18/ml19 shared corpus pass: the 8 per-bucket OLS sum rows
+    * (nested hash buckets over lineitem, exact DECIMAL sums —
+    * order-free, so the single corpus aggregate hash-gates). Both
+    * consumers do their entire fit algebra on these ≤8 rows. */
+  private def olsBucketSums(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs.md5Long
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    val bkt = md5Long(concat(lit("lc:"), col("l_orderkey").cast("string"),
+      lit(":"), col("l_linenumber").cast("string")), 15) % 8
+    lineitem(s, d).withColumn("b", bkt)
+      .groupBy("b").agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sx2"), sum(y * y).as("syy"))
+      .localCheckpoint() // 8 rows; all downstream algebra reads these
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ml01: L1+L2 — k-means k=10, tol=1e-6 (reference config,
     // `KmeansVirus.scala:183-186`), seeded; cluster sizes.
@@ -477,6 +494,75 @@ object MlPipeline {
     // (ss06's trick — order-free, no float fold), and the positive
     // rate is integer/integer. One aggregate over the scored table;
     // 10 rows out regardless of corpus.
+    // ml19: LEAVE-ONE-BUCKET-OUT INFLUENCE (closed-form data
+    // valuation) — "which slice of the data is helping or hurting?"
+    // answered with ZERO refits over the corpus: for each training
+    // bucket j, the OLS trained WITHOUT j comes algebraically from
+    // the same 8 sum rows ml18 uses (total-minus-bucket on exact
+    // decimal sums), evaluated on the held-out test bucket, and
+    // influence_j = testMSE(without j) − testMSE(all). A positive
+    // influence means the model got WORSE without the bucket (the
+    // bucket helps); negative means the bucket hurts — the
+    // Shapley-style diagnostic a data-curation loop ranks slices by.
+    //
+    // Scale: the corpus pays ONE aggregate (shared with ml18's sums);
+    // all 8 leave-one-out fits are arithmetic on ≤8 rows. At 100 TB
+    // bucket = source/domain/shard and this is how per-slice data
+    // value gets measured without 8 training runs.
+    "ml19_bucket_influence" -> ((s, d) => {
+      val bs = olsBucketSums(s, d)
+      val d2 = (c: Column) =>
+        floor(c * 100).cast("long").cast("double") / lit(100.0)
+      val test = bs.filter(col("b") === 7)
+        .select(col("n").as("tn"),
+          d2(col("sx")).as("tsx"), d2(col("sy")).as("tsy"),
+          d2(col("sxy")).as("tsxy"), d2(col("sx2")).as("tsx2"),
+          d2(col("syy")).as("tsyy"))
+      val train = bs.filter(col("b") <= 6)
+      val tot = train.agg(sum("n").as("n_t"), sum("sx").as("sx_t"),
+        sum("sy").as("sy_t"), sum("sxy").as("sxy_t"),
+        sum("sx2").as("sx2_t"), sum("syy").as("syy_t"))
+      // candidate training sets: all 7 buckets (left_out = -1) plus
+      // one leave-one-out row per bucket — exact decimal subtraction
+      val loo = train.crossJoin(broadcast(tot))
+        .select(col("b").as("left_out"),
+          (col("n_t") - col("n")).as("n"),
+          (col("sx_t") - col("sx")).as("sx"),
+          (col("sy_t") - col("sy")).as("sy"),
+          (col("sxy_t") - col("sxy")).as("sxy"),
+          (col("sx2_t") - col("sx2")).as("sx2"),
+          (col("syy_t") - col("syy")).as("syy"))
+      val full = tot.select(lit(-1L).as("left_out"), col("n_t").as("n"),
+        col("sx_t").as("sx"), col("sy_t").as("sy"), col("sxy_t").as("sxy"),
+        col("sx2_t").as("sx2"), col("syy_t").as("syy"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sx2") - col("sx") * col("sx"))
+      val a = col("icept"); val bb = col("slope")
+      val tnD = col("tn").cast("double")
+      val fits = full.unionByName(loo)
+        .select(col("left_out"), col("n"),
+          d2(col("sx")).as("sx"), d2(col("sy")).as("sy"),
+          d2(col("sxy")).as("sxy"), d2(col("sx2")).as("sx2"),
+          d2(col("syy")).as("syy"))
+        .crossJoin(broadcast(test))
+        .withColumn("slope", slope)
+        .withColumn("icept", (col("sy") - col("slope") * col("sx")) / nD)
+        .withColumn("test_mse",
+          (col("tsyy") - lit(2.0) * a * col("tsy") -
+            lit(2.0) * bb * col("tsxy") + tnD * a * a +
+            lit(2.0) * a * bb * col("tsx") + bb * bb * col("tsx2")) / tnD)
+        .localCheckpoint() // ≤8 rows; read twice below
+      val base = fits.filter(col("left_out") === -1L)
+        .select(col("test_mse").as("mse_full"))
+      fits.filter(col("left_out") >= 0L)
+        .crossJoin(broadcast(base))
+        .select(col("left_out"), col("n").as("n_train"),
+          col("slope"), col("icept"), col("test_mse"),
+          (col("test_mse") - col("mse_full")).as("influence"))
+        .orderBy("left_out")
+    }),
+
     // ml18: LEARNING CURVE, closed form — "does more data still help?"
     // answered without a single iterative fit: OLS (q27's closed form)
     // trained on nested hash-bucket fractions (bucket < j, ta18's
@@ -492,16 +578,7 @@ object MlPipeline {
     // Scale: ONE aggregate over the corpus to 8 per-bucket sum rows;
     // the cumsum, fits, and MSEs all run on ≤8 rows.
     "ml18_learning_curve" -> ((s, d) => {
-      import graft.functions.Funcs.md5Long
-      val x = col("l_quantity").cast("decimal(18,2)")
-      val y = col("l_extendedprice").cast("decimal(18,2)")
-      val bkt = md5Long(concat(lit("lc:"), col("l_orderkey").cast("string"),
-        lit(":"), col("l_linenumber").cast("string")), 15) % 8
-      val bs = lineitem(s, d).withColumn("b", bkt)
-        .groupBy("b").agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
-          sum(x * x).as("sx2"), sum(y * y).as("syy"))
-        .localCheckpoint() // 8 rows; feeds both the cumsum and the test row
+      val bs = olsBucketSums(s, d)
       val w = Window.orderBy("b")
         .rowsBetween(Window.unboundedPreceding, 0)
       // decimal → double via exact centi-unit integers: DuckDB's
@@ -591,6 +668,75 @@ object MlPipeline {
     * (driver records rows-only checks). The two closed-form scoring
     * queries (assignment + logistic inference) ARE oracle-checked. */
   val oracles: Map[String, String] = Map(
+    // ml18's bucket sums, leave-one-out by exact decimal subtraction,
+    // same centi-unit decimal→double path, influence vs the full fit
+    "ml19_bucket_influence" ->
+      """WITH bs AS (
+        |  SELECT ('0x' || substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)
+        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+        |      % 8 AS b,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |        CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem GROUP BY 1
+        |), test AS (
+        |  SELECT CAST(n AS BIGINT) AS tn,
+        |    CAST(floor(sx * 100) AS BIGINT) / 100.0 AS tsx,
+        |    CAST(floor(sy * 100) AS BIGINT) / 100.0 AS tsy,
+        |    CAST(floor(sxy * 100) AS BIGINT) / 100.0 AS tsxy,
+        |    CAST(floor(sx2 * 100) AS BIGINT) / 100.0 AS tsx2,
+        |    CAST(floor(syy * 100) AS BIGINT) / 100.0 AS tsyy
+        |  FROM bs WHERE b = 7
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_t, sum(sx) AS sx_t,
+        |    sum(sy) AS sy_t, sum(sxy) AS sxy_t, sum(sx2) AS sx2_t,
+        |    sum(syy) AS syy_t
+        |  FROM bs WHERE b <= 6
+        |), cand AS (
+        |  SELECT -1::BIGINT AS left_out, n_t AS n, sx_t AS sx, sy_t AS sy,
+        |    sxy_t AS sxy, sx2_t AS sx2, syy_t AS syy FROM tot
+        |  UNION ALL
+        |  SELECT b AS left_out, t.n_t - bs.n, t.sx_t - bs.sx,
+        |    t.sy_t - bs.sy, t.sxy_t - bs.sxy, t.sx2_t - bs.sx2,
+        |    t.syy_t - bs.syy
+        |  FROM bs CROSS JOIN tot t WHERE b <= 6
+        |), cd AS (
+        |  SELECT left_out, CAST(n AS BIGINT) AS n,
+        |    CAST(floor(sx * 100) AS BIGINT) / 100.0 AS sx,
+        |    CAST(floor(sy * 100) AS BIGINT) / 100.0 AS sy,
+        |    CAST(floor(sxy * 100) AS BIGINT) / 100.0 AS sxy,
+        |    CAST(floor(sx2 * 100) AS BIGINT) / 100.0 AS sx2,
+        |    CAST(floor(syy * 100) AS BIGINT) / 100.0 AS syy
+        |  FROM cand
+        |), fitted AS (
+        |  SELECT c.*, t.*,
+        |    (CAST(c.n AS DOUBLE) * c.sxy - c.sx * c.sy) /
+        |    (CAST(c.n AS DOUBLE) * c.sx2 - c.sx * c.sx) AS slope
+        |  FROM cd c CROSS JOIN test t
+        |), fitted2 AS (
+        |  SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+        |  FROM fitted
+        |), scored AS (
+        |  SELECT left_out, n, slope, icept,
+        |    (tsyy - 2.0 * icept * tsy - 2.0 * slope * tsxy
+        |      + CAST(tn AS DOUBLE) * icept * icept
+        |      + 2.0 * icept * slope * tsx + slope * slope * tsx2)
+        |      / CAST(tn AS DOUBLE) AS test_mse
+        |  FROM fitted2
+        |)
+        |SELECT s.left_out, s.n AS n_train, s.slope, s.icept, s.test_mse,
+        |  s.test_mse - f.test_mse AS influence
+        |FROM scored s CROSS JOIN (
+        |  SELECT test_mse FROM scored WHERE left_out = -1) f
+        |WHERE s.left_out >= 0
+        |ORDER BY s.left_out""".stripMargin,
+
     "ml18_learning_curve" ->
       """WITH bs AS (
         |  SELECT ('0x' || substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)

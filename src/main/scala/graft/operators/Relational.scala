@@ -540,6 +540,29 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
+    // conversion: for every purchase, the user's most recent PRECEDING
+    // non-purchase event type (view/click/signup/...), 'direct' when
+    // none exists. The product-analytics twin of q29's funnel, and the
+    // same single user-keyed exchange as q13/q33/q35: one
+    // last(ignoreNulls) window over an unbounded-preceding frame, then
+    // an aggregate to the |types|-row attribution table. All-integer
+    // output, hash-exact by construction.
+    "q37_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("channel",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy("channel")
+    }),
+
     "q33_debounce" -> ((s, d) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("ts_us", "event_id")
@@ -1050,6 +1073,21 @@ object Relational {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q36_rate_limit" -> rateLimitOracle,
+
+    "q37_last_touch" ->
+      """WITH attr AS (
+        |  SELECT event_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM events
+        |)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS n_conversions
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q33_debounce" ->
       s"""WITH flagged AS (

@@ -75,6 +75,24 @@ object Similarity {
     * exact integer arithmetic. */
   private[graft] val PrIters = 3
   private[graft] val PrUnit = 1000000000L
+  /** em10's hash-derived ±1 projection matrix (16 rows × 64 cols):
+    * sign = parity of the first 7 md5 hex digits of "jl:j:i" — the
+    * same formula the SQL oracle evaluates, so both engines
+    * regenerate identical R with nothing stored. */
+  private lazy val jlSigns: Seq[Seq[Double]] = {
+    def md5Hex7(t: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.take(4).map(b => f"$b%02x").mkString.take(7), 16)
+    }
+    (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        if (md5Hex7(s"jl:$j:$i") % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
   // RRF (ss22): the standard k=60 damping; contributions in integer
   // nano-units so 1/(60+r) sums are exact on both engines
   private[graft] val RrfK = 60
@@ -1019,6 +1037,32 @@ object Similarity {
         .orderBy("bin")
     }),
 
+    // em10: SIGN RANDOM PROJECTION (Achlioptas / Johnson–Lindenstrauss)
+    // — dimension reduction 64 → 16 with a ±1 projection matrix whose
+    // entries are hash-derived (sign = md5("jl:j:i") parity), so there
+    // is NO matrix to train, store, or broadcast: any executor — or
+    // any other engine — regenerates R from the formula. y_j =
+    // (Σ_i R[j,i]·x_i)/√16, each sum an in-order double fold (the
+    // VecDot discipline) rounded to 6 dp, so the full projected table
+    // hash-gates. The classic pre-ANN compression: JL says pairwise
+    // geometry survives to within ε, and the 4× shorter vectors feed
+    // every downstream path (ss01/ss02/em02...) unchanged.
+    //
+    // Scale: pure per-row columnar math, zero shuffle, linear at any
+    // corpus size; at 100 TB the projection runs inside the scan
+    // projection and the 16-dim output is what ships to the index.
+    "em10_sign_projection" -> ((s, d) => {
+      val ys = jlSigns.map { row =>
+        round(graft.functions.Funcs.dotProduct(
+          col("embedding"), typedlit(row)) / 4.0, 6)
+      }
+      embeddings(s, d)
+        .select(col("vec_id"), posexplode(array(ys: _*)))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("y6"))
+        .orderBy("vec_id", "j")
+    }),
+
     // em09: BINARY (1-bit) quantization + Hamming search — the most
     // aggressive embedding compression in the family ladder (float32
     // 256 B → int8 64 B (em02) → PQ 8 B (em03) → SIGN BITS 16 B):
@@ -1175,6 +1219,21 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the ±1 matrix regenerated from the md5-parity formula; the
+    // projection sum is the standard in-order double fold
+    "em10_sign_projection" ->
+      """SELECT e.vec_id, j,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, 64), i ->
+        |      (CASE WHEN ('0x' || substr(md5('jl:' || CAST(j AS VARCHAR)
+        |           || ':' || CAST(i - 1 AS VARCHAR)), 1, 7))::BIGINT
+        |           % 2 = 0
+        |        THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |      * CAST(e.embedding[i] AS DOUBLE))),
+        |    (acc, v) -> acc + v) / 4.0, 6) AS y6
+        |FROM embeddings e CROSS JOIN generate_series(0, 15) AS t(j)
+        |ORDER BY vec_id, j""".stripMargin,
+
     "em09_binary_hamming" ->
       s"""WITH sigs AS (
          |  SELECT vec_id,

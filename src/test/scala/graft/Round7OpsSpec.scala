@@ -151,6 +151,95 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).sum == expectTotal)
   }
 
+  // dd20's defining law: each dup group's weights sum to ~1 document
+  // (so total loss mass = number of DISTINCT pages, not copies)
+  test("dd20 weights distribute one unit of mass per dup group") {
+    val rows = q("dd20_dup_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(rows.length == nDocs, "every document gets a weight")
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      val n = members.head._3
+      assert(members.length == n, s"group $g: n_members mismatch")
+      assert(members.forall(_._4 == members.head._4),
+        s"group $g: weights must be uniform within the group")
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-4,
+        s"group $g: weights must sum to ~1")
+    }
+    assert(rows.exists(_._3 > 1), "fixture should contain real dup groups")
+    assert(rows.exists(r => r._3 == 1 && r._4 == 1.0),
+      "singletons keep weight 1.0")
+  }
+
+  // ml19's accounting identities against ml18's shared sums
+  test("ml19 leave-one-out rows partition the training mass") {
+    val rows = q("ml19_bucket_influence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).sorted.sameElements(0L to 6L),
+      "one row per training bucket")
+    // n_train(j) = total - |bucket j|; summing over j counts the
+    // total 6 times (each bucket excluded exactly once)
+    val totals = rows.map(_._2)
+    val grand = (totals.sum / 6.0)
+    rows.foreach { case (j, n, mseWo, infl) =>
+      assert(n < grand && n > 0, s"bucket $j: bad leave-one-out size")
+      assert(mseWo - infl == rows.head._3 - rows.head._4,
+        s"bucket $j: influence must be vs ONE shared full-fit MSE")
+    }
+    assert(rows.exists(_._4 != 0.0), "some bucket must have influence")
+  }
+
+  // em10's JL norm-preservation: E[|y|^2] = |x|^2 for a +-1 sign
+  // matrix scaled by 1/sqrt(k) — the corpus mean ratio must sit near 1
+  test("em10 sign projection preserves norms in expectation (JL)") {
+    val proj = q("em10_sign_projection").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getDouble(2)) }
+    val embs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    assert(proj.forall(_._2.length == 16))
+    val ratios = proj.toSeq.map { case (id, y) =>
+      val y2 = y.map(v => v * v).sum
+      val x2 = embs(id).map(v => v * v).sum
+      y2 / x2
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.7 && mean < 1.3,
+      s"JL norm preservation violated: mean |y|^2/|x|^2 = $mean")
+  }
+
+  // q37's conservation law: every purchase is attributed exactly once
+  test("q37 attributes every purchase to exactly one channel") {
+    val out = q("q37_last_touch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val purchases = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.values.sum == purchases, "conversions must partition")
+    assert(!out.contains("purchase"),
+      "a purchase can never be its own attribution channel")
+  }
+
+  // io16's pruning actually skips files: the stats consult must cut
+  // the shard list to the predicate's third of the span
+  test("io16 stats pruning reads a strict subset of the shards") {
+    val out = q("io16_stats_pruning")
+    val res = out.collect()
+    assert(res.nonEmpty)
+    val scan = out.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+      s"io16: the shard list must prune at the scan:\n$scan")
+    // the middle third of a range-clustered span can overlap at most
+    // ~1/3 of the 16 shards (+2 boundary shards)
+    val inClause = "shard#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(scan).map(_.group(1))
+    inClause.foreach { lst =>
+      val n = lst.split(",").length
+      assert(n <= 8, s"io16 pruned to $n of 16 shards — too many: $lst")
+    }
+  }
+
   // mm08's worker against an independent BigInt recompute on a known
   // payload — proves the decode + integer energy + VAD gate end to end
   test("mm08 window energies match a BigInt recompute of the PCM") {

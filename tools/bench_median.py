@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Assemble a round bench artifact from a series of graft.Bench runs.
+
+Usage: python3 tools/bench_median.py <round> <out.json> <run1.json> ...
+
+Each run file is Bench's one-line JSON ({"value": total, "queries":
+{name: sec, ...}, "errors": [...]}). The artifact records the run
+totals, per-query medians over the runs that contain the query
+(failed -1 entries are excluded from the median and recorded), and
+the sum of medians EXCLUDING the pipeline_*_sN_* stage-attribution
+rows (they sum to their e2e row — counting them would double the
+pipelines).
+"""
+import json
+import re
+import statistics
+import sys
+
+
+def main():
+    rnd, out = sys.argv[1], sys.argv[2]
+    runs = [json.load(open(p)) for p in sys.argv[3:]]
+    totals = [round(r["value"], 3) for r in runs]
+    per = {}
+    errors = set()
+    for r in runs:
+        for k, v in r["queries"].items():
+            if v < 0:
+                errors.add(k)
+                continue
+            per.setdefault(k, []).append(v)
+    medians = {k: round(statistics.median(v), 3)
+               for k, v in sorted(per.items())}
+    stage = re.compile(r"pipeline_.*_s\d+_")
+    q_sum = round(sum(v for k, v in medians.items()
+                      if not k.startswith("pipeline_")), 3)
+    n_q = sum(1 for k in medians if not k.startswith("pipeline_"))
+    artifact = {
+        "round": int(rnd),
+        "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
+        "sf": "/root/testdata/sf0.1",
+        "runs_recorded": len(runs),
+        "totals_sec": totals,
+        "sum_of_medians_sec": q_sum,
+        "n_queries": n_q,
+        "errors": sorted(errors),
+        "runs_per_query": {k: len(v) for k, v in sorted(per.items())
+                           if len(v) != len(runs)},
+        "per_query_median_sec": medians,
+    }
+    json.dump(artifact, open(out, "w"), indent=1)
+    print(f"{out}: {n_q} queries, sum-of-medians {q_sum}s, "
+          f"totals {totals}")
+
+
+if __name__ == "__main__":
+    main()
