@@ -612,10 +612,14 @@ object Dedup {
     "dd20_dup_weights" -> ((s, d) => {
       val groups = connectedComponents(candidatePairs(s, d),
         checkpoint = CheckpointStrategy.fromConf(s))
+      // g feeds both the group-size aggregate and the final join;
+      // localCheckpoint so the documents-scan + CC-join subtree runs
+      // once (same pattern as ml18/ml19's olsBucketSums)
       val g = documents(s, d).select(col("doc_id"))
         .join(groups, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("group_id"), col("doc_id")).as("group_id"))
+        .localCheckpoint()
       val sizes = g.groupBy("group_id").agg(count(lit(1)).as("n_members"))
       g.join(sizes, Seq("group_id"))
         .select(col("doc_id"), col("group_id"), col("n_members"),

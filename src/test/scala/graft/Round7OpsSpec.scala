@@ -183,7 +183,10 @@ class Round7OpsSpec extends AnyFunSuite {
     val grand = (totals.sum / 6.0)
     rows.foreach { case (j, n, mseWo, infl) =>
       assert(n < grand && n > 0, s"bucket $j: bad leave-one-out size")
-      assert(mseWo - infl == rows.head._3 - rows.head._4,
+      // influence = mseWo - mseFull, so mseWo - infl reconstructs the
+      // shared full-fit MSE; compare with a tolerance — the second
+      // floating-point subtraction need not be bit-identical per row
+      assert(math.abs((mseWo - infl) - (rows.head._3 - rows.head._4)) < 1e-12,
         s"bucket $j: influence must be vs ONE shared full-fit MSE")
     }
     assert(rows.exists(_._4 != 0.0), "some bucket must have influence")

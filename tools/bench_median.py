@@ -33,8 +33,8 @@ def main():
                for k, v in sorted(per.items())}
     stage = re.compile(r"pipeline_.*_s\d+_")
     q_sum = round(sum(v for k, v in medians.items()
-                      if not k.startswith("pipeline_")), 3)
-    n_q = sum(1 for k in medians if not k.startswith("pipeline_"))
+                      if not stage.match(k)), 3)
+    n_q = sum(1 for k in medians if not stage.match(k))
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
