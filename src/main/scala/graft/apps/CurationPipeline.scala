@@ -131,11 +131,21 @@ object CurationPipeline {
     // 4. content-stable split assignment (ta09): the digest, not an
     // RNG, decides train/valid/test, so reruns and reshards keep every
     // document's split
+    // localCheckpoint: the count below and every downstream consumer
+    // (the caller's write, stage 5's survivor join) read ONE
+    // materialization instead of re-running the dedup/gate/decon
+    // lineage per action — without it the caller's output write
+    // re-executed the whole pipeline a second time (the round-7 bench
+    // measured that re-run as a 40 s s7_outputs stage). At 100 TB the
+    // durable equivalent is the io09 write-audit-publish path, where
+    // the parquet write IS the single materialization; in-process the
+    // checkpoint plays that role.
     val curated = decon
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
       .withColumn("split", graft.functions.Funcs.hashSplit(col("text")))
       .select("doc_id", "text", "lang", "source", "predicted_lang",
         "quality_score", "dup_bigram_frac", "n_tokens", "split")
+      .localCheckpoint()
     val nFinal = curated.count()
     stageDone("s5_decon_split")
     docs.unpersist(false)
@@ -168,6 +178,10 @@ object CurationPipeline {
         Seq("doc_id"), "left")
       .join(cells.select(col("vec_id").as("doc_id"), col("cell")),
         Seq("doc_id"), "left")
+      // one materialization shared by the audit aggregate, the served
+      // filter, and the caller's write — the PQ codebook training in
+      // this lineage must not re-run per consumer
+      .localCheckpoint()
     val cRow = compressed
       .agg(count(lit(1)).as("n"),
         count(when(col("pq_codes").isNull, 1)).as("n_missing"))

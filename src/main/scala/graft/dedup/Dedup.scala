@@ -627,6 +627,45 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // dd21: CROSS-SOURCE DUPLICATION MATRIX — which crawls copy from
+    // each other: dd07's near-dup groups joined to each member's
+    // source, reduced to an unordered source-pair table of duplicate
+    // pair counts (src_a==src_b is within-source duplication). The
+    // report every multi-source corpus needs before mixing weights:
+    // a hot off-diagonal cell means two "independent" sources are the
+    // same crawl twice. Pairs are NEVER enumerated — the per-(group,
+    // source) membership counts are computed first, and the pair
+    // count is the closed form n_a·n_b (C(n,2) on the diagonal), so
+    // the group_id self-join runs on the counts table, bounded by
+    // groups × sources-per-group, not on members².
+    //
+    // Scale: dd07's CC cost + one (group, source) aggregate + a
+    // group-keyed equi-join of count rows; output is ≤ |sources|²
+    // rows, corpus-independent.
+    "dd21_source_overlap" -> ((s, d) => {
+      val groups = connectedComponents(candidatePairs(s, d),
+        checkpoint = CheckpointStrategy.fromConf(s))
+      val gs = groups
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("group_id", "source").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds both sides of the pair join once
+      val a = gs.select(col("group_id"), col("source").as("src_a"),
+        col("n").as("na"))
+      val b = gs.select(col("group_id"), col("source").as("src_b"),
+        col("n").as("nb"))
+      a.join(b, Seq("group_id"))
+        .filter(col("src_a") <= col("src_b"))
+        .withColumn("pairs",
+          when(col("src_a") === col("src_b"),
+            expr("na * (na - 1) DIV 2"))
+            .otherwise(col("na") * col("nb")))
+        .filter(col("pairs") > 0)
+        .groupBy("src_a", "src_b")
+        .agg(sum("pairs").as("n_dup_pairs"),
+          countDistinct("group_id").as("n_groups"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // dd08: embedding near-dup at scale — the UNSAMPLED version of
     // dd06: candidate pairs come only from within a random-hyperplane
     // LSH bucket (same bucketing as ss02), so the join is an equi-join
@@ -1135,6 +1174,28 @@ object Dedup {
          |  round(1.0 / CAST(s.n_members AS DOUBLE), 6) AS weight
          |FROM all_g a JOIN sizes s USING (group_id)
          |ORDER BY a.doc_id""".stripMargin,
+
+    // dd07's groups joined to sources, pair counts in closed form
+    // from the per-(group, source) membership counts
+    "dd21_source_overlap" ->
+      s"""WITH $sigCte,
+         |$minhashGroupsCte,
+         |gsrc AS (
+         |  SELECT g.group_id, d.source, CAST(count(*) AS BIGINT) AS n
+         |  FROM groups g JOIN documents d USING (doc_id)
+         |  GROUP BY g.group_id, d.source
+         |), pp AS (
+         |  SELECT a.group_id, a.source AS src_a, b.source AS src_b,
+         |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+         |         ELSE a.n * b.n END AS pairs
+         |  FROM gsrc a JOIN gsrc b USING (group_id)
+         |  WHERE a.source <= b.source
+         |)
+         |SELECT src_a, src_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs,
+         |  CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+         |FROM pp WHERE pairs > 0
+         |GROUP BY src_a, src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     // dd07's group resolution + ta02's quality CTE: the keep-list is
     // derivable entirely in SQL, so the hash gate checks the whole

@@ -624,6 +624,43 @@ object MlPipeline {
         .orderBy("frac_j")
     }),
 
+    // ml20: SCALING-LAW FIT — the power-law exponent teams read off a
+    // learning curve (test loss ≈ C·n^-α): ta21's quantized-log OLS
+    // (xq/yq = floor(ln·1e6 + .5) exact BIGINTs, so the sums
+    // hash-gate) over ml18's 7 (n_train, test_mse) curve points.
+    // α > 0 means more data still buys loss; the ln-space intercept
+    // is the curve's constant. Every per-point row carries the fit so
+    // the output is self-describing.
+    //
+    // Scale: ml18's ONE corpus aggregate to 8 bucket rows; the curve
+    // and the OLS are driver-trivial algebra on ≤8 rows after that —
+    // nothing here grows with the corpus.
+    "ml20_scaling_law" -> ((s, d) => {
+      val curve = queries("ml18_learning_curve")(s, d)
+        .select(col("frac_j"), col("n_train"), col("test_mse"))
+      val q = (c: Column) => floor(log(c.cast("double")) * 1e6 + 0.5)
+      val pts = curve.select(col("frac_j"), col("n_train"),
+        col("test_mse"), q(col("n_train")).as("xq"),
+        q(col("test_mse")).as("yq"))
+      val nD = col("nn").cast("double")
+      val slope = (nD * col("sxy") - col("sx").cast("double") *
+          col("sy").cast("double")) /
+        (nD * col("sxx") - col("sx").cast("double") *
+          col("sx").cast("double"))
+      val fit = pts
+        .agg(count(lit(1)).as("nn"), sum("xq").as("sx"),
+          sum("yq").as("sy"), sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"))
+        .select(round(-slope, 6).as("alpha"),
+          round((col("sy").cast("double") - slope *
+            col("sx").cast("double")) / nD / 1e6, 6).as("ln_c"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("frac_j"), col("n_train"),
+          round(col("test_mse"), 6).as("test_mse_6"),
+          col("alpha"), col("ln_c"))
+        .orderBy("frac_j")
+    }),
+
     "ml17_calibration" -> ((s, d) => {
       val scored = queries("ml12_logistic_score")(s, d)
         .select(col("vec_id"), col("score_6"))
@@ -664,10 +701,106 @@ object MlPipeline {
     })
   )
 
+  /** ml18's full oracle SQL — also nested as a CTE by ml20's
+    * scaling-law fit, so the two stay in lockstep by construction. */
+  private val ml18OracleSql: String =
+    """WITH bs AS (
+      |  SELECT ('0x' || substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)
+      |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+      |      % 8 AS b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
+      |        CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      |  FROM lineitem GROUP BY 1
+      |), cum AS (
+      |  -- decimal→double via exact centi-unit BIGINTs: DuckDB's
+      |  -- direct wide-DECIMAL→DOUBLE cast double-rounds; this path
+      |  -- is exact/IEEE-identical in both engines
+      |  SELECT b, CAST(sum(n) OVER w AS BIGINT) AS n,
+      |    CAST(floor(sum(sx) OVER w * 100) AS BIGINT) / 100.0 AS sx,
+      |    CAST(floor(sum(sy) OVER w * 100) AS BIGINT) / 100.0 AS sy,
+      |    CAST(floor(sum(sxy) OVER w * 100) AS BIGINT) / 100.0 AS sxy,
+      |    CAST(floor(sum(sx2) OVER w * 100) AS BIGINT) / 100.0 AS sx2,
+      |    CAST(floor(sum(syy) OVER w * 100) AS BIGINT) / 100.0 AS syy
+      |  FROM bs
+      |  WINDOW w AS (ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), test AS (
+      |  SELECT CAST(n AS BIGINT) AS tn,
+      |    CAST(floor(sx * 100) AS BIGINT) / 100.0 AS tsx,
+      |    CAST(floor(sy * 100) AS BIGINT) / 100.0 AS tsy,
+      |    CAST(floor(sxy * 100) AS BIGINT) / 100.0 AS tsxy,
+      |    CAST(floor(sx2 * 100) AS BIGINT) / 100.0 AS tsx2,
+      |    CAST(floor(syy * 100) AS BIGINT) / 100.0 AS tsyy
+      |  FROM bs WHERE b = 7
+      |), fitted AS (
+      |  SELECT c.*, t.*,
+      |    (CAST(c.n AS DOUBLE) * c.sxy - c.sx * c.sy) /
+      |    (CAST(c.n AS DOUBLE) * c.sx2 - c.sx * c.sx) AS slope
+      |  FROM cum c CROSS JOIN test t WHERE c.b <= 6
+      |), fitted2 AS (
+      |  SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
+      |  FROM fitted
+      |)
+      |SELECT CAST(b + 1 AS BIGINT) AS frac_j, n AS n_train,
+      |  slope, icept,
+      |  (syy - 2.0 * icept * sy - 2.0 * slope * sxy
+      |    + CAST(n AS DOUBLE) * icept * icept
+      |    + 2.0 * icept * slope * sx + slope * slope * sx2)
+      |    / CAST(n AS DOUBLE) AS train_mse,
+      |  (tsyy - 2.0 * icept * tsy - 2.0 * slope * tsxy
+      |    + CAST(tn AS DOUBLE) * icept * icept
+      |    + 2.0 * icept * slope * tsx + slope * slope * tsx2)
+      |    / CAST(tn AS DOUBLE) AS test_mse
+      |FROM fitted2
+      |ORDER BY frac_j""".stripMargin
+
   /** Iterative ML is not SQL-expressible — no oracles for the fits
     * (driver records rows-only checks). The two closed-form scoring
     * queries (assignment + logistic inference) ARE oracle-checked. */
   val oracles: Map[String, String] = Map(
+    "ml18_learning_curve" -> ml18OracleSql,
+
+    // ml18's curve nested as a CTE, then ta21's quantized-log OLS
+    // (xq/yq = floor(ln·1e6 + .5) BIGINTs) over the 7 curve points
+    "ml20_scaling_law" ->
+      // concatenated, NOT interpolated into the margin block: the
+      // nested SQL contains lines starting with `||`, which a second
+      // stripMargin would mangle
+      ("WITH curve AS (\n" + ml18OracleSql + "\n" +
+      """), pts AS (
+         |  SELECT frac_j, n_train, test_mse,
+         |    CAST(floor(ln(CAST(n_train AS DOUBLE)) * 1e6 + 0.5)
+         |      AS BIGINT) AS xq,
+         |    CAST(floor(ln(test_mse) * 1e6 + 0.5) AS BIGINT) AS yq
+         |  FROM curve
+         |), sums AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+         |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+         |    CAST(sum(xq * xq) AS BIGINT) AS sxx
+         |  FROM pts
+         |), fit AS (
+         |  SELECT
+         |    (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS s_raw,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(nn AS DOUBLE) AS nnd
+         |  FROM sums
+         |)
+         |SELECT p.frac_j, p.n_train, round(p.test_mse, 6) AS test_mse_6,
+         |  round(-f.s_raw, 6) AS alpha,
+         |  round((f.syd - f.s_raw * f.sxd) / f.nnd / 1e6, 6) AS ln_c
+         |FROM pts p CROSS JOIN fit f
+         |ORDER BY p.frac_j""".stripMargin),
     // ml18's bucket sums, leave-one-out by exact decimal subtraction,
     // same centi-unit decimal→double path, influence vs the full fit
     "ml19_bucket_influence" ->
@@ -737,63 +870,6 @@ object MlPipeline {
         |WHERE s.left_out >= 0
         |ORDER BY s.left_out""".stripMargin,
 
-    "ml18_learning_curve" ->
-      """WITH bs AS (
-        |  SELECT ('0x' || substr(md5('lc:' || CAST(l_orderkey AS VARCHAR)
-        |      || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
-        |      % 8 AS b,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
-        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2)) *
-        |        CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |        CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-        |  FROM lineitem GROUP BY 1
-        |), cum AS (
-        |  -- decimal→double via exact centi-unit BIGINTs: DuckDB's
-        |  -- direct wide-DECIMAL→DOUBLE cast double-rounds; this path
-        |  -- is exact/IEEE-identical in both engines
-        |  SELECT b, CAST(sum(n) OVER w AS BIGINT) AS n,
-        |    CAST(floor(sum(sx) OVER w * 100) AS BIGINT) / 100.0 AS sx,
-        |    CAST(floor(sum(sy) OVER w * 100) AS BIGINT) / 100.0 AS sy,
-        |    CAST(floor(sum(sxy) OVER w * 100) AS BIGINT) / 100.0 AS sxy,
-        |    CAST(floor(sum(sx2) OVER w * 100) AS BIGINT) / 100.0 AS sx2,
-        |    CAST(floor(sum(syy) OVER w * 100) AS BIGINT) / 100.0 AS syy
-        |  FROM bs
-        |  WINDOW w AS (ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |), test AS (
-        |  SELECT CAST(n AS BIGINT) AS tn,
-        |    CAST(floor(sx * 100) AS BIGINT) / 100.0 AS tsx,
-        |    CAST(floor(sy * 100) AS BIGINT) / 100.0 AS tsy,
-        |    CAST(floor(sxy * 100) AS BIGINT) / 100.0 AS tsxy,
-        |    CAST(floor(sx2 * 100) AS BIGINT) / 100.0 AS tsx2,
-        |    CAST(floor(syy * 100) AS BIGINT) / 100.0 AS tsyy
-        |  FROM bs WHERE b = 7
-        |), fitted AS (
-        |  SELECT c.*, t.*,
-        |    (CAST(c.n AS DOUBLE) * c.sxy - c.sx * c.sy) /
-        |    (CAST(c.n AS DOUBLE) * c.sx2 - c.sx * c.sx) AS slope
-        |  FROM cum c CROSS JOIN test t WHERE c.b <= 6
-        |), fitted2 AS (
-        |  SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS icept
-        |  FROM fitted
-        |)
-        |SELECT CAST(b + 1 AS BIGINT) AS frac_j, n AS n_train,
-        |  slope, icept,
-        |  (syy - 2.0 * icept * sy - 2.0 * slope * sxy
-        |    + CAST(n AS DOUBLE) * icept * icept
-        |    + 2.0 * icept * slope * sx + slope * slope * sx2)
-        |    / CAST(n AS DOUBLE) AS train_mse,
-        |  (tsyy - 2.0 * icept * tsy - 2.0 * slope * tsxy
-        |    + CAST(tn AS DOUBLE) * icept * icept
-        |    + 2.0 * icept * slope * tsx + slope * slope * tsx2)
-        |    / CAST(tn AS DOUBLE) AS test_mse
-        |FROM fitted2
-        |ORDER BY frac_j""".stripMargin,
 
     "ml11_kmeans_assign" ->
       s"""WITH centers AS (

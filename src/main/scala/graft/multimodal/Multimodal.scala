@@ -181,6 +181,58 @@ object Multimodal {
     ResizedImg(r.doc_id, w2, h2, sum)
   }
 
+  final case class ImgAHash(doc_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** mm09 worker: perceptual AVERAGE-HASH over the DECODED pixel
+    * grid — the image near-dup fingerprint (aHash): partition the
+    * image into an 8×8 grid of blocks (block of pixel (x,y) is
+    * (⌊8x/w⌋, ⌊8y/h⌋)), per-block mean of the per-pixel channel sums,
+    * one bit per block = "block mean strictly above the global mean".
+    * Every comparison is the integer cross-multiplication
+    * `blockSum·nPixels > totalSum·blockCount`, so the 64-bit vector
+    * is exact in any engine (no float means). Emitted as two 32-bit
+    * halves so the SQL oracle never shifts into the sign bit.
+    * Exact while blockSum·nPixels < 2^63, i.e. images up to ~10^8
+    * pixels — any practical decode. Blocks that receive no pixels
+    * (w or h < 8) hash as 0-bits in both engines. */
+  def imageAHash(r: MediaRecord): ImgAHash = {
+    val img = decodePpm(r.payload)
+    val w = img.width
+    val h = img.height
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val base = (y * w + x) * 3
+        val s = (img.pixels(base) & 0xFF) + (img.pixels(base + 1) & 0xFF) +
+          (img.pixels(base + 2) & 0xFF)
+        val c = cy * 8 + cx
+        cellSum(c) += s
+        cellCnt(c) += 1
+        total += s
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var hi = 0L
+    var lo = 0L
+    var c = 0
+    while (c < 64) {
+      if (cellSum(c) * n > total * cellCnt(c)) {
+        if (c < 32) lo |= 1L << c else hi |= 1L << (c - 32)
+      }
+      c += 1
+    }
+    ImgAHash(r.doc_id, w, h, hi, lo)
+  }
+
   // ---- mm03: real multi-frame PPM (video) container -----------------
 
   /** Frame count / per-frame geometry / per-frame pixel generator of
@@ -654,6 +706,28 @@ object Multimodal {
         .mapPartitions(_.flatMap(wavEnergyWindows))
         .toDF()
         .orderBy("doc_id", "window_idx")
+    }),
+
+    // mm09: IMAGE NEAR-DUP FINGERPRINTING — the multimodal twin of
+    // dd01: perceptual average-hash (aHash) computed from the decoded
+    // pixel plane of each real P6 payload, then a hash-equality group
+    // count (how many images share my fingerprint — the image-dedup
+    // candidate signal). Decode + hash are per-row map work (payloads
+    // never shuffle); the only exchange is the 16-byte (hi, lo) hash
+    // key for the group-count window — at 100 TB the corpus shuffles
+    // 24 bytes/image, and resized/re-encoded copies of a frame land
+    // in the same bucket, which is the whole point of hashing means
+    // instead of bytes. The oracle recomputes the pixel generator +
+    // block-mean bit vector in SQL, so a hash match proves decode,
+    // grid partition, and integer mean comparisons end to end.
+    "mm09_image_ahash" -> ((s, d) => {
+      import s.implicits._
+      val wDup = Window.partitionBy("ahash_hi", "ahash_lo")
+      mediaPayloads(s, d)
+        .mapPartitions(_.map(imageAHash))
+        .toDF()
+        .withColumn("n_same_hash", count(lit(1)).over(wDup))
+        .orderBy("doc_id")
     })
   )
 
@@ -844,6 +918,50 @@ object Multimodal {
         |  (total_frames * 1000000) // sample_rate AS duration_us
         |FROM wins
         |ORDER BY doc_id, window_idx""".stripMargin,
+
+    // recomputes the pixel generator, the ⌊8x/w⌋ grid assignment and
+    // the integer cross-multiplied block-mean bits — in lockstep with
+    // [[imageAHash]]
+    "mm09_image_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS w,
+        |    3 + (doc_id % 17) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM dims
+        |), cell AS (
+        |  SELECT doc_id, w, h,
+        |    (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS c,
+        |    ((doc_id * 31 + (3 * p) * 7) % 256)
+        |      + ((doc_id * 31 + (3 * p + 1) * 7) % 256)
+        |      + ((doc_id * 31 + (3 * p + 2) * 7) % 256) AS s
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id, w, h, c,
+        |    CAST(sum(s) AS BIGINT) AS cs, CAST(count(*) AS BIGINT) AS cc
+        |  FROM cell GROUP BY doc_id, w, h, c
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts
+        |  FROM agg GROUP BY doc_id
+        |), bits AS (
+        |  SELECT a.doc_id, a.w, a.h,
+        |    CASE WHEN a.c >= 32 AND a.cs * a.w * a.h > t.ts * a.cc
+        |      THEN (1::BIGINT << (a.c - 32)) ELSE 0::BIGINT END AS hi_bit,
+        |    CASE WHEN a.c < 32 AND a.cs * a.w * a.h > t.ts * a.cc
+        |      THEN (1::BIGINT << a.c) ELSE 0::BIGINT END AS lo_bit
+        |  FROM agg a JOIN tot t USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id, w AS width, h AS height,
+        |    CAST(sum(hi_bit) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(lo_bit) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY doc_id, w, h
+        |)
+        |SELECT doc_id, width, height, ahash_hi, ahash_lo,
+        |  CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
+        |    AS n_same_hash
+        |FROM hashes ORDER BY doc_id""".stripMargin,
 
     "mm02_decode_features" ->
       """WITH dims AS (

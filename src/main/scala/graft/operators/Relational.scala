@@ -44,6 +44,8 @@ object Relational {
   // user-hours, so the drop path is actually exercised)
   private[graft] val RateLimitN = 2
   private[graft] val HourUs = 3600L * 1000000L
+  // q38 RFM: one day in micros (recency bucketing)
+  private[graft] val DayUs = 86400L * 1000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: pricing summary — scan → filter → partial+final hash agg
@@ -538,6 +540,46 @@ object Relational {
         .filter(col("rn") <= RateLimitN)
         .select("event_id", "user_id", "hour_us", "ts_us")
         .orderBy("event_id")
+    }),
+
+    // q38: RFM SEGMENTATION — the recency/frequency/monetary user
+    // matrix behind lifecycle marketing and churn triage: per user,
+    // days since last activity (vs the corpus max — one order-free
+    // global aggregate, broadcast back), event count, and purchase
+    // revenue (exact DECIMAL sum, the st06 convention), each mapped
+    // to a 1..3 score by FIXED thresholds. Fixed boundaries, NOT
+    // ntile: quantile scoring needs a total order over the user
+    // table — a partitionless window, the scale-killer this engine
+    // bans — while threshold scoring is per-row math on the user
+    // aggregate, so the whole query is one user-keyed exchange plus
+    // a ≤27-row aggregate. Output is the segment matrix with user
+    // counts and revenue.
+    "q38_rfm_segments" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val mx = ev.agg(max("ts_us").as("max_us"))
+      val dec0 = lit(0).cast("decimal(18,2)")
+      val u = ev.groupBy("user_id").agg(
+        max("ts_us").as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,2)")).otherwise(dec0))
+          .as("monetary"))
+      u.crossJoin(broadcast(mx))
+        .withColumn("rec_days", expr(s"(max_us - last_us) div $DayUs"))
+        .withColumn("r_score",
+          when(col("rec_days") <= 0, 3L).when(col("rec_days") <= 1, 2L)
+            .otherwise(1L))
+        .withColumn("f_score",
+          when(col("n_events") >= 75, 3L).when(col("n_events") >= 60, 2L)
+            .otherwise(1L))
+        .withColumn("m_score",
+          when(col("monetary") >= 800, 3L).when(col("monetary") >= 400, 2L)
+            .otherwise(1L))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("monetary")).cast("double"), 2).as("sum_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
     }),
 
     // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
@@ -1073,6 +1115,35 @@ object Relational {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q36_rate_limit" -> rateLimitOracle,
+
+    "q38_rfm_segments" ->
+      s"""WITH mx AS (
+         |  SELECT max(epoch_us(ts)) AS max_us FROM events
+         |), u AS (
+         |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(18,2))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS monetary
+         |  FROM events GROUP BY user_id
+         |), sc AS (
+         |  SELECT user_id, monetary,
+         |    CASE WHEN (max_us - last_us) // $DayUs <= 0 THEN 3
+         |         WHEN (max_us - last_us) // $DayUs <= 1 THEN 2
+         |         ELSE 1 END AS r_score,
+         |    CASE WHEN n_events >= 75 THEN 3
+         |         WHEN n_events >= 60 THEN 2 ELSE 1 END AS f_score,
+         |    CASE WHEN monetary >= 800 THEN 3
+         |         WHEN monetary >= 400 THEN 2 ELSE 1 END AS m_score
+         |  FROM u, mx
+         |)
+         |SELECT CAST(r_score AS BIGINT) AS r_score,
+         |  CAST(f_score AS BIGINT) AS f_score,
+         |  CAST(m_score AS BIGINT) AS m_score,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  round(CAST(sum(monetary) AS DOUBLE), 2) AS sum_monetary
+         |FROM sc GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     "q37_last_touch" ->
       """WITH attr AS (

@@ -112,6 +112,40 @@ object Sessionize {
       }
   }
 
+  final case class LastChannel(channel: String)
+  final case class Attributed(event_id: Long, user_id: Long,
+      channel: String, ts_us: Long)
+
+  /** Stateful streaming LAST-TOUCH ATTRIBUTION — q37's credit rule on
+    * a live stream: the state store keeps ONE string per user (the
+    * most recent non-purchase event type seen); each micro-batch's
+    * group is processed in event-time order, and every purchase emits
+    * an attribution row crediting the stored channel ('direct' when
+    * the user has no preceding touch). Append mode; state is one
+    * small string per active user — the same O(active keys) footprint
+    * as debounce, and the batch window (q37) and this state rule
+    * answer to ONE oracle, the st13/q33 twin discipline. */
+  def lastTouchStream(ds: Dataset[TypedEv]): Dataset[Attributed] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastChannel, Attributed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv],
+            state: GroupState[LastChannel]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[Attributed]
+          var chan = state.getOption.map(_.channel)
+          sorted.foreach { e =>
+            if (e.event_type == "purchase")
+              out += Attributed(e.event_id, uid,
+                chan.getOrElse("direct"), e.ts_us)
+            else chan = Some(e.event_type)
+          }
+          chan.foreach(c => state.update(LastChannel(c)))
+          out.iterator
+      }
+  }
+
   final case class HourEv(user_id: Long, hour_us: Long, event_id: Long,
       ts_us: Long)
   final case class HourQuota(n: Long)

@@ -363,6 +363,22 @@ object EventStream {
           graft.operators.Relational.DebounceUs).toDF()
       }.orderBy("event_id")),
 
+    // st15: stateful streaming LAST-TOUCH ATTRIBUTION — q37's credit
+    // rule live (graft.operators.Sessionize.lastTouchStream): one
+    // channel string per user in the state store, purchases emit
+    // attribution rows in Append mode. The oracle is the PER-PURCHASE
+    // form of q37's window (q37 aggregates it to channel counts), so
+    // the state rule is pinned row-by-row, not just in aggregate.
+    "st15_stream_attribution" -> ((s, d) =>
+      runStream(s, d, "st_events_attribution", copies = 1,
+        outputMode = "append") { df =>
+        import df.sparkSession.implicits._
+        graft.operators.Sessionize.lastTouchStream(
+          df.select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+            .as[graft.operators.Sessionize.TypedEv]).toDF()
+      }.orderBy("event_id")),
+
     // st14: stateful streaming RATE LIMIT — q36's per-(user, hour)
     // quota on a live stream (graft.operators.Sessionize
     // .rateLimitStream): one counter per open key in the state store,
@@ -634,6 +650,23 @@ object EventStream {
     // chain implement the same debounce rule
     "st13_stream_debounce" ->
       graft.operators.Relational.oracles("q33_debounce"),
+
+    // q37's window in per-purchase form — one attribution rule, two
+    // engines (and q37's aggregate is this table grouped by channel)
+    "st15_stream_attribution" ->
+      """WITH attr AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS channel
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, coalesce(channel, 'direct') AS channel,
+        |  ts_us
+        |FROM attr WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     // shared verbatim with q36 — one quota rule, two engines
     "st14_stream_rate_limit" ->
