@@ -107,6 +107,12 @@ object JsonLines {
     * shuffle); the shard count is corpus-size-proportional in
     * production (one shard ≈ one trainer file, 256 MB–1 GB) — 16 is
     * the test-corpus stand-in. */
+  // io17 bitmap index: hash-bucket count (index rows scale with
+  // DISTINCT KEYS, never data) and the point-lookup probes — composite
+  // (user, type) keys present at every SF
+  private[graft] val BitmapBuckets = 65536L
+  private[graft] val BitmapProbes =
+    Seq((1L, "purchase"), (2L, "error"), (3L, "signup"))
   private[graft] val EpochSeed = 7
   private[graft] val EpochShards = 16
 
@@ -483,6 +489,89 @@ object JsonLines {
         .orderBy("event_type")
     }),
 
+    // io17: BITMAP-INDEX SHARD SKIPPING — the structure io16's
+    // min/max stats can't replace: point lookups on a composite key
+    // ((user, event_type)) scattered across every time shard of an
+    // ingest-sharded table. The index is the inverted map key-bucket
+    // → shard BITMAP: bucket = md5 of the key mod 64Ki, bitmap =
+    // bit_or(1 << shard) — one BIGINT per occupied bucket, so the
+    // index size scales with DISTINCT KEYS (≈ |users|·|types| rows),
+    // never with data. Lookup: hash the probe key, read ONE index
+    // row, expand the bitmap to a shard list, scan only those
+    // directories. No false negatives by construction (a key's own
+    // shards set their bits); a hash-colliding key only ADDS shards.
+    // The oracle recomputes bucket membership in SQL (join on the
+    // bucket — same semantics, no bit packing) AND the per-key
+    // answer from the raw table, so the hash proves both the pruning
+    // decision and its losslessness. At sf0.01 the probes scan 8–15
+    // of 16 shards (spec-asserted < 16 in aggregate): the composite
+    // key is what makes skipping bind where a per-user bloom
+    // saturates — every user touches every time shard, but a (user,
+    // type) pair does not.
+    //
+    // Scale: the index build is ONE hash aggregate of (bucket,
+    // shard) pairs; the probe path reads index-rows ∝ probes, then
+    // candidate shard directories only (partition-pruned scan). This
+    // is how a 100 TB event table answers "user X's purchases"
+    // without touching 10k shards, and the same structure serves any
+    // equality predicate you index.
+    "io17_bitmap_index" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val root = stagingDir("bitmap_index")
+      val ev = graft.Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val bnd = ev.agg(min("ts_us"), max("ts_us")).head()
+      val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+      val width = (hi - lo) / 16 + 1
+      ev.withColumn("shard", expr(s"(ts_us - ${lo}L) div ${width}L"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$root/data")
+      val keyBucket = md5Long(concat(lit("bm:"),
+        col("user_id").cast("string"), lit(":"), col("event_type")),
+        15) % BitmapBuckets
+      s.read.parquet(s"$root/data")
+        .withColumn("bucket", keyBucket)
+        .groupBy("bucket")
+        .agg(bit_or(expr("shiftleft(1L, cast(shard as int))"))
+          .as("bitmap"))
+        .write.mode("overwrite").parquet(s"$root/index")
+      import s.implicits._
+      val probe = BitmapProbes.toDF("user_id", "event_type")
+        .withColumn("bucket", keyBucket)
+      val cand = s.read.parquet(s"$root/index")
+        .join(broadcast(probe), Seq("bucket"))
+        .select(col("user_id"), col("event_type"),
+          explode(sequence(lit(0L), lit(15L))).as("shard"),
+          col("bitmap"))
+        .filter(expr("((bitmap >> cast(shard as int)) & 1) = 1"))
+        .select("user_id", "event_type", "shard")
+        .localCheckpoint() // |probes| × ≤16 rows; reused three times
+      val shards = cand.select("shard").distinct()
+        .collect().map(_.getLong(0))
+      val scanned = s.read.parquet(s"$root/data")
+        .filter(col("shard").cast("long").isin(shards: _*))
+        .select(col("user_id"), col("event_type"),
+          col("shard").cast("long").as("shard"), col("value"))
+        .join(broadcast(cand), Seq("user_id", "event_type", "shard"))
+      val perKey = scanned.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      val nScan = cand.groupBy("user_id", "event_type")
+        .agg(countDistinct("shard").as("n_shards_scanned"))
+      probe.select("user_id", "event_type")
+        .join(perKey, Seq("user_id", "event_type"), "left")
+        .join(nScan, Seq("user_id", "event_type"), "left")
+        .select(col("user_id"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"),
+          coalesce(col("n_shards_scanned"), lit(0L))
+            .as("n_shards_scanned"),
+          lit(16L).as("n_shards_total"))
+        .orderBy("user_id")
+    }),
+
     // io09: WRITE-AUDIT-PUBLISH — the commit protocol a shared 100 TB
     // table needs so readers never observe a half-written tree:
     //   WRITE the new snapshot into a staging directory invisible to
@@ -807,6 +896,57 @@ object JsonLines {
         |  CAST(0 AS BIGINT) AS n_misplaced
         |FROM events CROSS JOIN b
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the index recomputed as bucket membership (join on the bucket =
+    // the bitmap test, no word packing in SQL); the per-key answer
+    // comes straight from the raw table — equality proves the pruned
+    // scan lost nothing
+    "io17_bitmap_index" ->
+      s"""WITH b AS (
+         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+         |  FROM events
+         |), ev AS (
+         |  SELECT user_id, event_type, value,
+         |    (epoch_us(ts) - lo) // ((hi - lo) // 16 + 1) AS shard
+         |  FROM events CROSS JOIN b
+         |), keys AS (
+         |  SELECT DISTINCT shard,
+         |    ('0x' || substr(md5('bm:' || CAST(user_id AS VARCHAR)
+         |      || ':' || event_type), 1, 15))::BIGINT
+         |      % $BitmapBuckets AS bucket
+         |  FROM ev
+         |), probes(user_id, event_type) AS (
+         |  VALUES (1::BIGINT, 'purchase'), (2::BIGINT, 'error'),
+         |    (3::BIGINT, 'signup')
+         |), pb AS (
+         |  SELECT user_id, event_type,
+         |    ('0x' || substr(md5('bm:' || CAST(user_id AS VARCHAR)
+         |      || ':' || event_type), 1, 15))::BIGINT
+         |      % $BitmapBuckets AS bucket
+         |  FROM probes
+         |), cand AS (
+         |  SELECT DISTINCT p.user_id, p.event_type, k.shard
+         |  FROM pb p JOIN keys k USING (bucket)
+         |)
+         |SELECT p.user_id, p.event_type,
+         |  CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+         |  round(coalesce(e.sum_value, 0.0), 2) AS sum_value,
+         |  CAST(coalesce(c.n_shards_scanned, 0) AS BIGINT)
+         |    AS n_shards_scanned,
+         |  CAST(16 AS BIGINT) AS n_shards_total
+         |FROM pb p
+         |LEFT JOIN (
+         |  SELECT user_id, event_type, count(*) AS n_events,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         |      AS sum_value
+         |  FROM ev GROUP BY user_id, event_type
+         |  ) e USING (user_id, event_type)
+         |LEFT JOIN (
+         |  SELECT user_id, event_type,
+         |    count(DISTINCT shard) AS n_shards_scanned
+         |  FROM cand GROUP BY user_id, event_type
+         |  ) c USING (user_id, event_type)
+         |ORDER BY p.user_id""".stripMargin,
+
     "io16_stats_pruning" ->
       """WITH b AS (
         |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi

@@ -125,6 +125,24 @@ class Round8OpsSpec extends AnyFunSuite {
       s"stream-aggregated channels $fromStream != batch $batch")
   }
 
+  // io17's two laws: the pruned scan is LOSSLESS (per-key counts
+  // equal a direct full-scan aggregate — no false negatives), and the
+  // skipping actually BINDS (strictly fewer than all shards scanned)
+  test("io17 bitmap index prunes shards without losing events") {
+    val rows = q("io17_bitmap_index").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val ev = graft.Tables.events(spark, d)
+    rows.foreach { case (u, t, n, scanned, total) =>
+      val direct = ev.filter(col("user_id") === u &&
+        col("event_type") === t).count()
+      assert(n == direct, s"probe ($u, $t): pruned scan lost events")
+      assert(scanned <= total)
+    }
+    assert(rows.map(_._4).sum < rows.map(_._5).sum,
+      "bitmap skipping never bound — every probe scanned every shard")
+  }
+
   // em11's structural laws: vectors partition into confusion cells,
   // and a brute-recomputed centroid matches the quantized build
   test("em11 confusion cells partition vectors; centroid matches brute recompute") {
