@@ -561,8 +561,8 @@ object JsonLines {
       val nScan = cand.groupBy("user_id", "event_type")
         .agg(countDistinct("shard").as("n_shards_scanned"))
       probe.select("user_id", "event_type")
-        .join(perKey, Seq("user_id", "event_type"), "left")
-        .join(nScan, Seq("user_id", "event_type"), "left")
+        .join(broadcast(perKey), Seq("user_id", "event_type"), "left")
+        .join(broadcast(nScan), Seq("user_id", "event_type"), "left")
         .select(col("user_id"), col("event_type"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           round(coalesce(col("sum_value"), lit(0.0)), 2).as("sum_value"),

@@ -402,4 +402,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"em09: the corpus side must not shuffle for the join:\n$p")
   }
+
+  test("q38 RFM pays one user-keyed exchange; the corpus max broadcasts") {
+    // fixed-threshold scoring (not ntile): no partitionless window,
+    // no sort-merge join — one hashpartitioning(user_id) aggregate
+    // exchange plus the broadcast of the 1-row corpus max
+    val p = plan("q38_rfm_segments")
+    assert(!p.contains("SortMergeJoin"),
+      s"q38: the user aggregate must not shuffle-join:\n$p")
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllMatchIn(p).length
+    assert(userExchanges == 1,
+      s"q38 must pay exactly one user-keyed exchange, got $userExchanges:\n$p")
+    assert(!p.contains("WindowExec") || p.contains("partitionBy"),
+      s"q38 must not plan a partitionless window:\n$p")
+  }
+
+  test("mm09 image aHash shuffles only the hash key — no join anywhere") {
+    // decode + hash are per-row map work; the single wide op is the
+    // (ahash_hi, ahash_lo) window exchange for the group count
+    val p = plan("mm09_image_ahash")
+    assert(!p.contains("Join"), s"mm09 must not join:\n$p")
+    assert(p.contains("Window"),
+      s"mm09: expected the hash-group count window:\n$p")
+  }
+
+  test("em11 centroids broadcast onto the vector side, never shuffle-join") {
+    val p = plan("em11_centroid_confusion")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"em11: expected the |labels|-row centroid table to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"em11: the vector side must not shuffle for the join:\n$p")
+  }
+
+  test("ml20 scaling-law fit runs entirely off the materialized bucket sums") {
+    // same discipline as ml18: the corpus aggregate happened at
+    // olsBucketSums' checkpoint; the fit algebra must not rescan
+    val p = plan("ml20_scaling_law")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 0,
+      s"ml20: the fit must run off the checkpointed sums:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ml20 must not plan an unbroadcast cartesian:\n$p")
+  }
+
+  test("io17 pruned scan reads only candidate shard directories") {
+    // the point-lookup path must show directory-level partition
+    // pruning on the shard column and broadcast the tiny candidate
+    // list — a sort-merge join or an unpruned scan defeats the index
+    val p = plan("io17_bitmap_index")
+    assert(p.contains("PartitionFilters"),
+      s"io17: expected shard-directory pruning in the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"io17: expected the candidate list to broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"io17: the pruned scan must not shuffle-join:\n$p")
+  }
 }
