@@ -283,6 +283,41 @@ object Multimodal {
     }
   }
 
+  final case class ShotFrame(doc_id: Long, frame_idx: Int,
+      brightness_sum: Long, n_bytes: Long, is_boundary: Boolean)
+
+  /** mm10 worker: SHOT-BOUNDARY DETECTION over the decoded container —
+    * walk every frame (real header-by-header parse, like mm03), take
+    * the pixel-plane byte sum as the brightness integral, and flag a
+    * cut when the mean brightness jumps more than 5% between
+    * consecutive frames. Frames differ in geometry, so the comparison
+    * is on MEANS via exact integer cross-multiplication:
+    * |sum_f·n_p − sum_p·n_f| · 20 > sum_p · n_f  ⇔  |Δmean| > 5%·mean_p
+    * — no float anywhere, the flag is engine-exact. Frame 0 is never
+    * a boundary (nothing precedes it). */
+  def shotBoundaries(r: MediaRecord): Iterator[ShotFrame] = {
+    val frames = Iterator.unfold(0) { pos =>
+      if (pos >= r.payload.length) None
+      else {
+        val (img, next) = parsePpmAt(r.payload, pos)
+        Some((img, next))
+      }
+    }.toSeq
+    var prevSum = 0L
+    var prevN = 0L
+    frames.iterator.zipWithIndex.map { case (img, f) =>
+      var sum = 0L
+      var i = 0
+      while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+      val n = img.pixels.length.toLong
+      val cut = f > 0 &&
+        math.abs(sum * prevN - prevSum * n) * 20 > prevSum * n
+      prevSum = sum
+      prevN = n
+      ShotFrame(r.doc_id, f, sum, n, cut)
+    }
+  }
+
   /** Synthetic video table: (doc_id, payload = concatenated P6
     * frames), geometry derived from the document. */
   def videoPayloads(s: SparkSession, d: String)
@@ -708,6 +743,25 @@ object Multimodal {
         .orderBy("doc_id", "window_idx")
     }),
 
+    // mm10: SHOT-BOUNDARY DETECTION — the video-curation segmentation
+    // step (where does one scene end?) over mm03's real container:
+    // every frame decoded by walking the concatenated P6 headers, a
+    // cut flagged when mean brightness jumps > 5% between consecutive
+    // frames. Geometry changes per frame, so the comparison is
+    // integer cross-multiplied means — engine-exact, no float. The
+    // oracle recomputes the frame generator and the lag-based cut
+    // rule in SQL, so the hash proves container walk + brightness
+    // integral + boundary rule end to end. Per-record sequential map
+    // work; payloads never shuffle — at 100 TB this is one linear
+    // decode pass emitting a few rows per video.
+    "mm10_shot_boundaries" -> ((s, d) => {
+      import s.implicits._
+      videoPayloads(s, d)
+        .mapPartitions(_.flatMap(shotBoundaries))
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // mm09: IMAGE NEAR-DUP FINGERPRINTING — the multimodal twin of
     // dd01: perceptual average-hash (aHash) computed from the decoded
     // pixel plane of each real P6 payload, then a hash-equality group
@@ -918,6 +972,42 @@ object Multimodal {
         |  (total_frames * 1000000) // sample_rate AS duration_us
         |FROM wins
         |ORDER BY doc_id, window_idx""".stripMargin,
+
+    // the video frame generator (videoDims/videoPixel) recomputed per
+    // frame, the cut rule as a lag window over (doc, frame)
+    "mm10_shot_boundaries" ->
+      """WITH geom AS (
+        |  SELECT doc_id, length(text) AS cp, 1 + (doc_id % 7) AS nf
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    3 + ((cp + f.f) % 13) AS width,
+        |    2 + ((doc_id + f.f) % 5) AS height
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0, nf - 1)) AS f(f)
+        |), sums AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(0, 3 * width * height - 1),
+        |        i -> (doc_id * 31 + frame_idx * 17 + i * 7) % 256)),
+        |      (a, b) -> a + b) AS brightness_sum,
+        |    CAST(3 * width * height AS BIGINT) AS n_bytes
+        |  FROM frames
+        |), lagged AS (
+        |  SELECT doc_id, frame_idx, brightness_sum, n_bytes,
+        |    lag(brightness_sum) OVER w AS prev_sum,
+        |    lag(n_bytes) OVER w AS prev_n
+        |  FROM sums
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  brightness_sum, n_bytes,
+        |  CASE WHEN prev_sum IS NULL THEN FALSE
+        |       ELSE abs(brightness_sum * prev_n
+        |           - prev_sum * n_bytes) * 20 > prev_sum * n_bytes
+        |  END AS is_boundary
+        |FROM lagged
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // recomputes the pixel generator, the ⌊8x/w⌋ grid assignment and
     // the integer cross-multiplied block-mean bits — in lockstep with

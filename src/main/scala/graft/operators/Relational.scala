@@ -557,7 +557,6 @@ object Relational {
     "q38_rfm_segments" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
-      val mx = ev.agg(max("ts_us").as("max_us"))
       val dec0 = lit(0).cast("decimal(18,2)")
       val u = ev.groupBy("user_id").agg(
         max("ts_us").as("last_us"),
@@ -565,6 +564,11 @@ object Relational {
         sum(when(col("event_type") === "purchase",
           col("value").cast("decimal(18,2)")).otherwise(dec0))
           .as("monetary"))
+        .localCheckpoint() // one corpus pass feeds both the max and the scores
+      // corpus max derived from the user aggregate (max of per-user
+      // maxes) — deriving it from `ev` directly would pay a SECOND
+      // full scan of events for one row
+      val mx = u.agg(max("last_us").as("max_us"))
       u.crossJoin(broadcast(mx))
         .withColumn("rec_days", expr(s"(max_us - last_us) div $DayUs"))
         .withColumn("r_score",

@@ -403,19 +403,20 @@ class PlanSpec extends AnyFunSuite {
       s"em09: the corpus side must not shuffle for the join:\n$p")
   }
 
-  test("q38 RFM pays one user-keyed exchange; the corpus max broadcasts") {
-    // fixed-threshold scoring (not ntile): no partitionless window,
-    // no sort-merge join — one hashpartitioning(user_id) aggregate
-    // exchange plus the broadcast of the 1-row corpus max
+  test("q38 RFM runs off one materialized user aggregate, no corpus re-scan") {
+    // the user aggregate is localCheckpoint'ed (ONE corpus pass feeds
+    // both the corpus max and the scoring); the final plan must show
+    // no corpus FileScan, no shuffle join, and no partitionless
+    // window (an ntile-style global sort would appear as an Exchange
+    // SinglePartition feeding a Window)
     val p = plan("q38_rfm_segments")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 0,
+      s"q38 must run off the materialized user table, got $scans scans:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"q38: the user aggregate must not shuffle-join:\n$p")
-    val userExchanges = "hashpartitioning\\(user_id".r
-      .findAllMatchIn(p).length
-    assert(userExchanges == 1,
-      s"q38 must pay exactly one user-keyed exchange, got $userExchanges:\n$p")
-    assert(!p.contains("WindowExec") || p.contains("partitionBy"),
-      s"q38 must not plan a partitionless window:\n$p")
+      s"q38: the segment rollup must not shuffle-join:\n$p")
+    assert(!p.contains("Window"),
+      s"q38 must not plan any window (fixed thresholds, not ntile):\n$p")
   }
 
   test("mm09 image aHash shuffles only the hash key — no join anywhere") {

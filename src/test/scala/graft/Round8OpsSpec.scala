@@ -143,36 +143,80 @@ class Round8OpsSpec extends AnyFunSuite {
       "bitmap skipping never bound — every probe scanned every shard")
   }
 
-  // em11's structural laws: vectors partition into confusion cells,
-  // and a brute-recomputed centroid matches the quantized build
-  test("em11 confusion cells partition vectors; centroid matches brute recompute") {
+  // mm10's defining laws from the generator (not the codec): full
+  // frame walk, frame 0 never a boundary, and every flag matches the
+  // integer cross-multiplied 5% rule recomputed from videoPixel
+  test("mm10 boundaries match a generator-direct recompute") {
+    val rows = q("mm10_shot_boundaries").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val texts = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet, "every video walked")
+    byDoc.foreach { case (id, fs) =>
+      val mm = graft.multimodal.Multimodal
+      assert(fs.length == mm.videoFrameCount(id), s"doc $id: frame count")
+      val cp = texts(id).codePointCount(0, texts(id).length)
+      val exp = fs.sortBy(_._2).map { case (_, f, _, _, _) =>
+        val (w, h) = mm.videoDims(id, f, cp)
+        val n = 3L * w * h
+        (f, (0 until n.toInt).map(i => mm.videoPixel(id, f, i).toLong).sum, n)
+      }
+      fs.sortBy(_._2).zip(exp).foreach {
+        case ((_, f, sum, n, cut), (ef, esum, en)) =>
+          assert(f == ef && sum == esum && n == en, s"doc $id frame $f")
+          if (f == 0) assert(!cut, s"doc $id: frame 0 can't be a cut")
+          else {
+            val (_, ps, pn) = exp(f - 1)
+            assert(cut == (math.abs(sum * pn - ps * n) * 20 > ps * n),
+              s"doc $id frame $f: boundary flag mismatch")
+          }
+      }
+    }
+    assert(rows.exists(_._5) && rows.exists(r => r._2 > 0 && !r._5),
+      "fixture should contain both cuts and continuations")
+  }
+
+  // em11's defining law, brute-recomputed end to end: quantized
+  // centroids → argmax-cosine assignment (ties to the smaller label)
+  // → confusion counts must equal the query's cells exactly
+  test("em11 confusion matrix matches a brute-force centroid recompute") {
     val cells = q("em11_centroid_confusion").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     val embs = graft.Tables.embeddings(spark, d)
       .select("vec_id", "embedding", "label").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
         r.getInt(2)))
-    assert(cells.map(_._3).sum == embs.length,
+    assert(cells.values.sum == embs.length,
       "confusion cells must partition the vectors")
-    assert(cells.forall(c => c._4 >= -1.0 - 1e-9 && c._4 <= 1.0 + 1e-9))
-    // centroid of label 0 via the same micro-unit quantization
-    val l0 = embs.filter(_._3 == 0).map(_._2)
-    assert(l0.nonEmpty)
-    val dims = l0.head.length
-    val cent = (0 until dims).map { i =>
-      val ci = l0.map(v => math.floor(v(i) * 1e6 + 0.5).toLong).sum
-      ci.toDouble / 1e6 / l0.length
-    }.toArray
-    // own-centroid cosine of the first label-0 vector, vs the argmax
-    // row it landed in: its cos to the ASSIGNED centroid must be >=
-    // its cos to label 0's centroid (argmax law)
-    val v0 = l0.head
+    // centroids via the same micro-unit quantization as the operator
+    val dims = embs.head._2.length
+    val cents = embs.groupBy(_._3).map { case (label, vs) =>
+      label -> (0 until dims).map { i =>
+        val ci = vs.map(v => math.floor(v._2(i) * 1e6 + 0.5).toLong).sum
+        ci.toDouble / 1e6 / vs.length
+      }.toArray
+    }
     def cos(a: Array[Double], b: Array[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) *
         math.sqrt(b.map(x => x * x).sum))
     }
-    val own = cos(v0, cent)
-    assert(own >= -1.0 && own <= 1.0)
+    val brute = embs.groupBy { case (_, v, label) =>
+      // the operator rounds cosines to 6 dp BEFORE the argmax; match
+      // that exactly, ties to the smaller centroid label
+      val assigned = cents.toSeq
+        .map { case (cl, c) =>
+          // HALF_UP like Spark's round(), not rint's half-even
+          (cl, BigDecimal(cos(v, c))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .minBy { case (cl, c6) => (-c6, cl) }._1
+      (label, assigned)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(brute == cells,
+      s"brute confusion ${brute.toSeq.sorted} != query ${cells.toSeq.sorted}")
   }
 }
