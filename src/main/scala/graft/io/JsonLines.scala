@@ -107,6 +107,8 @@ object JsonLines {
     * shuffle); the shard count is corpus-size-proportional in
     * production (one shard ≈ one trainer file, 256 MB–1 GB) — 16 is
     * the test-corpus stand-in. */
+  // io18 snapshot GC: how many most-recent published versions survive
+  private[graft] val KeepVersions = 2
   // io17 bitmap index: hash-bucket count (index rows scale with
   // DISTINCT KEYS, never data) and the point-lookup probes — composite
   // (user, type) keys present at every SF
@@ -700,6 +702,68 @@ object JsonLines {
     // recomputes both versions from the source table, so the hash
     // match also re-proves the publish round trip byte-preserved the
     // texts.
+    // io18: SNAPSHOT RETENTION / GC — the missing end of the io09 →
+    // io12 → io14 lifecycle: old published versions must eventually be
+    // deleted, and the deletion must be provably policy-driven and
+    // safe. Four versions publish through io09's protocol (growing
+    // doc_id%4 slices, so each version's content is source-derivable);
+    // the GC keeps the most recent KeepVersions (and NEVER the
+    // pointer's target — a belt-and-suspenders guard even when policy
+    // already covers it), deletes the rest, and the query emits one
+    // row per version: the keep/expire decision plus the version's
+    // row count and order-free content checksum — read FROM THE KEPT
+    // DIRS for survivors (so a wrong deletion or a corrupted survivor
+    // diverges the hash) and recomputed from the source formula for
+    // the expired (whose absence from disk is require()d — a failed
+    // delete dies loudly, not silently). The oracle derives every
+    // row from `documents` alone, so the hash match proves
+    // policy + retained-snapshot integrity end to end.
+    //
+    // Scale: GC cost is |expired versions| directory deletes + one
+    // audit scan of the kept versions (each a bounded snapshot); the
+    // corpus is never rewritten. At 100 TB with a table format the
+    // deletes become manifest drops + unreferenced-file sweeps — the
+    // policy decision table this query emits is the same.
+    "io18_snapshot_gc" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      import org.apache.hadoop.fs.Path
+      val root = stagingDir("snapshot_gc")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true) // history = exactly [v0..v3]
+      val src = documents(s, d)
+        .select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val versions = (0 to 3).map { k =>
+        publishSnapshot(s, src.where(col("doc_id") % 4 <= k), root)
+      }
+      val current = currentVersion(s, root)
+      require(current == versions.last, "pointer must name the last publish")
+      val expired = versions.dropRight(KeepVersions)
+        .filterNot(_ == current)
+      expired.foreach { v =>
+        require(fs.delete(new Path(s"$root/$v"), true),
+          s"GC delete of $v failed")
+      }
+      def audit(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(md5Long(col("text"), 7)).as("chk")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      import s.implicits._
+      versions.zipWithIndex.map { case (v, k) =>
+        val kept = k >= versions.length - KeepVersions
+        val (n, chk) =
+          if (kept) audit(s.read.schema(DocSchema).parquet(s"$root/$v"))
+          else {
+            require(!fs.exists(new Path(s"$root/$v")),
+              s"expired $v still on disk")
+            audit(src.where(col("doc_id") % 4 <= k))
+          }
+        (k.toLong, kept, n, chk)
+      }.toDF("version_idx", "kept", "n_docs", "content_chk")
+        .orderBy("version_idx")
+    }),
+
     "io12_snapshot_diff" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val root = stagingDir("timetravel")
@@ -833,6 +897,19 @@ object JsonLines {
          |  CAST(start_offset % $SeqBudget AS BIGINT) AS offset_in_seq
          |FROM p ORDER BY shard, start_offset""".stripMargin
     },
+
+    // every version's facts derived from documents alone: the slice
+    // formula gives n/checksum per version, the policy gives kept
+    "io18_snapshot_gc" ->
+      s"""SELECT CAST(k AS BIGINT) AS version_idx,
+         |  k >= 4 - $KeepVersions AS kept,
+         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 4 <= k)
+         |    AS BIGINT) AS n_docs,
+         |  CAST((SELECT sum(('0x' || substr(md5(text), 1, 7))::BIGINT)
+         |    FROM documents WHERE doc_id % 4 <= k) AS BIGINT)
+         |    AS content_chk
+         |FROM (SELECT unnest(generate_series(0, 3)) AS k)
+         |ORDER BY version_idx""".stripMargin,
 
     "io12_snapshot_diff" ->
       """WITH v1 AS (

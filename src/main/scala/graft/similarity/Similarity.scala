@@ -39,6 +39,14 @@ object Similarity {
     * truth) derive their query set from the same constant instead of
     * hardcoding a copy that silently drifts. */
   private[graft] val NumQueries = 5
+  // ss23 BM25: standard constants and the fixed lexical probe queries
+  // (terms present at every SF — drawn from the corpus's core vocab)
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "qb1" -> Seq("join", "merge"),
+    "qb2" -> Seq("scan", "filter"),
+    "qb3" -> Seq("data", "query", "sort"))
   private val NumPlanes = 4
   private[graft] val IvfCents = 8
   private[graft] val IvfProbe = 2
@@ -1063,6 +1071,65 @@ object Similarity {
         .orderBy("vec_id", "j")
     }),
 
+    // ss23: BM25 LEXICAL RETRIEVAL — the keyword half of hybrid
+    // search (ss22 fuses rankings; this supplies the lexical ranker
+    // the fusion was missing): Robertson/Sparck-Jones BM25 with
+    // k1=1.2, b=0.75 over the whitespace-token index (ta06's
+    // tokenizer), three fixed multi-term queries, top-10 per query.
+    // Determinism discipline: idf is ln-quantized to exact micro
+    // units (ta21's floor(ln·1e6+.5) trick — the one transcendental),
+    // every per-term contribution is then quantized to a BIGINT and
+    // the per-doc score is an INTEGER sum — order-free, so the ranked
+    // list hash-gates; ranking sorts the integer, never a float.
+    //
+    // Scale: one corpus tokenization → (doc, dl) + the tf rows for
+    // query terms only (the isin filter prunes before the aggregate);
+    // df/idf is a |terms|-row table; scoring joins are
+    // query-term-bounded and the top-10 is a per-query
+    // WindowGroupLimit. The inverted-index build a real deployment
+    // adds changes where tf lives, not this plan.
+    "ss23_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(graft.functions.Funcs.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // one tokenization feeds total + scoring
+      val st = dl.agg(sum("dl").as("total"), count(lit(1)).as("nd")).head()
+      val nDocs = documents(s, d).count()
+      val avgdl = st.getLong(0).toDouble / nDocs.toDouble
+      val allTerms = Bm25Queries.flatMap(_._2).distinct
+      val tf = toks.filter(col("token").isin(allTerms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds df AND the contribution join
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("idfq",
+          floor(log((lit(nDocs.toDouble) - col("df").cast("double")
+              + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+            + lit(1.0)) * 1e6 + 0.5).cast("long").cast("double") / 1e6)
+      val qdf = Bm25Queries
+        .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+        .toDF("query_id", "token")
+      val den = col("tf").cast("double") + lit(Bm25K1) *
+        (lit(1.0 - Bm25B) +
+          lit(Bm25B) * col("dl").cast("double") / lit(avgdl))
+      val contrib = tf
+        .join(broadcast(qdf), Seq("token"))
+        .join(broadcast(df.select("token", "idfq")), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("cq", floor(
+          (col("idfq") * (col("tf").cast("double") * lit(Bm25K1 + 1.0)))
+            / den * 1e6 + 0.5).cast("long"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sq").desc, col("doc_id").asc)
+      contrib.groupBy("query_id", "doc_id").agg(sum("cq").as("sq"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("sq").cast("double") / 1e6, 6)
+            .as("score_6"))
+        .orderBy("query_id", "rank")
+    }),
+
     // em11: CENTROID CONFUSION — label-quality diagnostics in
     // embedding space: per-label centroids, then every vector
     // assigned to its argmax-cosine centroid, reduced to the
@@ -1271,6 +1338,63 @@ object Similarity {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the query set and every constant interpolated from the Scala
+    // side; idf ln-quantized, contributions integer-summed — in
+    // lockstep with the Spark build
+    "ss23_bm25_topk" -> {
+      val toksSql = graft.operators.TextAnalysis.toksSql
+      val qvals = Bm25Queries.flatMap { case (q, ts) =>
+        ts.map(t => s"('$q', '$t')")
+      }.mkString(", ")
+      val termList = Bm25Queries.flatMap(_._2).distinct
+        .map("'" + _ + "'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id
+         |), stats AS (
+         |  SELECT
+         |    CAST((SELECT count(*) FROM documents) AS DOUBLE) AS ndocs,
+         |    CAST((SELECT count(*) FROM toks) AS DOUBLE) AS total
+         |), qt(query_id, token) AS (VALUES $qvals),
+         |tf AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks WHERE token IN ($termList)
+         |  GROUP BY doc_id, token
+         |), df AS (
+         |  SELECT token,
+         |    CAST(floor(ln((s.ndocs - CAST(count(*) AS DOUBLE) + 0.5)
+         |        / (CAST(count(*) AS DOUBLE) + 0.5) + 1.0)
+         |      * 1e6 + 0.5) AS BIGINT) / 1e6 AS idfq
+         |  FROM tf CROSS JOIN stats s GROUP BY token, s.ndocs
+         |), contrib AS (
+         |  SELECT q.query_id, f.doc_id,
+         |    CAST(floor(
+         |      (d.idfq * (CAST(f.tf AS DOUBLE) * (1.2 + 1.0)))
+         |        / (CAST(f.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |           + 0.75 * CAST(l.dl AS DOUBLE) / (s.total / s.ndocs)))
+         |      * 1e6 + 0.5) AS BIGINT) AS cq
+         |  FROM qt q
+         |  JOIN tf f USING (token)
+         |  JOIN df d USING (token)
+         |  JOIN dl l ON l.doc_id = f.doc_id
+         |  CROSS JOIN stats s
+         |), scores AS (
+         |  SELECT query_id, doc_id, CAST(sum(cq) AS BIGINT) AS sq
+         |  FROM contrib GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  round(CAST(sq AS DOUBLE) / 1e6, 6) AS score_6
+         |FROM (
+         |  SELECT query_id, doc_id, sq,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sq DESC, doc_id ASC) AS rank
+         |  FROM scores)
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     // centroids from exact micro-unit integer sums, cosines as
     // in-order folds, argmax by (cos DESC, label ASC) — in lockstep
     // with the Spark build

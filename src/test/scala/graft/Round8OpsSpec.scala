@@ -143,6 +143,70 @@ class Round8OpsSpec extends AnyFunSuite {
       "bitmap skipping never bound — every probe scanned every shard")
   }
 
+  // ss23's defining law, brute-recomputed in plain Scala end to end:
+  // same tokenizer, same ln-quantized idf, same integer contribution
+  // sums — the top-10 per query must match exactly
+  test("ss23 BM25 top-10 matches a pure-Scala recompute") {
+    val out = q("ss23_bm25_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .filter(_.nonEmpty).toSeq)
+    val sim = graft.similarity.Similarity
+    val nDocs = docs.length.toDouble
+    val total = docs.map(_._2.length.toLong).sum
+    val avgdl = total.toDouble / nDocs
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val tf = scala.collection.mutable.Map
+      .empty[(Long, String), Long].withDefaultValue(0L)
+    val terms = sim.Bm25Queries.flatMap(_._2).toSet
+    docs.foreach { case (id, ts) =>
+      ts.foreach(t => if (terms(t)) tf((id, t)) += 1) }
+    val df = terms.map(t =>
+      t -> tf.keys.count { case (_, tt) => tt == t }.toLong).toMap
+    def idfq(t: String): Double =
+      math.floor(math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        * 1e6 + 0.5) / 1e6
+    val expected = sim.Bm25Queries.flatMap { case (qid, qts) =>
+      val scores = docs.flatMap { case (id, _) =>
+        val sq = qts.map { t =>
+          val f = tf((id, t))
+          if (f == 0L) 0L
+          else math.floor((idfq(t) * (f.toDouble * (1.2 + 1.0))) /
+            (f.toDouble + 1.2 * ((1.0 - 0.75) +
+              0.75 * dl(id).toDouble / avgdl)) * 1e6 + 0.5).toLong
+        }.sum
+        if (sq == 0L) None else Some((id, sq))
+      }
+      scores.sortBy { case (id, sq) => (-sq, id) }.take(10)
+        .zipWithIndex.map { case ((id, sq), i) =>
+          (qid, (i + 1).toLong, id, sq.toDouble / 1e6)
+        }
+    }
+    assert(out.length == expected.length)
+    out.sortBy(r => (r._1, r._2)).zip(expected).foreach { case (a, e) =>
+      assert(a._1 == e._1 && a._2 == e._2 && a._3 == e._3,
+        s"rank row mismatch: $a vs $e")
+      assert(math.abs(a._4 - e._4) < 1e-9, s"score mismatch: $a vs $e")
+    }
+  }
+
+  // io18's reader-consistency law: after GC the pointer still resolves
+  // and the current snapshot is the full corpus; the policy row shape
+  // is pinned by the oracle, so the spec checks what SQL can't — disk
+  test("io18 GC keeps the pointer's snapshot readable and complete") {
+    val rows = q("io18_snapshot_gc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(rows.length == 4)
+    assert(rows.count(_._2) == 2, "exactly KeepVersions survive")
+    val last = rows.maxBy(_._1)
+    assert(last._2 && last._3 == nDocs,
+      "the current version must survive GC holding the full corpus")
+    assert(rows.filter(!_._2).forall(_._1 < 2), "only the oldest expire")
+  }
+
   // mm10's defining laws from the generator (not the codec): full
   // frame walk, frame 0 never a boundary, and every flag matches the
   // integer cross-multiplied 5% rule recomputed from videoPixel
