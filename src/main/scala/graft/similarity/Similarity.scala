@@ -1237,6 +1237,44 @@ object Similarity {
     // construction, so the fusion join/window touch ≤ 2k rows per
     // query — corpus-independent; the expensive parts are the
     // retrievers themselves, already benched and plan-locked.
+    // ss24: HYBRID SEARCH — the fusion hybrid retrieval actually
+    // ships: ss23's BM25 lexical ranking ⊕ ss02's vector ANN ranking,
+    // reciprocal-rank fused (ss22's integer micro-unit discipline, so
+    // the fused table hash-gates). The lexical probes pair with the
+    // first vector queries by index — TESTDATA's doc_id==vec_id
+    // contract makes the candidate key spaces join directly. n_lists
+    // is the consensus signal: 2 means both the keyword and the
+    // semantic ranker surfaced the document.
+    //
+    // Scale: both halves are the already-bounded served rankings
+    // (top-10 per query each); the fusion is a full-outer equi-join
+    // of ≤ 2·|queries|·k rows — driver-trivial at any corpus size,
+    // and each half scales by its own documented plan.
+    "ss24_hybrid_rrf" -> ((s, d) => {
+      import s.implicits._
+      val qmap = Bm25Queries.map(_._1).zipWithIndex
+        .map { case (q, i) => (q, i.toLong) }.toDF("qb", "query_id")
+      val lex = queries("ss23_bm25_topk")(s, d)
+        .select(col("query_id").as("qb"), col("doc_id").as("neighbor_id"),
+          expr(s"${RrfUnit}L div ($RrfK + rank)").as("c_lex"))
+        .join(broadcast(qmap), Seq("qb")).drop("qb")
+      val vec = queries("ss02_knn_lsh")(s, d)
+        .filter(col("query_id") < Bm25Queries.length)
+        .select(col("query_id"), col("neighbor_id"),
+          expr(s"${RrfUnit}L div ($RrfK + rank)").as("c_vec"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_u9").desc, col("neighbor_id").asc)
+      lex.join(vec, Seq("query_id", "neighbor_id"), "full_outer")
+        .select(col("query_id"), col("neighbor_id"),
+          (coalesce(col("c_lex"), lit(0L)) +
+            coalesce(col("c_vec"), lit(0L))).as("rrf_u9"),
+          (when(col("c_lex").isNotNull, 1).otherwise(0) +
+            when(col("c_vec").isNotNull, 1).otherwise(0)).as("n_lists"))
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "neighbor_id", "rrf_u9", "n_lists")
+        .orderBy("query_id", "rank")
+    }),
+
     "ss22_rrf_fusion" -> ((s, d) => {
       def contrib(name: String) = queries(name)(s, d)
         .select(col("query_id"), col("neighbor_id"),
@@ -1337,11 +1375,10 @@ object Similarity {
        |  FROM lsh_scored
        |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // the query set and every constant interpolated from the Scala
-    // side; idf ln-quantized, contributions integer-summed — in
-    // lockstep with the Spark build
-    "ss23_bm25_topk" -> {
+  /** ss23's full oracle SQL — also nested as a CTE by ss24's hybrid
+    * fusion, so the two stay in lockstep by construction. */
+  private[graft] def bm25OracleSql: String = {
+
       val toksSql = graft.operators.TextAnalysis.toksSql
       val qvals = Bm25Queries.flatMap { case (q, ts) =>
         ts.map(t => s"('$q', '$t')")
@@ -1393,7 +1430,13 @@ object Similarity {
          |  FROM scores)
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
-    },
+      }
+
+  val oracles: Map[String, String] = Map(
+    // the query set and every constant interpolated from the Scala
+    // side; idf ln-quantized, contributions integer-summed — in
+    // lockstep with the Spark build
+    "ss23_bm25_topk" -> bm25OracleSql,
 
     // centroids from exact micro-unit integer sums, cosines as
     // in-order folds, argmax by (cos DESC, label ASC) — in lockstep
@@ -1482,6 +1525,45 @@ object Similarity {
          |SELECT query_id, rank, neighbor_id, hamming FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the lexical half nested verbatim (concatenated, NOT margin-
+    // interpolated), the vector half from the shared lsh_ranked CTE,
+    // fusion identical to ss22's
+    "ss24_hybrid_rrf" -> {
+      val pairs = Bm25Queries.map(_._1).zipWithIndex
+        .map { case (q, i) => s"('$q', $i::BIGINT)" }.mkString(", ")
+      s"""WITH $lshRankedCte, lexq AS (
+         |""".stripMargin + bm25OracleSql +
+      s"""
+         |), pairs(qb, query_id) AS (VALUES $pairs),
+         |la AS (
+         |  SELECT p.query_id, l.doc_id AS neighbor_id,
+         |    CAST($RrfUnit // ($RrfK + l.rank) AS BIGINT) AS c
+         |  FROM lexq l JOIN pairs p ON p.qb = l.query_id
+         |), lb AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST($RrfUnit // ($RrfK + rank) AS BIGINT) AS c
+         |  FROM lsh_ranked
+         |  WHERE rank <= $TopK AND query_id < ${Bm25Queries.length}
+         |), fused AS (
+         |  SELECT coalesce(la.query_id, lb.query_id) AS query_id,
+         |    coalesce(la.neighbor_id, lb.neighbor_id) AS neighbor_id,
+         |    CAST(coalesce(la.c, 0) + coalesce(lb.c, 0) AS BIGINT)
+         |      AS rrf_u9,
+         |    CAST((CASE WHEN la.c IS NULL THEN 0 ELSE 1 END) +
+         |         (CASE WHEN lb.c IS NULL THEN 0 ELSE 1 END) AS INT)
+         |      AS n_lists
+         |  FROM la FULL OUTER JOIN lb
+         |    ON la.query_id = lb.query_id
+         |   AND la.neighbor_id = lb.neighbor_id
+         |)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_u9 DESC, neighbor_id ASC) AS INT) AS rank,
+         |  neighbor_id, rrf_u9, n_lists
+         |FROM fused
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "ss22_rrf_fusion" ->
       s"""WITH $lshRankedCte, ${graft.operators.TextAnalysis.pqSqlCtes},

@@ -192,6 +192,35 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ss24's conservation law: every fused score is exactly the sum of
+  // its halves' reciprocal-rank contributions, and the candidate set
+  // is exactly the union of the two rankings
+  test("ss24 hybrid fusion conserves both halves' reciprocal ranks") {
+    val sim = graft.similarity.Similarity
+    val unit = 1000000000L
+    val fused = q("ss24_hybrid_rrf").collect()
+      .map(r => ((r.getLong(0), r.getLong(2)),
+        (r.getLong(3), r.getInt(4)))).toMap
+    val qbIdx = sim.Bm25Queries.map(_._1).zipWithIndex.toMap
+    val lex = q("ss23_bm25_topk").collect()
+      .map(r => (qbIdx(r.getString(0)).toLong, r.getLong(2)) ->
+        unit / (60 + r.getLong(1))).toMap
+    val vec = q("ss02_knn_lsh").collect()
+      .filter(_.getLong(0) < sim.Bm25Queries.length)
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        unit / (60 + r.getInt(1))).toMap
+    assert(fused.keySet == lex.keySet ++ vec.keySet,
+      "fused candidates must be the union of the two rankings")
+    fused.foreach { case (k, (u9, nLists)) =>
+      val expected = lex.getOrElse(k, 0L) + vec.getOrElse(k, 0L)
+      assert(u9 == expected, s"$k: fused $u9 != ${expected}")
+      val n = (if (lex.contains(k)) 1 else 0) + (if (vec.contains(k)) 1 else 0)
+      assert(nLists == n, s"$k: n_lists $nLists != $n")
+    }
+    assert(fused.exists(_._2._2 == 2),
+      "some document should be surfaced by BOTH rankers")
+  }
+
   // io18's reader-consistency law: after GC the pointer still resolves
   // and the current snapshot is the full corpus; the policy row shape
   // is pinned by the oracle, so the spec checks what SQL can't — disk
