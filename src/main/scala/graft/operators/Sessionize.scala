@@ -23,6 +23,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   val GapUs: Long = 1800L * 1000000L // 30 min
+  // q39: how many mined 3-step paths the report keeps
+  private[graft] val TopPaths = 20
 
   final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
   final case class OpenSession(start_us: Long, end_us: Long, n: Long)
@@ -195,6 +197,44 @@ object Sessionize {
     // conversion ratios, so the whole report is hash-exact. At scale
     // nothing beyond q13's session window runs over raw events; the
     // funnel itself aggregates |sessions| rows to one.
+    // q39: TOP PATHS (sequential pattern mining) — where q29 checks
+    // ONE fixed funnel, this MINES the flows: every run of three
+    // consecutive events inside a session (two leads over the session
+    // ordering) becomes a (step1, step2, step3) path, counted
+    // corpus-wide, top-20 reported. The product-analytics "what do
+    // users actually do" table, and the discovery step that tells you
+    // WHICH funnels (q29) are worth instrumenting. Same single
+    // user-keyed exchange as q13; the rank window runs over the
+    // ≤|types|³-row aggregate (125 here), the documented
+    // bounded-post-aggregate window pattern — never over events.
+    "q39_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > GapUs, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sess_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy("user_id", "sess_no")
+        .orderBy("ts_us", "event_id")
+      val paths = sess
+        .withColumn("t1", lead("event_type", 1).over(ws))
+        .withColumn("t2", lead("event_type", 2).over(ws))
+        .filter(col("t1").isNotNull && col("t2").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("t1").as("step2"),
+          col("t2").as("step3"))
+        .agg(count(lit(1)).as("n"))
+      val wr = Window.orderBy(col("n").desc, col("step1"), col("step2"),
+        col("step3"))
+      paths.withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= TopPaths)
+        .select(col("rank").cast("long").as("rank"), col("step1"),
+          col("step2"), col("step3"), col("n"))
+        .orderBy("rank")
+    }),
+
     "q29_funnel_conversion" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val perSession = events(s, d)
@@ -253,6 +293,46 @@ object Sessionize {
          |FROM numbered
          |GROUP BY user_id, sess_no
          |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // q13's session numbering, two leads inside the session, counts,
+    // rank over the bounded path table
+    "q39_top_paths" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         |         WHEN ts_us - lag(ts_us) OVER w > $GapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), numbered AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM flagged
+         |), triples AS (
+         |  SELECT event_type AS step1,
+         |    lead(event_type, 1) OVER ws AS step2,
+         |    lead(event_type, 2) OVER ws AS step3
+         |  FROM numbered
+         |  WINDOW ws AS (PARTITION BY user_id, sess_no
+         |    ORDER BY ts_us, event_id)
+         |), counts AS (
+         |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+         |  FROM triples
+         |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         |  GROUP BY step1, step2, step3
+         |)
+         |SELECT CAST(rank AS BIGINT) AS rank, step1, step2, step3, n
+         |FROM (
+         |  SELECT step1, step2, step3, n,
+         |    row_number() OVER (
+         |      ORDER BY n DESC, step1, step2, step3) AS rank
+         |  FROM counts)
+         |WHERE rank <= $TopPaths
+         |ORDER BY rank""".stripMargin,
 
     "q29_funnel_conversion" ->
       s"""WITH base AS (

@@ -192,6 +192,26 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // q39's conservation law: a session of length L contributes exactly
+  // max(L-2, 0) paths, so the mined counts sum to that total (when
+  // all distinct paths fit inside the top-20 report, as they do at
+  // this fixture's |types|=5) — recomputed via q13's session table
+  test("q39 path counts conserve the per-session triple total") {
+    val rows = q("q39_top_paths").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2),
+        r.getString(3)), r.getLong(4)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length))
+    val sessLens = q("q13_sessionize").collect().map(_.getLong(3))
+    val expectedTotal = sessLens.map(l => math.max(l - 2, 0L)).sum
+    if (rows.length < graft.operators.Sessionize.TopPaths)
+      assert(rows.map(_._3).sum == expectedTotal,
+        s"path counts ${rows.map(_._3).sum} != session triples $expectedTotal")
+    else assert(rows.map(_._3).sum <= expectedTotal)
+    // counts non-increasing by rank
+    val ns = rows.sortBy(_._1).map(_._3)
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   // ss24's conservation law: every fused score is exactly the sum of
   // its halves' reciprocal-rank contributions, and the candidate set
   // is exactly the union of the two rankings
