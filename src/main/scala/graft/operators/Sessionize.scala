@@ -114,6 +114,47 @@ object Sessionize {
       }
   }
 
+  final case class OpenPath(types: List[String], last_us: Long)
+  final case class PathTriple(user_id: Long, step1: String,
+      step2: String, step3: String)
+
+  /** Stateful streaming PATH MINING — q39's triple extraction on a
+    * live stream: the state store keeps each user's OPEN session as
+    * its ordered event-type list; when the inactivity gap closes a
+    * session, its 3-step paths emit in Append mode (a session shorter
+    * than 3 emits nothing). Each user's final session stays open on a
+    * finite source — st05's discipline — so the oracle is q39's
+    * triple table MINUS every user's last session, pinning both the
+    * path math and the open-state semantics. State is one short
+    * string list per user, bounded by the open session's length. */
+  def pathStream(ds: Dataset[TypedEv]): Dataset[PathTriple] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenPath, PathTriple](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[TypedEv],
+            state: GroupState[OpenPath]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[PathTriple]
+          var types = state.getOption.map(_.types).getOrElse(Nil)
+          var last = state.getOption.map(_.last_us)
+          def close(): Unit =
+            types.sliding(3).filter(_.length == 3).foreach { t =>
+              out += PathTriple(uid, t.head, t(1), t(2))
+            }
+          sorted.foreach { e =>
+            if (last.exists(l => e.ts_us - l > GapUs)) {
+              close()
+              types = Nil
+            }
+            types = types :+ e.event_type
+            last = Some(e.ts_us)
+          }
+          last.foreach(l => state.update(OpenPath(types, l)))
+          out.iterator
+      }
+  }
+
   final case class LastChannel(channel: String)
   final case class Attributed(event_id: Long, user_id: Long,
       channel: String, ts_us: Long)

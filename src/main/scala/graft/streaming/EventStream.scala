@@ -363,6 +363,35 @@ object EventStream {
           graft.operators.Relational.DebounceUs).toDF()
       }.orderBy("event_id")),
 
+    // st16: stateful streaming PATH MINING — q39's 3-step flow
+    // extraction live (graft.operators.Sessionize.pathStream): each
+    // user's open session rides the state store as its ordered type
+    // list; the inactivity gap closes it and its triples emit. The
+    // sink then aggregates to the same top-paths report shape as q39.
+    // st05's open-state discipline: each user's final session never
+    // closes on a finite source, so the oracle is q39's triple table
+    // MINUS every user's last session — the path math AND the
+    // open-state semantics pinned by one hash.
+    "st16_stream_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sink = runStream(s, d, "st_events_paths", copies = 1,
+        outputMode = "append") { df =>
+        import df.sparkSession.implicits._
+        graft.operators.Sessionize.pathStream(
+          df.select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"))
+            .as[graft.operators.Sessionize.TypedEv]).toDF()
+      }
+      val wr = Window.orderBy(col("n").desc, col("step1"),
+        col("step2"), col("step3"))
+      sink.groupBy("step1", "step2", "step3").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= graft.operators.Sessionize.TopPaths)
+        .select(col("rank").cast("long").as("rank"), col("step1"),
+          col("step2"), col("step3"), col("n"))
+        .orderBy("rank")
+    }),
+
     // st15: stateful streaming LAST-TOUCH ATTRIBUTION — q37's credit
     // rule live (graft.operators.Sessionize.lastTouchStream): one
     // channel string per user in the state store, purchases emit
@@ -650,6 +679,56 @@ object EventStream {
     // chain implement the same debounce rule
     "st13_stream_debounce" ->
       graft.operators.Relational.oracles("q33_debounce"),
+
+    // q39's session/triple chain restricted to CLOSED sessions (each
+    // user's last session stays open in stream state — st05's law)
+    "st16_stream_paths" -> {
+      val gapUs = graft.operators.Sessionize.GapUs
+      val topPaths = graft.operators.Sessionize.TopPaths
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         |         WHEN ts_us - lag(ts_us) OVER w > $gapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), numbered AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM flagged
+         |), last_sess AS (
+         |  SELECT user_id, max(sess_no) AS mx
+         |  FROM numbered GROUP BY user_id
+         |), closed AS (
+         |  SELECT n.user_id, n.event_id, n.event_type, n.ts_us, n.sess_no
+         |  FROM numbered n JOIN last_sess l
+         |    ON n.user_id = l.user_id AND n.sess_no < l.mx
+         |), triples AS (
+         |  SELECT event_type AS step1,
+         |    lead(event_type, 1) OVER ws AS step2,
+         |    lead(event_type, 2) OVER ws AS step3
+         |  FROM closed
+         |  WINDOW ws AS (PARTITION BY user_id, sess_no
+         |    ORDER BY ts_us, event_id)
+         |), counts AS (
+         |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+         |  FROM triples
+         |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         |  GROUP BY step1, step2, step3
+         |)
+         |SELECT CAST(rank AS BIGINT) AS rank, step1, step2, step3, n
+         |FROM (
+         |  SELECT step1, step2, step3, n,
+         |    row_number() OVER (
+         |      ORDER BY n DESC, step1, step2, step3) AS rank
+         |  FROM counts)
+         |WHERE rank <= $topPaths
+         |ORDER BY rank""".stripMargin
+    },
 
     // q37's window in per-purchase form — one attribution rule, two
     // engines (and q37's aggregate is this table grouped by channel)

@@ -212,6 +212,22 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  // st16's twin law: the stream mines exactly the CLOSED sessions —
+  // its counts sum to the triple total of q13's sessions minus each
+  // user's last (still open in state on a finite source)
+  test("st16 streaming paths conserve the closed-session triple total") {
+    val rows = q("st16_stream_paths").collect().map(_.getLong(4))
+    val sess = q("q13_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val closedTotal = sess.groupBy(_._1).values.map { ss =>
+      ss.sortBy(_._2).dropRight(1).map(s => math.max(s._3 - 2, 0L)).sum
+    }.sum
+    if (rows.length < graft.operators.Sessionize.TopPaths)
+      assert(rows.sum == closedTotal,
+        s"stream triple total ${rows.sum} != closed-session $closedTotal")
+    else assert(rows.sum <= closedTotal)
+  }
+
   // ss24's conservation law: every fused score is exactly the sum of
   // its halves' reciprocal-rank contributions, and the candidate set
   // is exactly the union of the two rankings
