@@ -380,6 +380,56 @@ object MlPipeline {
     // Metrics use the all-integer forms (f1 = 2tp/(2tp+fp+fn)): one
     // exact division each, no compounding float ops. One aggregate
     // over the scored table — counts flow, rows don't.
+    // ml21: OPERATING-POINT SELECTION — ml13 evaluates ONE threshold;
+    // this sweeps 0.1..0.9 over ml12's scores in a single pass
+    // (explode the 9 thresholds onto the scored rows, one grouped
+    // aggregate) and flags the best-F1 row. Confusion counts are
+    // integers, precision/recall/F1 are one exact int/int division
+    // each (identical doubles in any engine), and the argmax ranks
+    // the rounded F1 with the threshold as tie-break — so the whole
+    // sweep, including the pick, hash-gates. The step every deployed
+    // classifier needs between scoring (ml12) and serving: which
+    // cutoff to ship.
+    //
+    // Scale: the scored table streams once through a 9× row expand
+    // (counts flow, vectors don't); the sweep table is 9 rows and the
+    // rank window runs on it alone.
+    "ml21_threshold_sweep" -> ((s, d) => {
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("score_6"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("actual"))
+      val ths = (1 to 9).map(i => lit(i.toDouble / 10.0))
+      def n(p: Column, a: Column => Column) =
+        sum(when(p && a(col("actual")), 1L).otherwise(0L))
+      val byTh = scored.join(truth, "vec_id")
+        .select(col("score_6"), col("actual"),
+          explode(array(ths: _*)).as("threshold"))
+        .withColumn("pred", col("score_6") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(n(col("pred"), identity).as("tp"),
+          n(col("pred"), !_).as("fp"),
+          n(!col("pred"), identity).as("fn"),
+          n(!col("pred"), !_).as("tn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          col("tn"),
+          when(col("tp") + col("fp") === 0, lit(null)).otherwise(
+            round(col("tp").cast("double") /
+              (col("tp") + col("fp")), 6)).as("prec_6"),
+          when(col("tp") + col("fn") === 0, lit(null)).otherwise(
+            round(col("tp").cast("double") /
+              (col("tp") + col("fn")), 6)).as("rec_6"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") === 0,
+            lit(null)).otherwise(
+            round((lit(2.0) * col("tp")) /
+              (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
+            .as("f1_6"))
+      val w = Window.orderBy(col("f1_6").desc_nulls_last,
+        col("threshold").asc)
+      byTh.withColumn("is_best", row_number().over(w) === 1)
+        .orderBy("threshold")
+    }),
+
     "ml13_eval_metrics" -> ((s, d) => {
       val scored = queries("ml12_logistic_score")(s, d)
         .select(col("vec_id"), col("predicted"))
@@ -924,6 +974,49 @@ object MlPipeline {
         |  CAST(count(*) AS BIGINT) AS n_members
         |FROM idx GROUP BY 1, 2
         |ORDER BY cluster, dim""".stripMargin,
+
+    // ml12's scoring CTE, the 9-threshold expand, one grouped
+    // aggregate, argmax by rounded F1 (threshold tie-break)
+    "ml21_threshold_sweep" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    round(1.0 / (1.0 + exp(-(
+         |      ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |    ))), 6) AS score_6,
+         |    e.label % 2 = 1 AS actual
+         |  FROM embeddings e CROSS JOIN w
+         |), byth AS (
+         |  SELECT CAST(t.i AS DOUBLE) / 10.0 AS threshold,
+         |    CAST(count(CASE WHEN score_6 >= CAST(t.i AS DOUBLE) / 10.0
+         |      AND actual THEN 1 END) AS BIGINT) AS tp,
+         |    CAST(count(CASE WHEN score_6 >= CAST(t.i AS DOUBLE) / 10.0
+         |      AND NOT actual THEN 1 END) AS BIGINT) AS fp,
+         |    CAST(count(CASE WHEN score_6 < CAST(t.i AS DOUBLE) / 10.0
+         |      AND actual THEN 1 END) AS BIGINT) AS fn,
+         |    CAST(count(CASE WHEN score_6 < CAST(t.i AS DOUBLE) / 10.0
+         |      AND NOT actual THEN 1 END) AS BIGINT) AS tn
+         |  FROM m CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) t
+         |  GROUP BY t.i
+         |), metrics AS (
+         |  SELECT threshold, tp, fp, fn, tn,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |         ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+         |    END AS prec_6,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |         ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+         |    END AS rec_6,
+         |    CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+         |         ELSE round((2.0 * tp) / (2 * tp + fp + fn), 6)
+         |    END AS f1_6
+         |  FROM byth
+         |)
+         |SELECT threshold, tp, fp, fn, tn, prec_6, rec_6, f1_6,
+         |  row_number() OVER (
+         |    ORDER BY f1_6 DESC NULLS LAST, threshold ASC) = 1 AS is_best
+         |FROM metrics
+         |ORDER BY threshold""".stripMargin,
 
     "ml13_eval_metrics" ->
       s"""WITH w AS (

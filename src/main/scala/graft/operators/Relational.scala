@@ -586,6 +586,61 @@ object Relational {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // q40: CUPED A/B LIFT — variance-reduced experiment readout
+    // (Deng et al.'s CUPED, the standard at every experimentation
+    // platform): pre-period purchase revenue is the covariate,
+    // θ = cov(x,y)/var(x) from the classical sums (exact DECIMAL
+    // accumulations cast to double once — q27's discipline), and the
+    // adjusted metric y − θ·(x − x̄) replaces y in the per-variant
+    // means. Every per-user adjusted value is quantized to micro-unit
+    // BIGINTs before the variant mean, so the order-dependent double
+    // sum never happens and the report hash-gates. Variant = user
+    // parity (deterministic stand-in for the assignment table a real
+    // platform joins in); the period split is the corpus time
+    // midpoint.
+    //
+    // Scale: ONE user-keyed aggregate (checkpointed — it feeds the θ
+    // sums AND the report), a 1-row θ broadcast in the literal, and
+    // a 2-row output. Nothing beyond the q13-family user exchange
+    // touches the corpus.
+    "q40_cuped" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val b = ev.agg(min("ts_us"), max("ts_us")).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val dec0 = lit(0).cast("decimal(18,2)")
+      val rev = when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(dec0)
+      val u = ev.groupBy("user_id").agg(
+        sum(when(col("ts_us") < mid, rev).otherwise(dec0)).as("x"),
+        sum(when(col("ts_us") >= mid, rev).otherwise(dec0)).as("y"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+        .localCheckpoint()
+      val t = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")).head()
+      // all scaled-integer magnitudes < 2^53, so every decimal→double
+      // cast below is exact in both engines
+      val n = t.getLong(0).toDouble
+      val sx = t.getDecimal(1).doubleValue()
+      val sy = t.getDecimal(2).doubleValue()
+      val sxy = t.getDecimal(3).doubleValue()
+      val sxx = t.getDecimal(4).doubleValue()
+      val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val xbar = sx / n
+      u.withColumn("adjq", floor(
+          (col("y").cast("double") - lit(theta) *
+            (col("x").cast("double") - lit(xbar))) * 1e6 + 0.5)
+          .cast("long"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("y").cast("double") / count(lit(1)), 6)
+            .as("mean_post"),
+          round(sum("adjq").cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_adjusted"))
+        .orderBy("variant")
+    }),
+
     // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
     // conversion: for every purchase, the user's most recent PRECEDING
     // non-purchase event type (view/click/signup/...), 'direct' when
@@ -1119,6 +1174,41 @@ object Relational {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q36_rate_limit" -> rateLimitOracle,
+
+    "q40_cuped" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events
+        |), mid AS (
+        |  SELECT lo + (hi - lo) // 2 AS m FROM b
+        |), u AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+        |    sum(CASE WHEN epoch_us(ts) < m AND event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    sum(CASE WHEN epoch_us(ts) >= m AND event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events CROSS JOIN mid GROUP BY user_id
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM u
+        |), f AS (
+        |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |    sx / n AS xbar
+        |  FROM s
+        |)
+        |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_post,
+        |  round(CAST(sum(CAST(floor((CAST(y AS DOUBLE)
+        |      - f.theta * (CAST(x AS DOUBLE) - f.xbar)) * 1e6 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS mean_adjusted
+        |FROM u CROSS JOIN f
+        |GROUP BY variant, f.theta, f.xbar
+        |ORDER BY variant""".stripMargin,
 
     "q38_rfm_segments" ->
       s"""WITH mx AS (

@@ -192,6 +192,75 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ml21's sweep laws: a partition per threshold, monotone tp, one
+  // best flag on the max-F1 row
+  test("ml21 sweep partitions counts and flags the max-F1 threshold") {
+    val rows = q("ml21_threshold_sweep").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        r.getBoolean(8)))
+    assert(rows.length == 9)
+    val total = graft.Tables.embeddings(spark, d).count()
+    rows.foreach { case (_, tp, fp, fn, tn, _, _) =>
+      assert(tp + fp + fn + tn == total, "confusion must partition vectors")
+    }
+    val byTh = rows.sortBy(_._1)
+    assert(byTh.map(_._2).zip(byTh.map(_._2).drop(1))
+      .forall { case (a, b) => a >= b }, "tp non-increasing in threshold")
+    assert(rows.count(_._7) == 1, "exactly one best row")
+    val bestF1 = rows.filter(_._7).head._6
+    assert(rows.flatMap(_._6).forall(f => bestF1.exists(_ >= f)),
+      "best row must carry the maximum F1")
+  }
+
+  // q40's defining laws: users partition into the two variants and
+  // the CUPED adjustment reduces (or preserves) the metric variance —
+  // the whole point of the covariate
+  test("q40 CUPED partitions users and does not increase variance") {
+    val rows = q("q40_cuped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 2 && rows.map(_._1).sorted.sameElements(Seq(0L, 1L)))
+    val ev = graft.Tables.events(spark, d)
+    assert(rows.map(_._2).sum == ev.select("user_id").distinct().count())
+    // brute recompute of theta and the adjusted/raw variances
+    import org.apache.spark.sql.functions._
+    val b = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val users = ev.select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+      .collect().groupBy(_.getLong(0)).map { case (uid, rs) =>
+        def revs(pre: Boolean) = rs.filter(r =>
+          r.getString(2) == "purchase" &&
+            (if (pre) r.getLong(1) < mid else r.getLong(1) >= mid))
+          .map(r => BigDecimal(r.getDouble(3)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        (uid, revs(pre = true), revs(pre = false))
+      }.toSeq
+    val n = users.length.toDouble
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val xbar = sx / n
+    def variance(vs: Seq[Double]): Double = {
+      val m = vs.sum / vs.length
+      vs.map(v => (v - m) * (v - m)).sum / vs.length
+    }
+    val rawVar = variance(users.map(_._3))
+    val adjVar = variance(users.map(u => u._3 - theta * (u._2 - xbar)))
+    assert(adjVar <= rawVar + 1e-9,
+      s"CUPED must not increase variance: $adjVar > $rawVar")
+    // the reported adjusted means match the brute recompute
+    val brute = users.groupBy(_._1 % 2).view.mapValues { us =>
+      us.map(u => u._3 - theta * (u._2 - xbar)).sum / us.length
+    }.toMap
+    rows.foreach { case (v, _, _, adj) =>
+      assert(math.abs(adj - brute(v)) < 1e-3,
+        s"variant $v: adjusted mean $adj vs brute ${brute(v)}")
+    }
+  }
+
   // q39's conservation law: a session of length L contributes exactly
   // max(L-2, 0) paths, so the mined counts sum to that total (when
   // all distinct paths fit inside the top-20 report, as they do at
