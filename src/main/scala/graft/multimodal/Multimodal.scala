@@ -263,19 +263,25 @@ object Multimodal {
   final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
       height: Int, checksum: Long)
 
+  /** Lazy walk over a container of concatenated P6 frames: each
+    * header read decides where the next frame starts; ONE decoded
+    * frame lives at a time (mm03 and mm10 share this walk). */
+  private def walkPpmFrames(payload: Array[Byte]): Iterator[PpmImage] =
+    Iterator.unfold(0) { pos =>
+      if (pos >= payload.length) None
+      else {
+        val (img, next) = parsePpmAt(payload, pos)
+        Some((img, next))
+      }
+    }
+
   /** mm03 worker: REAL container walk — parse consecutive P6 segments
     * with [[parsePpmAt]] (each header read decides where the next
     * frame starts), sample every 3rd frame, and checksum its DECODED
     * pixel plane. One record → many frames, partition-local. */
   def sampleVideoFrames(r: MediaRecord): Iterator[VideoFrame] = {
-    val frames = Iterator.unfold(0) { pos =>
-      if (pos >= r.payload.length) None
-      else {
-        val (img, next) = parsePpmAt(r.payload, pos)
-        Some((img, next))
-      }
-    }
-    frames.zipWithIndex.filter(_._2 % 3 == 0).map { case (img, f) =>
+    walkPpmFrames(r.payload)
+      .zipWithIndex.filter(_._2 % 3 == 0).map { case (img, f) =>
       var sum = 0L
       var i = 0
       while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
@@ -296,16 +302,11 @@ object Multimodal {
     * — no float anywhere, the flag is engine-exact. Frame 0 is never
     * a boundary (nothing precedes it). */
   def shotBoundaries(r: MediaRecord): Iterator[ShotFrame] = {
-    val frames = Iterator.unfold(0) { pos =>
-      if (pos >= r.payload.length) None
-      else {
-        val (img, next) = parsePpmAt(r.payload, pos)
-        Some((img, next))
-      }
-    }.toSeq
+    // LAZY frame walk (shared with mm03): one decoded frame in memory
+    // at a time — prev sum/count are all the state the cut rule needs
     var prevSum = 0L
     var prevN = 0L
-    frames.iterator.zipWithIndex.map { case (img, f) =>
+    walkPpmFrames(r.payload).zipWithIndex.map { case (img, f) =>
       var sum = 0L
       var i = 0
       while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }

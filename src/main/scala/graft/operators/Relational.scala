@@ -626,7 +626,11 @@ object Relational {
       val sy = t.getDecimal(2).doubleValue()
       val sxy = t.getDecimal(3).doubleValue()
       val sxx = t.getDecimal(4).doubleValue()
-      val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      // zero-variance guard: a corpus with a constant covariate (no
+      // pre-period revenue anywhere) must fall back to θ=0 (plain
+      // difference-in-means), not NaN — and both engines must agree
+      val denom = n * sxx - sx * sx
+      val theta = if (denom == 0.0) 0.0 else (n * sxy - sx * sy) / denom
       val xbar = sx / n
       u.withColumn("adjq", floor(
           (col("y").cast("double") - lit(theta) *
@@ -1197,7 +1201,8 @@ object Relational {
         |    CAST(sum(x * x) AS DOUBLE) AS sxx
         |  FROM u
         |), f AS (
-        |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
         |    sx / n AS xbar
         |  FROM s
         |)

@@ -120,7 +120,8 @@ object Sessionize {
 
   /** Stateful streaming PATH MINING — q39's triple extraction on a
     * live stream: the state store keeps each user's OPEN session as
-    * its ordered event-type list; when the inactivity gap closes a
+    * its event-type list (newest-first — see the prepend note
+    * below); when the inactivity gap closes a
     * session, its 3-step paths emit in Append mode (a session shorter
     * than 3 emits nothing). Each user's final session stays open on a
     * finite source — st05's discipline — so the oracle is q39's
@@ -136,10 +137,14 @@ object Sessionize {
             state: GroupState[OpenPath]) =>
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           val out = scala.collection.mutable.ListBuffer.empty[PathTriple]
+          // the open session is stored NEWEST-FIRST so each event is
+          // an O(1) prepend (an append would copy the whole list per
+          // event — quadratic in session length); close() restores
+          // event order with one reverse
           var types = state.getOption.map(_.types).getOrElse(Nil)
           var last = state.getOption.map(_.last_us)
           def close(): Unit =
-            types.sliding(3).filter(_.length == 3).foreach { t =>
+            types.reverse.sliding(3).filter(_.length == 3).foreach { t =>
               out += PathTriple(uid, t.head, t(1), t(2))
             }
           sorted.foreach { e =>
@@ -147,7 +152,7 @@ object Sessionize {
               close()
               types = Nil
             }
-            types = types :+ e.event_type
+            types = e.event_type :: types
             last = Some(e.ts_us)
           }
           last.foreach(l => state.update(OpenPath(types, l)))
@@ -312,6 +317,61 @@ object Sessionize {
             .as("click_to_purchase"))
     }))
 
+  /** q39/st16 shared oracle: the session → triple → rank SQL chain.
+    * `closedOnly` restricts to sessions BEFORE each user's last —
+    * st16's open-state law — so the batch and streaming twins derive
+    * from ONE builder and cannot drift. */
+  private[graft] def pathOracleSql(closedOnly: Boolean): String = {
+    val closedCtes = if (closedOnly)
+      """, last_sess AS (
+        |  SELECT user_id, max(sess_no) AS mx
+        |  FROM numbered GROUP BY user_id
+        |), closed AS (
+        |  SELECT n.user_id, n.event_id, n.event_type, n.ts_us, n.sess_no
+        |  FROM numbered n JOIN last_sess l
+        |    ON n.user_id = l.user_id AND n.sess_no < l.mx
+        |)""".stripMargin
+    else ""
+    val src = if (closedOnly) "closed" else "numbered"
+    s"""WITH base AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+       |  FROM events
+       |), flagged AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+       |         WHEN ts_us - lag(ts_us) OVER w > $GapUs THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |), numbered AS (
+       |  SELECT user_id, event_id, event_type, ts_us,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+       |  FROM flagged
+       |)""".stripMargin + closedCtes + s"""
+       |, triples AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER ws AS step2,
+       |    lead(event_type, 2) OVER ws AS step3
+       |  FROM $src
+       |  WINDOW ws AS (PARTITION BY user_id, sess_no
+       |    ORDER BY ts_us, event_id)
+       |), counts AS (
+       |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+       |  FROM triples
+       |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+       |  GROUP BY step1, step2, step3
+       |)
+       |SELECT CAST(rank AS BIGINT) AS rank, step1, step2, step3, n
+       |FROM (
+       |  SELECT step1, step2, step3, n,
+       |    row_number() OVER (
+       |      ORDER BY n DESC, step1, step2, step3) AS rank
+       |  FROM counts)
+       |WHERE rank <= $TopPaths
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q13_sessionize" ->
       s"""WITH base AS (
@@ -336,44 +396,8 @@ object Sessionize {
          |ORDER BY user_id, session_start_us""".stripMargin,
 
     // q13's session numbering, two leads inside the session, counts,
-    // rank over the bounded path table
-    "q39_top_paths" ->
-      s"""WITH base AS (
-         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-         |  FROM events
-         |), flagged AS (
-         |  SELECT user_id, event_id, event_type, ts_us,
-         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
-         |         WHEN ts_us - lag(ts_us) OVER w > $GapUs THEN 1
-         |         ELSE 0 END AS new_sess
-         |  FROM base
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |), numbered AS (
-         |  SELECT user_id, event_id, event_type, ts_us,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
-         |  FROM flagged
-         |), triples AS (
-         |  SELECT event_type AS step1,
-         |    lead(event_type, 1) OVER ws AS step2,
-         |    lead(event_type, 2) OVER ws AS step3
-         |  FROM numbered
-         |  WINDOW ws AS (PARTITION BY user_id, sess_no
-         |    ORDER BY ts_us, event_id)
-         |), counts AS (
-         |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
-         |  FROM triples
-         |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
-         |  GROUP BY step1, step2, step3
-         |)
-         |SELECT CAST(rank AS BIGINT) AS rank, step1, step2, step3, n
-         |FROM (
-         |  SELECT step1, step2, step3, n,
-         |    row_number() OVER (
-         |      ORDER BY n DESC, step1, step2, step3) AS rank
-         |  FROM counts)
-         |WHERE rank <= $TopPaths
-         |ORDER BY rank""".stripMargin,
+    // rank over the bounded path table (shared builder with st16)
+    "q39_top_paths" -> pathOracleSql(closedOnly = false),
 
     "q29_funnel_conversion" ->
       s"""WITH base AS (

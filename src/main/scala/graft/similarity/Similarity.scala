@@ -1094,9 +1094,11 @@ object Similarity {
         explode(graft.functions.Funcs.tokens(col("text"))).as("token"))
       val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         .localCheckpoint() // one tokenization feeds total + scoring
-      val st = dl.agg(sum("dl").as("total"), count(lit(1)).as("nd")).head()
+      val total = dl.agg(sum("dl")).head().getLong(0)
+      // nDocs deliberately counts ALL documents (token-less ones
+      // included) — the oracle's count(*) convention
       val nDocs = documents(s, d).count()
-      val avgdl = st.getLong(0).toDouble / nDocs.toDouble
+      val avgdl = total.toDouble / nDocs.toDouble
       val allTerms = Bm25Queries.flatMap(_._2).distinct
       val tf = toks.filter(col("token").isin(allTerms: _*))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))

@@ -680,55 +680,11 @@ object EventStream {
     "st13_stream_debounce" ->
       graft.operators.Relational.oracles("q33_debounce"),
 
-    // q39's session/triple chain restricted to CLOSED sessions (each
-    // user's last session stays open in stream state — st05's law)
-    "st16_stream_paths" -> {
-      val gapUs = graft.operators.Sessionize.GapUs
-      val topPaths = graft.operators.Sessionize.TopPaths
-      s"""WITH base AS (
-         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
-         |  FROM events
-         |), flagged AS (
-         |  SELECT user_id, event_id, event_type, ts_us,
-         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
-         |         WHEN ts_us - lag(ts_us) OVER w > $gapUs THEN 1
-         |         ELSE 0 END AS new_sess
-         |  FROM base
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-         |), numbered AS (
-         |  SELECT user_id, event_id, event_type, ts_us,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
-         |  FROM flagged
-         |), last_sess AS (
-         |  SELECT user_id, max(sess_no) AS mx
-         |  FROM numbered GROUP BY user_id
-         |), closed AS (
-         |  SELECT n.user_id, n.event_id, n.event_type, n.ts_us, n.sess_no
-         |  FROM numbered n JOIN last_sess l
-         |    ON n.user_id = l.user_id AND n.sess_no < l.mx
-         |), triples AS (
-         |  SELECT event_type AS step1,
-         |    lead(event_type, 1) OVER ws AS step2,
-         |    lead(event_type, 2) OVER ws AS step3
-         |  FROM closed
-         |  WINDOW ws AS (PARTITION BY user_id, sess_no
-         |    ORDER BY ts_us, event_id)
-         |), counts AS (
-         |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
-         |  FROM triples
-         |  WHERE step2 IS NOT NULL AND step3 IS NOT NULL
-         |  GROUP BY step1, step2, step3
-         |)
-         |SELECT CAST(rank AS BIGINT) AS rank, step1, step2, step3, n
-         |FROM (
-         |  SELECT step1, step2, step3, n,
-         |    row_number() OVER (
-         |      ORDER BY n DESC, step1, step2, step3) AS rank
-         |  FROM counts)
-         |WHERE rank <= $topPaths
-         |ORDER BY rank""".stripMargin
-    },
+    // q39's chain from the SHARED builder, restricted to CLOSED
+    // sessions (each user's last stays open in stream state — st05's
+    // law); one builder, two engines, no drift
+    "st16_stream_paths" ->
+      graft.operators.Sessionize.pathOracleSql(closedOnly = true),
 
     // q37's window in per-purchase form — one attribution rule, two
     // engines (and q37's aggregate is this table grouped by channel)

@@ -448,6 +448,40 @@ class PlanSpec extends AnyFunSuite {
       s"ml20 must not plan an unbroadcast cartesian:\n$p")
   }
 
+  test("ss23 BM25 top-10 compiles to a per-query WindowGroupLimit") {
+    // the rank-then-filter must push a partial per-task limit so the
+    // exchange carries ~k rows per query, not every scoring doc
+    val p = plan("ss23_bm25_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"ss23: expected the top-10 to push a WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ss23 must not plan a cartesian:\n$p")
+  }
+
+  test("q39 ranks over the path aggregate, never the event table") {
+    // the partitionless rank window is legal ONLY because its input
+    // is the ≤|types|³-row counts table: the plan must show the rank
+    // window ABOVE an aggregate, with the single-partition exchange
+    // fed by the aggregated (not raw) side
+    val p = plan("q39_top_paths")
+    // plan text prints top-down: the rank window's INPUT appears after
+    // it — a HashAggregate below the row_number window proves the rank
+    // consumes the counts table, not raw events
+    val idxRank = p.indexOf("Window [row_number()")
+    assert(idxRank >= 0, s"q39: expected the rank window:\n$p")
+    assert(p.indexOf("HashAggregate", idxRank) >= 0,
+      s"q39: the rank window must consume the counts aggregate:\n$p")
+  }
+
+  test("mm10 shot boundaries plan has no join and no wide exchange") {
+    // decode + cut rule are per-record sequential work; the only
+    // plan nodes beyond the map should be the output sort
+    val p = plan("mm10_shot_boundaries")
+    assert(!p.contains("Join"), s"mm10 must not join:\n$p")
+    assert(!"hashpartitioning".r.findFirstIn(p).isDefined,
+      s"mm10 must not shuffle on any key:\n$p")
+  }
+
   test("io17 pruned scan reads only candidate shard directories") {
     // the point-lookup path must show directory-level partition
     // pruning on the shard column and broadcast the tiny candidate

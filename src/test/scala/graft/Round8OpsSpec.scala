@@ -169,15 +169,18 @@ class Round8OpsSpec extends AnyFunSuite {
       math.floor(math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
         * 1e6 + 0.5) / 1e6
     val expected = sim.Bm25Queries.flatMap { case (qid, qts) =>
+      // a doc is RANKED iff it has at least one tf row for a query
+      // term — even when micro-unit flooring makes its score 0, the
+      // operator and oracle both keep it; the test must too
       val scores = docs.flatMap { case (id, _) =>
-        val sq = qts.map { t =>
+        if (!qts.exists(t => tf((id, t)) > 0L)) None
+        else Some((id, qts.map { t =>
           val f = tf((id, t))
           if (f == 0L) 0L
           else math.floor((idfq(t) * (f.toDouble * (1.2 + 1.0))) /
             (f.toDouble + 1.2 * ((1.0 - 0.75) +
               0.75 * dl(id).toDouble / avgdl)) * 1e6 + 0.5).toLong
-        }.sum
-        if (sq == 0L) None else Some((id, sq))
+        }.sum))
       }
       scores.sortBy { case (id, sq) => (-sq, id) }.take(10)
         .zipWithIndex.map { case ((id, sq), i) =>
