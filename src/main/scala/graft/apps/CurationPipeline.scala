@@ -68,8 +68,10 @@ object CurationPipeline {
     val total = docs.count()
     stageDone("s1_read")
     // one scoring pass, reused by the near-dup keeper (stage 2) and
-    // the gate (stage 3)
-    val scoredAll = TextAnalysis.scored(docs)
+    // the gate (stage 3) — localCheckpoint so the per-row scoring work
+    // is paid exactly once even when the two consumers race a loaded
+    // host (the frame is small: ids + a handful of numeric scores)
+    val scoredAll = TextAnalysis.scored(docs).localCheckpoint()
 
     // 1. exact dedup on the full-text digest: keep min doc_id per key
     val exactKeep = docs

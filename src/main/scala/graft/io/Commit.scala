@@ -86,7 +86,16 @@ object Commit {
     * staging files are invisible by contract; the listing is
     * name-sorted (the filesystem's enumeration order is not
     * deterministic). */
-  def listMarkers(s: SparkSession, dir: String, prefix: String): Seq[String] =
-    fileSystem(s).listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && !n.contains(".tmp")).sorted
+  def listMarkers(s: SparkSession, dir: String, prefix: String): Seq[String] = {
+    // prefix filter pushed into the FS listing call: at a big table's
+    // commit-log cardinality an unfiltered listStatus enumerates every
+    // unrelated file on the driver before we drop them
+    val filter = new org.apache.hadoop.fs.PathFilter {
+      def accept(p: Path): Boolean = {
+        val n = p.getName; n.startsWith(prefix) && !n.contains(".tmp")
+      }
+    }
+    fileSystem(s).listStatus(new Path(dir), filter).toSeq
+      .map(_.getPath.getName).sorted
+  }
 }

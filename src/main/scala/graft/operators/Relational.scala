@@ -619,13 +619,24 @@ object Relational {
       val t = u.agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx")).head()
-      // all scaled-integer magnitudes < 2^53, so every decimal→double
-      // cast below is exact in both engines
+      // wide-DECIMAL sums never cast straight to double: DuckDB
+      // double-rounds that cast, so each sum goes through the exact
+      // scaled-BIGINT path ml18 uses (floor(sum·10^scale) as BIGINT,
+      // one correctly-rounded long→double conversion in BOTH engines).
+      // The guard asserts the scaled magnitude stays below 2^53 — past
+      // that even the BIGINT literal can't round-trip a double exactly.
+      def exactD(d: java.math.BigDecimal, scale: Int): Double = {
+        val scaled = d.movePointRight(scale)
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+        require(math.abs(scaled) < (1L << 53),
+          s"q40: scaled sum $scaled exceeds exact-double range")
+        scaled.toDouble / math.pow(10, scale)
+      }
       val n = t.getLong(0).toDouble
-      val sx = t.getDecimal(1).doubleValue()
-      val sy = t.getDecimal(2).doubleValue()
-      val sxy = t.getDecimal(3).doubleValue()
-      val sxx = t.getDecimal(4).doubleValue()
+      val sx = exactD(t.getDecimal(1), 2)
+      val sy = exactD(t.getDecimal(2), 2)
+      val sxy = exactD(t.getDecimal(3), 4)
+      val sxx = exactD(t.getDecimal(4), 4)
       // zero-variance guard: a corpus with a constant covariate (no
       // pre-period revenue anywhere) must fall back to θ=0 (plain
       // difference-in-means), not NaN — and both engines must agree
@@ -638,7 +649,8 @@ object Relational {
           .cast("long"))
         .groupBy("variant")
         .agg(count(lit(1)).as("n_users"),
-          round(sum("y").cast("double") / count(lit(1)), 6)
+          round(floor(sum("y") * lit(100)).cast("long")
+            .cast("double") / lit(100.0) / count(lit(1)), 6)
             .as("mean_post"),
           round(sum("adjq").cast("double") / count(lit(1)) / 1e6, 6)
             .as("mean_adjusted"))
@@ -1195,10 +1207,15 @@ object Relational {
         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
         |  FROM events CROSS JOIN mid GROUP BY user_id
         |), s AS (
+        |  -- exact scaled-BIGINT path (ml18's discipline): DuckDB
+        |  -- double-rounds a wide-DECIMAL -> DOUBLE cast, so each sum
+        |  -- becomes an integral BIGINT first and pays ONE
+        |  -- correctly-rounded conversion, same as the Spark side
         |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |    CAST(floor(sum(x) * 100) AS BIGINT) / 100.0 AS sx,
+        |    CAST(floor(sum(y) * 100) AS BIGINT) / 100.0 AS sy,
+        |    CAST(floor(sum(x * y) * 10000) AS BIGINT) / 10000.0 AS sxy,
+        |    CAST(floor(sum(x * x) * 10000) AS BIGINT) / 10000.0 AS sxx
         |  FROM u
         |), f AS (
         |  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
@@ -1207,7 +1224,8 @@ object Relational {
         |  FROM s
         |)
         |SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
-        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_post,
+        |  round(CAST(floor(sum(y) * 100) AS BIGINT) / 100.0
+        |    / count(*), 6) AS mean_post,
         |  round(CAST(sum(CAST(floor((CAST(y AS DOUBLE)
         |      - f.theta * (CAST(x AS DOUBLE) - f.xbar)) * 1e6 + 0.5)
         |    AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS mean_adjusted

@@ -31,10 +31,16 @@ def main():
             per.setdefault(k, []).append(v)
     medians = {k: round(statistics.median(v), 3)
                for k, v in sorted(per.items())}
-    stage = re.compile(r"pipeline_.*_s\d+_")
+    # sum_of_medians excludes EVERY pipeline_* key (stage rows AND the
+    # e2e totals) — the metric rounds 1-6 recorded; the e2e pipelines
+    # get their own field below so the info isn't lost. Round 8's
+    # artifact briefly counted the two e2e rows in q_sum; this restores
+    # the original definition for round-over-round comparability.
     q_sum = round(sum(v for k, v in medians.items()
-                      if not stage.match(k)), 3)
-    n_q = sum(1 for k in medians if not stage.match(k))
+                      if not k.startswith("pipeline_")), 3)
+    n_q = sum(1 for k in medians if not k.startswith("pipeline_"))
+    pipelines = {k: v for k, v in medians.items()
+                 if k.startswith("pipeline_") and k.endswith("_e2e")}
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
@@ -43,6 +49,7 @@ def main():
         "totals_sec": totals,
         "sum_of_medians_sec": q_sum,
         "n_queries": n_q,
+        "pipelines_e2e_sec": pipelines,
         "errors": sorted(errors),
         "runs_per_query": {k: len(v) for k, v in sorted(per.items())
                            if len(v) != len(runs)},
