@@ -32,6 +32,13 @@ object TextAnalysis {
     * sf0.001 fixture keeps a training side. */
   private[graft] val DeconBenchN = 16
 
+  /** ta23/st17 holdout size — the LARGE-holdout regime: 2× ta16's
+    * eval set here (the 500-doc fixture caps it), standing in for the
+    * production case where the holdout's gram SET cannot broadcast
+    * and only its bloom sketch can ([[graft.functions.BloomGate]]).
+    * The 500-row sf0.001/sf0.01 fixture keeps a 372-doc train side. */
+  private[graft] val DeconHoldoutN = 128
+
   /** ta18's nested-fraction count: fraction j = hash buckets < j, so
     * each sample contains the previous one. 8 log-spaced-enough points
     * for a log-log fit; the bucket spine is generated, so empty
@@ -72,6 +79,39 @@ object TextAnalysis {
     * stage. */
   private[graft] def benchSample(docs: DataFrame, n: Int): DataFrame =
     docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(n)
+
+  /** Per-doc distinct word-[[ContamN]]-grams — the gram stream both
+    * decontamination passes (ta16 exact, ta23/st17 bloom) run on. */
+  private[graft] def deconGramsOf(docs: DataFrame): DataFrame = docs
+    .filter(size(tokens(col("text"))) >= ContamN)
+    .select(col("doc_id"), explode(array_distinct(
+      wordNgrams(tokens(col("text")), ContamN))).as("g"))
+
+  /** ta23's bloom path up to the per-doc confirmed hit counts,
+    * PRE-checkpoint — returned as (holdout, train, hits) so PlanSpec
+    * can lock the prefilter→shuffle-semi-join shape that the
+    * registered query's localCheckpoint on `hits` would otherwise
+    * hide from the executed plan. */
+  private[graft] def bloomDeconParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.BloomGate
+    val holdout = benchSample(documents(s, d), DeconHoldoutN)
+      .localCheckpoint() // feeds id anti-join AND the gram explode
+    val hGrams = holdout
+      .filter(size(tokens(col("text"))) >= ContamN)
+      .select(explode(array_distinct(
+        wordNgrams(tokens(col("text")), ContamN))).as("g"))
+      .distinct()
+      .localCheckpoint() // feeds the bloom build AND the confirm join
+    val bloom = BloomGate.build(hGrams, xxhash64(col("g")))
+    val train = documents(s, d)
+      .join(broadcast(holdout.select("doc_id")), Seq("doc_id"), "left_anti")
+    val hits = deconGramsOf(train)
+      .filter(BloomGate.mightContain(bloom, xxhash64(col("g"))))
+      .join(hGrams.hint("merge"), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    (holdout, train, hits)
+  }
 
   /** doc_ids of `candidates` sharing at least one word-[[ContamN]]-gram
     * with `benchmark` — ta16's overlap core as a reusable gate. Same
@@ -495,6 +535,42 @@ object TextAnalysis {
           floor(col("n_contaminated") * lit(1000000.0) / col("n_grams") + 0.5)
             .cast("long"))
         .select("doc_id", "n_grams", "n_contaminated", "contam_u6")
+        .orderBy("doc_id")
+    }),
+
+    // ta23: BLOOM-FILTER DECONTAMINATION — ta16's overlap check in the
+    // regime where the holdout's gram set is too large to broadcast
+    // (production holdouts run 10⁷–10⁸ grams). Three-stage shape:
+    // (1) the holdout grams aggregate DISTRIBUTED into one fixed-size
+    // bloom sketch (BloomFilterAggregate; 128 KiB no matter the
+    // holdout size) — the sketch, not the set, is what ships to
+    // executors; (2) the training corpus streams through a codegen'd
+    // might_contain prefilter, so only true hits plus a spec-bounded
+    // FP residue (Round9OpsSpec asserts the band) ever shuffle; (3) a
+    // deliberately NON-broadcast semi-join against the real gram set
+    // confirms exactly — blooms have no false negatives, so the
+    // confirmed output equals the exact semi-join twin the oracle
+    // runs, and the query hash-gates despite the approximate middle.
+    //
+    // Scale: stage-2 prunes the gram stream from |corpus grams| to
+    // |hits|·(1+ε) before the only wide shuffle; the n_grams recount
+    // touches full text only for the (few) confirmed-contaminated
+    // docs via a broadcast id semi-join. The merge hint pins the
+    // confirm join to shuffle — broadcasting hGrams here would be
+    // cheating the premise (PlanSpec locks the shape).
+    "ta23_bloom_decontaminate" -> ((s, d) => {
+      val (_, train, hitsRaw) = bloomDeconParts(s, d)
+      val hits = hitsRaw
+        .localCheckpoint() // few rows; feeds the id filter AND the report
+      // denominator only for the confirmed-contaminated docs: the
+      // second corpus pass explodes gram arrays solely for id-matched
+      // rows (broadcast semi-join on the tiny confirmed-id list)
+      val counts = deconGramsOf(
+          train.join(broadcast(hits.select("doc_id")), Seq("doc_id"),
+            "left_semi"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      hits.join(counts, Seq("doc_id"))
+        .select("doc_id", "n_grams", "n_hit")
         .orderBy("doc_id")
     }),
 
@@ -987,6 +1063,30 @@ object TextAnalysis {
   }
 
   private[graft] val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+  /** Shared ta23/st17 oracle CTEs (`holdout` → `hg` holdout grams →
+    * `tg` per-train-doc distinct grams) — one fragment for both the
+    * batch and streaming bloom-decontamination oracles, so the two
+    * gates can never drift (the st14–16 shared-builder convention). */
+  private[graft] def deconHoldoutCtes: String =
+    s"""holdout AS (
+       |  SELECT doc_id, text FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $DeconHoldoutN
+       |), hg AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    generate_series(1, len(toks) - ${ContamN - 1}),
+       |    i -> array_to_string(toks[i : i + ${ContamN - 1}], ' '))) AS g
+       |  FROM (SELECT $toksSql AS toks FROM holdout)
+       |  WHERE len(toks) >= $ContamN
+       |), tg AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(toks) - ${ContamN - 1}),
+       |      i -> array_to_string(toks[i : i + ${ContamN - 1}], ' '))) AS g
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM holdout))
+       |    WHERE len(toks) >= $ContamN)
+       |)""".stripMargin
   private def countInSql(words: Seq[String]) =
     s"len(list_filter($toksSql, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 
@@ -1390,6 +1490,15 @@ object TextAnalysis {
          |       * 1000000.0 / count(*) + 0.5) AS BIGINT) AS contam_u6
          |FROM eval_g e LEFT JOIN found f USING (g)
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+
+    "ta23_bloom_decontaminate" ->
+      s"""WITH $deconHoldoutCtes
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(h.g) AS BIGINT) AS n_hit
+         |FROM tg t LEFT JOIN hg h ON t.g = h.g
+         |GROUP BY t.doc_id
+         |HAVING count(h.g) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "ta17_pii_redact" ->
       s"""WITH payload AS (

@@ -222,6 +222,45 @@ object EventStream {
       }.orderBy("doc_id")
     }),
 
+    // st17: the streaming BLOOM decontamination gate — st10's ingest
+    // filter in ta23's large-holdout regime, where the holdout gram
+    // set CANNOT ship as a literal (st10's typedlit is sound only
+    // because its benchmark is fixed-size). Here the stream carries
+    // each arriving doc's grams through the 128 KiB bloom sketch
+    // (a plan literal — the broadcast-of-the-sketch), so the
+    // stream-static confirm join against the real gram set shuffles
+    // only bloom survivors, and the complete-mode per-doc hit count
+    // keeps state for CONFIRMED-contaminated docs only — never
+    // corpus-sized. Blooms have no false negatives and the semi-join
+    // drops every false positive before aggregation, so the stream's
+    // report is EXACT and shares ta23's oracle CTEs (minus the
+    // n_grams denominator, whose full-text recount has no
+    // streaming-legal place).
+    "st17_stream_bloom_decontaminate" -> ((s, d) => {
+      import graft.operators.TextAnalysis.{benchSample, wordNgrams, ContamN, DeconHoldoutN}
+      import graft.functions.{BloomGate, Funcs}
+      val holdout = benchSample(graft.Tables.documents(s, d), DeconHoldoutN)
+        .localCheckpoint() // feeds the id anti-join AND the gram explode
+      val hGrams = holdout
+        .filter(size(Funcs.tokens(col("text"))) >= ContamN)
+        .select(explode(array_distinct(
+          wordNgrams(Funcs.tokens(col("text")), ContamN))).as("g"))
+        .distinct()
+        .localCheckpoint() // feeds the bloom build AND the confirm join
+      val bloom = BloomGate.build(hGrams, xxhash64(col("g")))
+      runDocStream(s, d, "st_bloom_decon", outputMode = "complete") { df =>
+        BloomGate.register(df.sparkSession)
+        val toksC = Funcs.tokens(col("text"))
+        df.join(holdout.select("doc_id"), Seq("doc_id"), "left_anti")
+          .filter(size(toksC) >= ContamN)
+          .select(col("doc_id"), explode(array_distinct(
+            wordNgrams(toksC, ContamN))).as("g"))
+          .filter(BloomGate.mightContain(bloom, xxhash64(col("g"))))
+          .join(hGrams.hint("merge"), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      }.orderBy("doc_id")
+    }),
+
     // st11: streaming HEAVY-HITTER maintenance — a count-min sketch
     // kept live over the document token stream. Like st09 this rests
     // on a merge law: CMS cells combine by plain addition, so the
@@ -622,6 +661,13 @@ object EventStream {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "st17_stream_bloom_decontaminate" ->
+      s"""WITH ${graft.operators.TextAnalysis.deconHoldoutCtes}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |FROM tg WHERE g IN (SELECT g FROM hg)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

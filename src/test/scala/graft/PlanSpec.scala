@@ -482,6 +482,22 @@ class PlanSpec extends AnyFunSuite {
       s"mm10 must not shuffle on any key:\n$p")
   }
 
+  test("ta23 bloom prefilter precedes a non-broadcast confirm join") {
+    // the premise is a holdout gram set too large to broadcast: the
+    // might_contain prefilter must appear (pruning the gram stream
+    // BEFORE the wide join), and the exact confirm must be the
+    // hint-pinned shuffle semi-join — a BroadcastHashJoin on g would
+    // be cheating the premise even though this fixture would allow it.
+    // Asserted on the pre-checkpoint hits frame: the registered
+    // query's localCheckpoint materializes this subtree away.
+    val p = graft.operators.TextAnalysis.bloomDeconParts(spark, d)
+      ._3.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"ta23: expected the bloom prefilter in the plan:\n${p.take(4000)}")
+    assert("""SortMergeJoin.*\bLeftSemi\b""".r.findFirstIn(p).isDefined,
+      s"ta23: expected the shuffle confirm semi-join:\n${p.take(4000)}")
+  }
+
   test("io17 pruned scan reads only candidate shard directories") {
     // the point-lookup path must show directory-level partition
     // pruning on the shard column and broadcast the tiny candidate
