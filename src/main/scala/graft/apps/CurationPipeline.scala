@@ -55,6 +55,7 @@ object CurationPipeline {
           benchN: Int = TextAnalysis.DeconBenchN,
           checkpoint: Option[Dedup.CheckpointStrategy] = None,
           requireEmbeddingCoverage: Boolean = false,
+          alignGateU6: Option[Long] = None,
           onStage: (String, Double) => Unit = (_, _) => ()): Result = {
     // stage attribution (round-6 verdict #1): every stage below
     // already ends in a forcing count, so the deltas between those
@@ -126,10 +127,23 @@ object CurationPipeline {
     // The benchmark gram set broadcasts; the survivor side streams
     // through one semi-join (no corpus shuffle).
     val bench = TextAnalysis.benchSample(docs, benchN).localCheckpoint()
-    val decon = gated
+    val deconBase = gated
       .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(TextAnalysis.contaminatedIds(docs, bench),
         Seq("doc_id"), "left_anti")
+    // 3c. optional CAPTION↔MEDIA ALIGNMENT gate (mm11): survivors
+    // whose caption-alignment score falls below the threshold are
+    // dropped; docs WITHOUT an embedding row pass (the same partial-
+    // coverage contract as stage 5 — absence is audited there, never
+    // a silent drop). One ids-only anti-join against the
+    // oracle-checked mm11 scores.
+    val decon = alignGateU6 match {
+      case Some(th) => deconBase.join(
+        graft.multimodal.Multimodal.alignmentScores(spark, dir)
+          .filter(col("align_u6") < th).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      case None => deconBase
+    }
     // 4. content-stable split assignment (ta09): the digest, not an
     // RNG, decides train/valid/test, so reruns and reshards keep every
     // document's split

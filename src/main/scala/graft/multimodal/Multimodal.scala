@@ -783,10 +783,107 @@ object Multimodal {
         .toDF()
         .withColumn("n_same_hash", count(lit(1)).over(wDup))
         .orderBy("doc_id")
-    })
+    }),
+
+    // mm11: CAPTION↔IMAGE ALIGNMENT — the CLIP-style joint-embedding
+    // gate every multimodal curation pipeline runs between a caption
+    // and its media: score = cosine(text-side vector, image-side
+    // embedding), thresholded to an aligned/misaligned verdict. The
+    // text side here is a deterministic signed hashed bag-of-words
+    // projection of the caption into the embedding's 64 dims (a
+    // text-encoder stand-in the oracle can recompute — a real CLIP
+    // text tower would slot into the same column), the image side is
+    // the embeddings table keyed by the same id. Cosine runs on the
+    // em-family in-order folds (Funcs.dotProduct ≡ dotProductSql),
+    // quantized to micro-units before the verdict so the gate
+    // hash-matches across engines.
+    //
+    // Scale: the caption vector is per-row columnar math (zero
+    // shuffle); the pair join is ONE id-keyed equi-join of two
+    // corpus-sized tables — the shape you'd bucket or pre-pack
+    // (mm07) in production so it co-locates; nothing else shuffles
+    // before the presentation sort.
+    "mm11_caption_alignment" -> ((s, d) =>
+      alignmentScores(s, d).orderBy("doc_id"))
   )
 
+  /** mm11's scoring frame (doc_id, align_u6, aligned) — exposed so
+    * the curation pipeline's opt-in alignment gate filters on the
+    * exact oracle-checked scores. Only id-covered pairs score: a doc
+    * without an embedding row is absent here (the pipeline's partial-
+    * coverage contract — it passes the gate rather than being
+    * invisibly dropped). */
+  private[graft] def alignmentScores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs.{dotProduct, md5Long, tokens}
+    val toks = tokens(col("text"))
+    def dimOf(t: org.apache.spark.sql.Column) = md5Long(t, 7) % AlignDim
+    def pos(t: org.apache.spark.sql.Column) =
+      md5Long(concat(lit("s:"), t), 7) % 2 === 0
+    val tvec = transform(sequence(lit(0), lit(AlignDim - 1)), dd =>
+      (size(filter(toks, t => dimOf(t) === dd && pos(t))) -
+        size(filter(toks, t => dimOf(t) === dd && !pos(t))))
+        .cast("double"))
+    documents(s, d).select(col("doc_id"), tvec.as("tvec"))
+      .join(embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .select(col("doc_id"),
+        dotProduct(col("tvec"), col("tvec")).as("tt"),
+        (dotProduct(col("tvec"), col("embedding")) /
+          (sqrt(dotProduct(col("tvec"), col("tvec"))) *
+            sqrt(dotProduct(col("embedding"), col("embedding")))))
+          .as("cos"))
+      // all-stopword/empty captions have a zero text vector — they
+      // score 0 (misaligned), never NaN
+      .select(col("doc_id"),
+        when(col("tt") === 0.0, lit(0L))
+          .otherwise(floor(col("cos") * 1e6 + 0.5).cast("long"))
+          .as("align_u6"))
+      .withColumn("aligned", col("align_u6") >= AlignThreshU6)
+  }
+
+  /** mm11 text-projection width (matches the embedding table's 64
+    * dims) and the alignment gate threshold in micro-units (0.05 —
+    * for the synthetic corpus this splits the cosine distribution
+    * rather than rubber-stamping either verdict). */
+  private[graft] val AlignDim      = 64
+  private[graft] val AlignThreshU6 = 50000L
+
   val oracles: Map[String, String] = Map(
+    "mm11_caption_alignment" -> {
+      val toksSql = graft.operators.TextAnalysis.toksSql
+      val dot = graft.functions.Funcs.dotProductSql _
+      def dimSql(t: String) =
+        s"('0x' || substr(md5($t), 1, 7))::BIGINT % $AlignDim"
+      def posSql(t: String) =
+        s"('0x' || substr(md5('s:' || $t), 1, 7))::BIGINT % 2 = 0"
+      s"""WITH tv AS (
+         |  SELECT doc_id, list_transform(generate_series(0, ${AlignDim - 1}),
+         |    dd -> CAST(
+         |      len(list_filter(toks, t ->
+         |        ${dimSql("t")} = dd AND ${posSql("t")})) -
+         |      len(list_filter(toks, t ->
+         |        ${dimSql("t")} = dd AND NOT (${posSql("t")})))
+         |      AS DOUBLE)) AS tvec
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+         |), j AS (
+         |  SELECT t.doc_id, t.tvec, e.embedding
+         |  FROM tv t JOIN embeddings e ON e.vec_id = t.doc_id
+         |), sc AS (
+         |  SELECT doc_id,
+         |    ${dot("tvec", "tvec")} AS tt,
+         |    ${dot("tvec", "embedding")} /
+         |      (sqrt(${dot("tvec", "tvec")}) *
+         |       sqrt(${dot("embedding", "embedding")})) AS cos
+         |  FROM j
+         |), u AS (
+         |  SELECT doc_id, CASE WHEN tt = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(cos * 1e6 + 0.5) AS BIGINT) END AS align_u6
+         |  FROM sc
+         |)
+         |SELECT doc_id, align_u6, align_u6 >= $AlignThreshU6 AS aligned
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
     "mm07_modality_pack" -> {
       val toksSql = graft.operators.TextAnalysis.toksSql
       s"""WITH t AS (

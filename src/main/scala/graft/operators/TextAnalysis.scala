@@ -873,6 +873,53 @@ object TextAnalysis {
     // — M×k×8 = 256 cells regardless of corpus size; vectors never
     // move. This is how a production PQ codebook trains at 100 TB:
     // iterate assign/recenter with only cell-sized state shuffling.
+    // em12: PCA SUFFICIENT STATISTICS under the hash gate — the 64×64
+    // covariance feeding ml07's eigensolve, so the one ML fit whose
+    // inputs weren't oracle-pinned now is everywhere except the
+    // eigendecomposition itself (Round9OpsSpec closes that loop too:
+    // breeze eigSym of this matrix reproduces ml07's explained
+    // variance). ONE corpus pass: each vector explodes to its
+    // upper-triangle index pairs (partition-local — the 2080×
+    // blowup never shuffles raw), every product is quantized to
+    // nano-unit longs BEFORE summation (em04's discipline: integer
+    // sums are order-free, so the hash gate holds under any
+    // partitioning), and the per-dim mean sums ride the diagonal
+    // cells of the SAME aggregate — no second pass. The shuffle
+    // carries ≤2080 cells per map partition; the cov closed form
+    // (G_ij − s_i·s_j/n)/(n−1) runs over the 2080-row result with a
+    // broadcast 64-row diagonal join.
+    "em12_pca_suffstats" -> ((s, d) => {
+      val cells = embeddings(s, d)
+        .select(col("embedding").as("e"), posexplode(col("embedding")))
+        .withColumnsRenamed(Map("pos" -> "i", "col" -> "xi"))
+        .select(col("i"), col("xi"), posexplode(col("e")))
+        .withColumnsRenamed(Map("pos" -> "j", "col" -> "xj"))
+        .filter(col("j") >= col("i"))
+        .select(col("i"), col("j"),
+          floor(col("xi").cast("double") * col("xj").cast("double")
+            * 1e9 + 0.5).cast("long").as("q"),
+          floor(col("xi").cast("double") * 1e9 + 0.5).cast("long")
+            .as("xi_q"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n_vecs"), sum("q").as("gram_u9"),
+          sum(when(col("j") === col("i"), col("xi_q"))
+            .otherwise(lit(0L))).as("s_diag_u9"))
+        .localCheckpoint() // feeds the diagonal extract AND the report
+      val diag = cells.filter(col("i") === col("j"))
+        .select(col("i").as("dd"), col("s_diag_u9").as("s_u9"))
+      cells
+        .join(broadcast(diag.withColumnsRenamed(
+          Map("dd" -> "i", "s_u9" -> "si_u9"))), Seq("i"))
+        .join(broadcast(diag.withColumnsRenamed(
+          Map("dd" -> "j", "s_u9" -> "sj_u9"))), Seq("j"))
+        .select(col("i").as("dim_i"), col("j").as("dim_j"),
+          col("n_vecs"), col("gram_u9"),
+          floor(((col("gram_u9") / 1e9 -
+              (col("si_u9") / 1e9) * (col("sj_u9") / 1e9) / col("n_vecs"))
+            / (col("n_vecs") - 1)) * 1e6 + 0.5).cast("long").as("cov_u6"))
+        .orderBy("dim_i", "dim_j")
+    }),
+
     "em04_pq_recenter" -> ((s, d) => {
       val asg = pqAssign(s, d).select(col("vec_id"), col("m"), col("code"))
       val subs = embeddings(s, d)
@@ -1408,6 +1455,36 @@ object TextAnalysis {
         |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
         |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
         |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    "em12_pca_suffstats" ->
+      """WITH pe AS (
+        |  SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT embedding, i, unnest(generate_series(i, len(embedding))) AS j
+        |  FROM pe
+        |), cells AS (
+        |  SELECT i - 1 AS dim_i, j - 1 AS dim_j,
+        |    CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) *
+        |      CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS gram_u9,
+        |    CAST(sum(CASE WHEN i = j THEN
+        |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS s_diag_u9
+        |  FROM pairs GROUP BY 1, 2
+        |), diag AS (
+        |  SELECT dim_i AS dd, s_diag_u9 AS s_u9 FROM cells
+        |  WHERE dim_i = dim_j
+        |)
+        |SELECT c.dim_i, c.dim_j, c.n_vecs, c.gram_u9,
+        |  CAST(floor(((c.gram_u9 / 1e9 -
+        |      (di.s_u9 / 1e9) * (dj.s_u9 / 1e9) / c.n_vecs)
+        |    / (c.n_vecs - 1)) * 1e6 + 0.5) AS BIGINT) AS cov_u6
+        |FROM cells c
+        |JOIN diag di ON di.dd = c.dim_i
+        |JOIN diag dj ON dj.dd = c.dim_j
+        |ORDER BY dim_i, dim_j""".stripMargin,
 
     "em02_int8_quant" ->
       """WITH v AS (

@@ -26,6 +26,22 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(m("compressed_embeddings") == m("after_decontamination"))
   }
 
+  test("alignment gate drops exactly the below-threshold embedded survivors") {
+    val th = graft.multimodal.Multimodal.AlignThreshU6
+    val gatedRun = CurationPipeline.run(spark, d, alignGateU6 = Some(th))
+    val baseIds = result.curated.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val gatedIds = gatedRun.curated.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val misaligned = SparkEntry.queries("mm11_caption_alignment")(spark, d)
+      .filter(!col("aligned")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(gatedIds == baseIds -- misaligned,
+      "aligned-gated corpus must equal the base corpus minus mm11's misaligned ids")
+    assert(gatedIds.size < baseIds.size,
+      "fixture must actually exercise the gate")
+  }
+
   test("strict embedding-coverage mode passes on a fully-embedded corpus") {
     // the opt-in contract must not fire when coverage IS full
     val r = CurationPipeline.run(spark, d, requireEmbeddingCoverage = true)

@@ -52,6 +52,32 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(rate < 0.05, s"bloom FP rate $rate ($nFp/$nNeg) out of band")
   }
 
+  test("em12 covariance eigensolve reproduces ml07's explained variance") {
+    // the sufficient statistics are now hash-gated; this pins the
+    // only un-gated remainder — the eigendecomposition — by solving
+    // em12's (quantized) covariance independently with breeze and
+    // matching ml07's explained-variance ratios. u6 quantization of
+    // 64² entries perturbs eigenvalues well under the 1e-3 band.
+    val rows = q("em12_pca_suffstats").collect()
+    val dims = rows.map(_.getInt(0)).max + 1
+    assert(dims == 64 && rows.length == dims * (dims + 1) / 2)
+    val cov = Array.ofDim[Double](dims, dims)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getLong(4) / 1e6)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val ev = breeze.linalg.eigSym(
+        breeze.linalg.DenseMatrix.tabulate(dims, dims)((i, j) => cov(i)(j)))
+      .eigenvalues.toArray.sorted.reverse
+    val tot = ev.sum
+    val ml07 = q("ml07_pca_variance").collect().map(_.getDouble(1))
+    ev.take(ml07.length).map(_ / tot).zip(ml07).zipWithIndex.foreach {
+      case ((ours, theirs), k) =>
+        assert(math.abs(ours - theirs) < 1e-3,
+          s"component $k: eigensolve $ours vs ml07 $theirs")
+    }
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
