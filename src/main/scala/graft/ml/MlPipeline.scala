@@ -214,7 +214,11 @@ object MlPipeline {
     // ml07: PCA over the embedding vectors — the dimensionality-
     // reduction stage of a training-data pipeline (deterministic SVD,
     // no seed). Reports per-component explained variance; rows-only
-    // check like the other iterative-ML queries.
+    // check — but since round 9 the fit's SUFFICIENT STATISTICS (the
+    // 64×64 covariance) are hash-gated by em12_pca_suffstats, and
+    // Round9OpsSpec eigensolves that matrix to reproduce this query's
+    // explained variance, so only the eigensolve itself is outside
+    // the oracle.
     "ml07_pca_variance" -> ((s, d) => {
       val data = embeddings(s, d)
         .select(array_to_vector(col("embedding")).as("features"))

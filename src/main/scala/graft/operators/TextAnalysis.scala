@@ -80,6 +80,27 @@ object TextAnalysis {
   private[graft] def benchSample(docs: DataFrame, n: Int): DataFrame =
     docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(n)
 
+  /** em12's one-pass Gram/mean aggregate PRE-checkpoint (2080 cells:
+    * i ≤ j, n, Σ nano-unit products, diagonal-riding per-dim sums) —
+    * exposed so PlanSpec can lock the partial-agg-below-the-exchange
+    * shape the registered query's localCheckpoint hides. */
+  private[graft] def pcaCells(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("embedding").as("e"), posexplode(col("embedding")))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "xi"))
+      .select(col("i"), col("xi"), posexplode(col("e")))
+      .withColumnsRenamed(Map("pos" -> "j", "col" -> "xj"))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        floor(col("xi").cast("double") * col("xj").cast("double")
+          * 1e9 + 0.5).cast("long").as("q"),
+        floor(col("xi").cast("double") * 1e9 + 0.5).cast("long")
+          .as("xi_q"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vecs"), sum("q").as("gram_u9"),
+        sum(when(col("j") === col("i"), col("xi_q"))
+          .otherwise(lit(0L))).as("s_diag_u9"))
+
   /** Per-doc distinct word-[[ContamN]]-grams — the gram stream both
     * decontamination passes (ta16 exact, ta23/st17 bloom) run on. */
   private[graft] def deconGramsOf(docs: DataFrame): DataFrame = docs
@@ -889,21 +910,7 @@ object TextAnalysis {
     // (G_ij − s_i·s_j/n)/(n−1) runs over the 2080-row result with a
     // broadcast 64-row diagonal join.
     "em12_pca_suffstats" -> ((s, d) => {
-      val cells = embeddings(s, d)
-        .select(col("embedding").as("e"), posexplode(col("embedding")))
-        .withColumnsRenamed(Map("pos" -> "i", "col" -> "xi"))
-        .select(col("i"), col("xi"), posexplode(col("e")))
-        .withColumnsRenamed(Map("pos" -> "j", "col" -> "xj"))
-        .filter(col("j") >= col("i"))
-        .select(col("i"), col("j"),
-          floor(col("xi").cast("double") * col("xj").cast("double")
-            * 1e9 + 0.5).cast("long").as("q"),
-          floor(col("xi").cast("double") * 1e9 + 0.5).cast("long")
-            .as("xi_q"))
-        .groupBy("i", "j")
-        .agg(count(lit(1)).as("n_vecs"), sum("q").as("gram_u9"),
-          sum(when(col("j") === col("i"), col("xi_q"))
-            .otherwise(lit(0L))).as("s_diag_u9"))
+      val cells = pcaCells(s, d)
         .localCheckpoint() // feeds the diagonal extract AND the report
       val diag = cells.filter(col("i") === col("j"))
         .select(col("i").as("dd"), col("s_diag_u9").as("s_u9"))

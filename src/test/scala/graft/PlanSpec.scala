@@ -498,6 +498,40 @@ class PlanSpec extends AnyFunSuite {
       s"ta23: expected the shuffle confirm semi-join:\n${p.take(4000)}")
   }
 
+  test("em12 gram cells aggregate partially before the one wide exchange") {
+    // the 2080× pair explode must stay partition-local: partial
+    // aggregation below the exchange, no join anywhere in the
+    // corpus-sized stretch (the only joins are the broadcast 64-row
+    // diagonal attaches above the cells aggregate)
+    // the corpus-sided stretch is asserted on the pre-checkpoint
+    // cells frame (the registered query checkpoints it away); the
+    // broadcast diagonal joins on the registered query's final plan
+    val cells = graft.operators.TextAnalysis.pcaCells(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(cells.contains("partial_count"),
+      s"em12: expected map-side partial aggregation:\n${cells.take(3000)}")
+    assert(!cells.contains("Join"),
+      s"em12: no join may touch the corpus-sided gram stream:\n$cells")
+    val p = plan("em12_pca_suffstats")
+    assert(!p.contains("SortMergeJoin"),
+      s"em12: the diagonal joins must broadcast, never shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"em12: expected broadcast diagonal joins:\n$p")
+  }
+
+  test("mm11 shuffles only for the id join and the output sort") {
+    // the caption projection is per-row columnar math; the single
+    // wide op is the doc↔embedding equi-join (the shape you bucket
+    // or pre-pack in production)
+    val p = plan("mm11_caption_alignment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mm11: the pair join must be an equi-join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"mm11: expected at most join+sort exchanges, got $exchanges:\n$p")
+  }
+
   test("io17 pruned scan reads only candidate shard directories") {
     // the point-lookup path must show directory-level partition
     // pruning on the shard column and broadcast the tiny candidate
