@@ -804,17 +804,60 @@ object Multimodal {
     // (mm07) in production so it co-locates; nothing else shuffles
     // before the presentation sort.
     "mm11_caption_alignment" -> ((s, d) =>
-      alignmentScores(s, d).orderBy("doc_id"))
+      alignmentScores(s, d).orderBy("doc_id")),
+
+    // mm12: CROSS-MODAL RETRIEVAL EVAL — recall@k of caption→image
+    // retrieval, the metric that tells you whether mm11's joint space
+    // is good enough to curate with (the CLIP-paper eval): for each
+    // query caption, rank EVERY image embedding by cosine and ask
+    // whether the true pair (vec_id == doc_id) landed in the top k.
+    // The query set is a fixed-SIZE hash-ordered sample (dd05's rule)
+    // so the brute-force pair scan is |queries|×N — LINEAR in the
+    // corpus; each query's rank comes from counting strictly-better
+    // pairs (cos desc, vec_id tie-break) against its own true score —
+    // one aggregate, no global sort or window anywhere. Zero-vector
+    // captions and queries without an embedding row are excluded from
+    // the eval (both engines apply the same rule).
+    "mm12_crossmodal_recall" -> ((s, d) => {
+      import graft.functions.Funcs.dotProduct
+      def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+      val qIds = graft.operators.TextAnalysis
+        .benchSample(documents(s, d), MmEvalN).select("doc_id")
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val qt = captionVecs(s, d)
+        .join(broadcast(qIds), Seq("doc_id"))
+        .filter(dotProduct(col("tvec"), col("tvec")) > 0.0)
+        .join(emb.select(col("vec_id").as("doc_id"),
+          col("embedding").as("true_emb")), Seq("doc_id"))
+        .select(col("doc_id"), col("tvec"),
+          cosC(col("tvec"), col("true_emb")).as("cos_true"))
+        .localCheckpoint() // ≤MmEvalN rows; feeds pair scan + ranks
+      val better = emb.crossJoin(broadcast(qt))
+        .withColumn("cos", cosC(col("tvec"), col("embedding")))
+        .filter(col("cos") > col("cos_true") ||
+          (col("cos") === col("cos_true") && col("vec_id") < col("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_better"))
+      val ranks = qt.select("doc_id")
+        .join(better, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_better"), lit(0L)) + 1).as("rnk"))
+      ranks.select(col("rnk"), explode(typedlit(Seq(1, 5, 10))).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rnk") <= col("k"), 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall_u6",
+          floor(col("n_hit") * lit(1000000.0) / col("n_queries") + 0.5)
+            .cast("long"))
+        .orderBy("k")
+    })
   )
 
-  /** mm11's scoring frame (doc_id, align_u6, aligned) — exposed so
-    * the curation pipeline's opt-in alignment gate filters on the
-    * exact oracle-checked scores. Only id-covered pairs score: a doc
-    * without an embedding row is absent here (the pipeline's partial-
-    * coverage contract — it passes the gate rather than being
-    * invisibly dropped). */
-  private[graft] def alignmentScores(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.Funcs.{dotProduct, md5Long, tokens}
+  /** mm11/mm12's caption projection (doc_id, tvec): the signed hashed
+    * bag-of-words of each caption in the embedding's [[AlignDim]]
+    * dims — per-row columnar math, zero shuffle. */
+  private[graft] def captionVecs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs.{md5Long, tokens}
     val toks = tokens(col("text"))
     def dimOf(t: org.apache.spark.sql.Column) = md5Long(t, 7) % AlignDim
     def pos(t: org.apache.spark.sql.Column) =
@@ -824,6 +867,17 @@ object Multimodal {
         size(filter(toks, t => dimOf(t) === dd && !pos(t))))
         .cast("double"))
     documents(s, d).select(col("doc_id"), tvec.as("tvec"))
+  }
+
+  /** mm11's scoring frame (doc_id, align_u6, aligned) — exposed so
+    * the curation pipeline's opt-in alignment gate filters on the
+    * exact oracle-checked scores. Only id-covered pairs score: a doc
+    * without an embedding row is absent here (the pipeline's partial-
+    * coverage contract — it passes the gate rather than being
+    * invisibly dropped). */
+  private[graft] def alignmentScores(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Funcs.dotProduct
+    captionVecs(s, d)
       .join(embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
       .select(col("doc_id"),
@@ -848,24 +902,35 @@ object Multimodal {
   private[graft] val AlignDim      = 64
   private[graft] val AlignThreshU6 = 50000L
 
+  /** mm12 fixed query-set size (dd05's fixed-SIZE sampling rule: the
+    * eval's pair work stays |queries|×N at any corpus size). */
+  private[graft] val MmEvalN = 64
+
+  /** Shared mm11/mm12 oracle CTE body for the caption projection
+    * (`tv(doc_id, tvec)`) — one fragment so the two queries' text
+    * towers can never drift. */
+  private def captionTvSqlCte: String = {
+    val toksSql = graft.operators.TextAnalysis.toksSql
+    def dimSql(t: String) =
+      s"('0x' || substr(md5($t), 1, 7))::BIGINT % $AlignDim"
+    def posSql(t: String) =
+      s"('0x' || substr(md5('s:' || $t), 1, 7))::BIGINT % 2 = 0"
+    s"""tv AS (
+       |  SELECT doc_id, list_transform(generate_series(0, ${AlignDim - 1}),
+       |    dd -> CAST(
+       |      len(list_filter(toks, t ->
+       |        ${dimSql("t")} = dd AND ${posSql("t")})) -
+       |      len(list_filter(toks, t ->
+       |        ${dimSql("t")} = dd AND NOT (${posSql("t")})))
+       |      AS DOUBLE)) AS tvec
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "mm11_caption_alignment" -> {
-      val toksSql = graft.operators.TextAnalysis.toksSql
       val dot = graft.functions.Funcs.dotProductSql _
-      def dimSql(t: String) =
-        s"('0x' || substr(md5($t), 1, 7))::BIGINT % $AlignDim"
-      def posSql(t: String) =
-        s"('0x' || substr(md5('s:' || $t), 1, 7))::BIGINT % 2 = 0"
-      s"""WITH tv AS (
-         |  SELECT doc_id, list_transform(generate_series(0, ${AlignDim - 1}),
-         |    dd -> CAST(
-         |      len(list_filter(toks, t ->
-         |        ${dimSql("t")} = dd AND ${posSql("t")})) -
-         |      len(list_filter(toks, t ->
-         |        ${dimSql("t")} = dd AND NOT (${posSql("t")})))
-         |      AS DOUBLE)) AS tvec
-         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)
-         |), j AS (
+      s"""WITH $captionTvSqlCte, j AS (
          |  SELECT t.doc_id, t.tvec, e.embedding
          |  FROM tv t JOIN embeddings e ON e.vec_id = t.doc_id
          |), sc AS (
@@ -882,6 +947,44 @@ object Multimodal {
          |)
          |SELECT doc_id, align_u6, align_u6 >= $AlignThreshU6 AS aligned
          |FROM u ORDER BY doc_id""".stripMargin
+    },
+
+    "mm12_crossmodal_recall" -> {
+      val dot = graft.functions.Funcs.dotProductSql _
+      def cosSql(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      s"""WITH $captionTvSqlCte, q AS (
+         |  SELECT t.doc_id, t.tvec
+         |  FROM tv t
+         |  JOIN (SELECT doc_id FROM documents
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |        LIMIT $MmEvalN) s USING (doc_id)
+         |  WHERE ${dot("t.tvec", "t.tvec")} > 0
+         |), qt AS (
+         |  SELECT q.doc_id, q.tvec,
+         |    ${cosSql("q.tvec", "e.embedding")} AS cos_true
+         |  FROM q JOIN embeddings e ON e.vec_id = q.doc_id
+         |), pairs AS (
+         |  SELECT t.doc_id, e.vec_id, t.cos_true,
+         |    ${cosSql("t.tvec", "e.embedding")} AS cos
+         |  FROM qt t CROSS JOIN embeddings e
+         |), better AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_better
+         |  FROM pairs
+         |  WHERE cos > cos_true OR (cos = cos_true AND vec_id < doc_id)
+         |  GROUP BY doc_id
+         |), ranks AS (
+         |  SELECT qt.doc_id, 1 + coalesce(b.n_better, 0) AS rnk
+         |  FROM qt LEFT JOIN better b USING (doc_id)
+         |)
+         |SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(floor(CAST(sum(CASE WHEN rnk <= k THEN 1 ELSE 0 END)
+         |      AS BIGINT) * 1000000.0 / count(*) + 0.5) AS BIGINT)
+         |    AS recall_u6
+         |FROM ranks CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) ks
+         |GROUP BY k ORDER BY k""".stripMargin
     },
 
     "mm07_modality_pack" -> {

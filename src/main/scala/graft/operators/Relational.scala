@@ -657,6 +657,39 @@ object Relational {
         .orderBy("variant")
     }),
 
+    // q41: ROLLING ACTIVE USERS — daily actives plus the 7-day rolling
+    // distinct (DAU/WAU), the engagement readout every product team
+    // tracks. The classic scale trap here is a sliding-window distinct
+    // (per-day self-joins, or a 7-day window state); the scalable
+    // shape is CONTRIBUTION EXPLODE: dedup to (user, day) once, then
+    // each pair contributes to the 7 windows ending on day..day+6 — a
+    // bounded 7× partition-local blowup — and a second distinct counts
+    // each user once per window. Two map-side-combinable exchanges
+    // total, both on keys whose cardinality is |users|×|days|-bounded;
+    // no self-join at any corpus size. The max-day clamp is a 1-row
+    // aggregate (bounded driver collect, q40's pattern).
+    "q41_rolling_active" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint() // feeds the DAU count AND the window explode
+      val maxDay = ud.agg(max("day")).head().getDate(0)
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+        .filter(col("day") <= lit(maxDay))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau_7"))
+      // left from the window side: a day with no direct activity can
+      // still close a window (its trailing 6 days were active)
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau_7"))
+        .orderBy("day")
+    }),
+
     // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
     // conversion: for every purchase, the user's most recent PRECEDING
     // non-purchase event type (view/click/signup/...), 'direct' when
@@ -1232,6 +1265,26 @@ object Relational {
         |FROM u CROSS JOIN f
         |GROUP BY variant, f.theta, f.xbar
         |ORDER BY variant""".stripMargin,
+
+    "q41_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), mx AS (
+        |  SELECT max(day) AS max_day FROM ud
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+        |), w AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+        |  FROM ud
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) s
+        |  CROSS JOIN mx
+        |  WHERE day + CAST(i AS INTEGER) <= max_day
+        |), wau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS wau_7 FROM w GROUP BY day
+        |)
+        |SELECT w.day, coalesce(d.dau, CAST(0 AS BIGINT)) AS dau, w.wau_7
+        |FROM wau w LEFT JOIN dau d USING (day)
+        |ORDER BY day""".stripMargin,
 
     "q38_rfm_segments" ->
       s"""WITH mx AS (

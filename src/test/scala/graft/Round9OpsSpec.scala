@@ -78,6 +78,45 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q41 rolling window equals a per-day direct recompute") {
+    val rows = q("q41_rolling_active").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    val ud = graft.Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val allDays = ud.map(_._2).distinct
+    rows.foreach { case (daySql, dau, wau) =>
+      val day = daySql.toLocalDate
+      // the window explode must agree with the obvious O(days²) rule
+      val expectWau = ud.filter { case (_, ad) =>
+        !ad.isAfter(day) && ad.isAfter(day.minusDays(7))
+      }.map(_._1).distinct.size
+      val expectDau = ud.filter(_._2 == day).map(_._1).distinct.size
+      assert(dau == expectDau && wau == expectWau,
+        s"$day: got ($dau, $wau), expected ($expectDau, $expectWau)")
+      assert(wau >= dau)
+    }
+    assert(rows.map(_._1.toLocalDate).toSet == allDays.toSet ||
+      rows.length >= allDays.size,
+      "every day up to the max must close a window")
+  }
+
+  test("mm12 recall is monotone in k over the declared query set") {
+    val rows = q("mm12_crossmodal_recall").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 5, 10))
+    val nq = rows.map(_._2).distinct
+    assert(nq.size == 1 && nq.head > 0 &&
+      nq.head <= graft.multimodal.Multimodal.MmEvalN)
+    val hits = rows.map(_._3)
+    assert(hits.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone in k: ${hits.toSeq}")
+    rows.foreach { case (_, n, h, u6) =>
+      assert(h <= n && u6 == math.floor(h * 1e6 / n + 0.5).toLong)
+    }
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
