@@ -806,6 +806,11 @@ object Multimodal {
     "mm11_caption_alignment" -> ((s, d) =>
       alignmentScores(s, d).orderBy("doc_id")),
 
+    // NOTE on the fixture: the synthetic embeddings carry no semantic
+    // relationship to the captions, so measured recall sits at chance
+    // (~k/N — Round9OpsSpec asserts the structural laws instead). The
+    // operator's value is the harness: point it at a real joint space
+    // and the same plan measures it.
     // mm12: CROSS-MODAL RETRIEVAL EVAL — recall@k of caption→image
     // retrieval, the metric that tells you whether mm11's joint space
     // is good enough to curate with (the CLIP-paper eval): for each
@@ -820,21 +825,45 @@ object Multimodal {
     // the eval (both engines apply the same rule).
     "mm12_crossmodal_recall" -> ((s, d) => {
       import graft.functions.Funcs.dotProduct
-      def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
+      graft.functions.VecDot.register(s)
+      // the caption projection runs over the QUERY SAMPLE only — the
+      // id semi-join goes below the (expensive) tvec projection by
+      // construction, since Catalyst won't reorder a join under a
+      // computed project on its own
       val qIds = graft.operators.TextAnalysis
         .benchSample(documents(s, d), MmEvalN).select("doc_id")
-      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val qt = captionVecs(s, d)
-        .join(broadcast(qIds), Seq("doc_id"))
+      // per-vector norms precomputed ONCE (the dd06 lesson: 1 fold
+      // per pair instead of 3); float-array tvec so the pair fold
+      // runs the native vec_dot — counts are small integers, exact
+      // in float, so the doubles are bit-identical to the composable
+      // form the oracle mirrors
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotProduct(col("embedding"), col("embedding"))).as("enorm"))
+        .localCheckpoint() // small; read by the true-pair join AND pairs
+      val qt = captionVecsOf(
+          documents(s, d).join(broadcast(qIds), Seq("doc_id")))
+        // materialization barrier on the ≤MmEvalN-row caption frame:
+        // without it CollapseProject inlines the tds/tvec expression
+        // into the tt filter + tvec_f + tnorm references below and
+        // re-runs the per-token hashing ~130× (measured 99 s at
+        // sf0.1; mm11 is protected by its join barrier instead)
+        .localCheckpoint()
         .filter(dotProduct(col("tvec"), col("tvec")) > 0.0)
+        .select(col("doc_id"),
+          transform(col("tvec"), x => x.cast("float")).as("tvec_f"),
+          sqrt(dotProduct(col("tvec"), col("tvec"))).as("tnorm"))
         .join(emb.select(col("vec_id").as("doc_id"),
-          col("embedding").as("true_emb")), Seq("doc_id"))
-        .select(col("doc_id"), col("tvec"),
-          cosC(col("tvec"), col("true_emb")).as("cos_true"))
+          col("embedding").as("true_emb"), col("enorm").as("true_enorm")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("tvec_f"), col("tnorm"),
+          (call_function("vec_dot", col("tvec_f"), col("true_emb")) /
+            (col("tnorm") * col("true_enorm"))).as("cos_true"))
         .localCheckpoint() // ≤MmEvalN rows; feeds pair scan + ranks
       val better = emb.crossJoin(broadcast(qt))
-        .withColumn("cos", cosC(col("tvec"), col("embedding")))
+        .withColumn("cos",
+          call_function("vec_dot", col("tvec_f"), col("embedding")) /
+            (col("tnorm") * col("enorm")))
         .filter(col("cos") > col("cos_true") ||
           (col("cos") === col("cos_true") && col("vec_id") < col("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_better"))
@@ -855,18 +884,25 @@ object Multimodal {
 
   /** mm11/mm12's caption projection (doc_id, tvec): the signed hashed
     * bag-of-words of each caption in the embedding's [[AlignDim]]
-    * dims — per-row columnar math, zero shuffle. */
-  private[graft] def captionVecs(s: SparkSession, d: String): DataFrame = {
+    * dims — per-row columnar math, zero shuffle. The per-token
+    * (dim, sign) hashes are materialized ONCE in their own projection
+    * (the em02 lesson: Catalyst does not CSE non-cheap aliases across
+    * collapsed projects — inlining the md5s into the 2×[[AlignDim]]
+    * filter lambdas re-hashed every token 128×, which measured 23 s
+    * instead of ~2 s at sf0.1); the per-dim counting passes then run
+    * over a tiny int/bool struct array. */
+  private[graft] def captionVecsOf(docs: DataFrame): DataFrame = {
     import graft.functions.Funcs.{md5Long, tokens}
-    val toks = tokens(col("text"))
-    def dimOf(t: org.apache.spark.sql.Column) = md5Long(t, 7) % AlignDim
-    def pos(t: org.apache.spark.sql.Column) =
-      md5Long(concat(lit("s:"), t), 7) % 2 === 0
-    val tvec = transform(sequence(lit(0), lit(AlignDim - 1)), dd =>
-      (size(filter(toks, t => dimOf(t) === dd && pos(t))) -
-        size(filter(toks, t => dimOf(t) === dd && !pos(t))))
-        .cast("double"))
-    documents(s, d).select(col("doc_id"), tvec.as("tvec"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => struct(
+        (md5Long(t, 7) % AlignDim).as("dd"),
+        (md5Long(concat(lit("s:"), t), 7) % 2 === 0).as("p"))).as("tds"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(AlignDim - 1)), dd =>
+          (size(filter(col("tds"), x => x("dd") === dd && x("p"))) -
+            size(filter(col("tds"), x => x("dd") === dd && !x("p"))))
+            .cast("double")).as("tvec"))
   }
 
   /** mm11's scoring frame (doc_id, align_u6, aligned) — exposed so
@@ -877,7 +913,7 @@ object Multimodal {
     * invisibly dropped). */
   private[graft] def alignmentScores(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Funcs.dotProduct
-    captionVecs(s, d)
+    captionVecsOf(documents(s, d))
       .join(embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
       .select(col("doc_id"),
