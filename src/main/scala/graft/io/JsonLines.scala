@@ -392,6 +392,55 @@ object JsonLines {
         .orderBy("event_type")
     }),
 
+    // io19: MERGE / UPSERT (CDC apply) — the write-side core of every
+    // lakehouse (Delta MERGE INTO, Iceberg upsert, Hudi): a snapshot
+    // plus one CDC batch of deletes/updates/inserts becomes the next
+    // snapshot, published through the io09 marker swap so readers
+    // flip atomically. The scalable merge shape is NOT a full outer
+    // join: survivors = base ANTI-JOIN cdc keys (the only wide op —
+    // broadcast here because a CDC batch is small relative to the
+    // base by nature; at copy-on-write scale the same key set first
+    // prunes to the files that contain matches) unioned with the
+    // already-final CDC rows. The CDC batch is derived
+    // deterministically from the base (delete doc_id%11=3, revise
+    // text for %7=0, ingest a +1e6-keyed revision for %13=1), so the
+    // oracle replays the merge relationally and the per-lang
+    // counts + text-md5 checksums prove delete/update/insert
+    // semantics byte-exactly THROUGH the on-disk snapshot (the query
+    // reads back what it published, never its in-memory frames).
+    "io19_merge_upsert" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val root = stagingDir("merge_upsert")
+      documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$root/snap0")
+      val base = s.read.parquet(s"$root/snap0")
+      val dels = base.filter(col("doc_id") % 11 === 3).select("doc_id")
+      val upds = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 3)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val ins = base.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("ingested revision of "),
+            col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val cdcRows = upds.unionByName(ins)
+      val cdcKeys = dels.unionByName(cdcRows.select("doc_id"))
+      val merged = base
+        .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+        .unionByName(cdcRows)
+      merged.write.mode("overwrite").parquet(s"$root/snap1")
+      Commit.writeMarker(s, s"$root/_SNAPSHOT", "snap1")
+      val snap = s.read.parquet(
+        s"$root/" + Commit.readMarker(s, s"$root/_SNAPSHOT"))
+      snap.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("lang")
+    }),
+
     // io15: PARTITION-SCHEME EVOLUTION — the migration every
     // long-lived table eventually runs: history was laid out under
     // one partitioning (here by event_type — fine when queries were
@@ -958,6 +1007,31 @@ object JsonLines {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events WHERE event_id % 3 IN (1, 2)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "io19_merge_upsert" ->
+      """WITH dels AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 = 3
+        |), upds AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, lang, source
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |), ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'ingested revision of ' || CAST(doc_id AS VARCHAR) AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 13 = 1
+        |), cdc AS (
+        |  SELECT * FROM upds UNION ALL SELECT * FROM ins
+        |), merged AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+        |    AND doc_id NOT IN (SELECT doc_id FROM cdc)
+        |  UNION ALL SELECT * FROM cdc
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
 
     "io15_layout_migration" ->
       """WITH b AS (

@@ -117,6 +117,34 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("io19 merged snapshot obeys delete/update/insert law key-by-key") {
+    q("io19_merge_upsert").collect() // publishes the snapshot
+    val root = graft.io.JsonLines.stagingDir("merge_upsert")
+    val snap = spark.read.parquet(
+      s"$root/" + graft.io.Commit.readMarker(spark, s"$root/_SNAPSHOT"))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byKey = snap.groupBy(_._1)
+    assert(byKey.values.forall(_.length == 1), "keys must be unique")
+    val baseIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val m = snap.toMap
+    baseIds.foreach { id =>
+      if (id % 11 == 3) assert(!m.contains(id), s"deleted $id survived")
+      else {
+        assert(m.contains(id), s"kept row $id vanished")
+        if (id % 7 == 0) assert(m(id).endsWith(" [rev2]"),
+          s"update $id not applied")
+        else assert(!m(id).endsWith(" [rev2]"), s"spurious update on $id")
+        if (id % 13 == 1) assert(
+          m.get(id + 1000000L).contains(s"ingested revision of $id"),
+          s"insert for $id missing")
+      }
+    }
+    assert(m.keySet.forall(k =>
+      baseIds.contains(k) || baseIds.contains(k - 1000000L)),
+      "no phantom keys")
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
