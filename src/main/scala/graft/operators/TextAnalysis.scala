@@ -51,6 +51,13 @@ object TextAnalysis {
     * corpus-relative fraction. */
   private[graft] val TokenBudget = 20000L
 
+  /** ta24's global mixture budget, split across sources by weight
+    * (same absolute-budget reasoning as [[TokenBudget]]). Sized so
+    * the per-source budgets actually BIND on the fixture — at 40k
+    * every weight-2/3 source kept all its docs and the mixture was
+    * vacuous. */
+  private[graft] val MixBudget = 20000L
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -720,6 +727,49 @@ object TextAnalysis {
         .groupBy("doc_id", "bucket")
         .agg(count(lit(1)).as("tf"), sum("sign").as("value"))
         .orderBy("doc_id", "bucket")
+    }),
+
+    // ta24: MIXTURE-WEIGHTED SELECTION — the data-mixing step that
+    // turns "one big pile" into a training mixture (the Pile/DoReMi
+    // shape): each source gets a weight, the global token budget
+    // splits proportionally (integer arithmetic, so both engines
+    // agree exactly), and within a source docs fill the budget in
+    // deterministic hash order (ta13's salted-hash rule — no RNG, so
+    // reruns and reshards pick the same mixture). Weights here are a
+    // deterministic md5 stand-in for the curator's table; a real
+    // mixture config joins in the same place. Output is the
+    // per-source audit (weight, budget, picked docs/tokens) — the
+    // sheet a data lead signs off before a run.
+    //
+    // Scale: one corpus pass for (doc, source, n_tokens); the window
+    // runs per-source ordered by hash — at 100 TB the ta13
+    // hash-threshold pre-filter bounds each source's window input
+    // without changing the answer; budgets/weights are a
+    // |sources|-row broadcast.
+    "ta24_mixture_select" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val weights = base.select("source").distinct()
+        .withColumn("weight", md5Long(col("source"), 7) % 3 + 1)
+        .localCheckpoint() // |sources| rows; feeds the total AND budgets
+      val tot = weights.agg(sum("weight")).head().getLong(0)
+      val budgets = weights.withColumn("budget_tokens",
+        expr(s"($MixBudget * weight) div $tot"))
+      val selAgg = base.join(broadcast(budgets), Seq("source"))
+        .withColumn("doccum", sum("n_tokens").over(
+          w.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+            .rowsBetween(w.unboundedPreceding, 0)))
+        .where(col("doccum") <= col("budget_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sel_tokens"))
+      budgets.join(selAgg, Seq("source"), "left")
+        .select(col("source"), col("weight"), col("budget_tokens"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+        .orderBy("source")
     }),
 
     "ta19_budget_select" -> ((s, d) => {
@@ -1666,6 +1716,41 @@ object TextAnalysis {
          |FROM tok
          |GROUP BY 1, 2
          |ORDER BY doc_id, bucket""".stripMargin,
+
+    "ta24_mixture_select" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), wts AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5(source), 1, 7))::BIGINT % 3 + 1 AS weight
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |), tot AS (
+         |  SELECT sum(weight) AS tw FROM wts
+         |), b AS (
+         |  SELECT source, weight, ($MixBudget * weight) // tw
+         |    AS budget_tokens
+         |  FROM wts CROSS JOIN tot
+         |), sel AS (
+         |  SELECT source, n_tokens FROM (
+         |    SELECT base.source, n_tokens, budget_tokens,
+         |      sum(n_tokens) OVER (PARTITION BY base.source
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        AS doccum
+         |    FROM base JOIN b USING (source))
+         |  WHERE doccum <= budget_tokens
+         |), agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sel_tokens
+         |  FROM sel GROUP BY source
+         |)
+         |SELECT b.source, CAST(b.weight AS BIGINT) AS weight,
+         |  CAST(b.budget_tokens AS BIGINT) AS budget_tokens,
+         |  coalesce(a.n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         |  coalesce(a.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
+         |FROM b LEFT JOIN agg a USING (source)
+         |ORDER BY source""".stripMargin,
 
     "ta19_budget_select" ->
       s"""WITH q AS (

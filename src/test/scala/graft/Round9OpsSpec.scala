@@ -145,6 +145,37 @@ class Round9OpsSpec extends AnyFunSuite {
       "no phantom keys")
   }
 
+  test("ta24 mixture honors per-source budgets and the greedy-prefix rule") {
+    import graft.operators.TextAnalysis.MixBudget
+    val rows = q("ta24_mixture_select").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val totW = rows.map(_._2).sum
+    rows.foreach { case (src, wgt, budget, nDocs, selTok) =>
+      assert(budget == MixBudget * wgt / totW, s"$src budget drifted")
+      assert(selTok <= budget, s"$src overspent: $selTok > $budget")
+      assert(nDocs >= 0 && wgt >= 1 && wgt <= 3)
+    }
+    // greedy-prefix: adding the next hash-ordered doc of any source
+    // must overflow its budget (otherwise the selection under-filled)
+    val perDoc = docs
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.Funcs.tokens(col("text"))).cast("long")
+          .as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (src, _, budget, nDocs, selTok) =>
+      val ordered = perDoc.filter(_._1 == src)
+        .sortBy { case (_, id, _) => (md5hex(id.toString), id) }
+      if (nDocs < ordered.length) {
+        val next = ordered(nDocs.toInt)._3
+        assert(selTok + next > budget,
+          s"$src under-filled: could still take ${ordered(nDocs.toInt)}")
+      }
+    }
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
