@@ -583,6 +583,92 @@ object EventStream {
         .orderBy("day", "event_type")
     }),
 
+    // st18: STREAMING UPSERT SINK — io19's MERGE applied per
+    // microbatch through foreachBatch, the way a lakehouse actually
+    // ingests CDC (st12 is the append-only half of this story; this
+    // is the keyed half). Three staged slices re-deliver overlapping
+    // keys at different VERSIONS (full load, a rev2 wave, a rev3 wave
+    // + inserts); each batch merges into the current snapshot by
+    // keep-max-version-per-key and publishes via the marker swap.
+    // Version-max is associative and commutative, so the final table
+    // is deterministic under ANY batch grouping or arrival order —
+    // the out-of-order-CDC property a last-write-wins sink lacks, and
+    // the reason the oracle can state the final text per key in
+    // closed form. Replayed batches converge (merging the same rows
+    // again changes nothing), so at-least-once delivery × idempotent
+    // merge = exactly-once state, st12's law at the row level.
+    //
+    // Scale: per batch ONE keyed merge exchange over snapshot∪batch
+    // (copy-on-write; production prunes to matched files first, io19)
+    // and the audit reads the PUBLISHED snapshot.
+    "st18_stream_upsert" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_upsert").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs0 = graft.Tables.documents(ss, d)
+        .select("doc_id", "text", "lang", "source")
+      val b0 = docs0.withColumn("version", lit(1L))
+      val b1 = docs0.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("version", lit(2L))
+      val b2 = docs0.filter(col("doc_id") % 21 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev3]")))
+        .withColumn("version", lit(3L))
+        .unionByName(docs0.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("ingested revision of "),
+              col("doc_id").cast("string")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("version", lit(1L)))
+      Seq(b0, b1, b2).foreach(
+        _.coalesce(1).write.mode("append").parquet(s"$root/src"))
+      val out = s"$root/tbl"
+      var batches = 0
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(b0.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            val marker = s"$out/_SNAPSHOT"
+            val cur =
+              if (graft.io.Commit.exists(ss, marker))
+                ss.read.parquet(s"$out/" + graft.io.Commit.readMarker(ss, marker))
+              else ss.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+            cur.unionByName(df)
+              .groupBy("doc_id")
+              .agg(max_by(
+                struct(col("doc_id"), col("text"), col("lang"),
+                  col("source"), col("version")), col("version")).as("r"))
+              .select("r.*")
+              .write.mode("overwrite").parquet(s"$out/snap$id")
+            graft.io.Commit.writeMarker(ss, marker, s"snap$id")
+            batches += 1
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 2, s"expected multiple merge batches, got $batches")
+      val snap = s.read.parquet(
+        s"$out/" + graft.io.Commit.readMarker(s, s"$out/_SNAPSHOT"))
+      snap.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("lang")
+    }),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -661,6 +747,24 @@ object EventStream {
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "st18_stream_upsert" ->
+      """WITH final AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 21 = 0 THEN text || ' [rev3]'
+        |         WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+        |         ELSE text END AS text,
+        |    lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'ingested revision of ' || CAST(doc_id AS VARCHAR), lang
+        |  FROM documents WHERE doc_id % 13 = 1
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
 
     "st17_stream_bloom_decontaminate" ->
       s"""WITH ${graft.operators.TextAnalysis.deconHoldoutCtes}

@@ -176,6 +176,37 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st18 snapshot is order-independent and replay-idempotent") {
+    q("st18_stream_upsert").collect() // publishes the snapshot
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_upsert").toString
+    val out = s"$root/tbl"
+    val snap = spark.read.parquet(
+      s"$out/" + graft.io.Commit.readMarker(spark, s"$out/_SNAPSHOT"))
+    val got = snap.select("doc_id", "text", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // one-shot merge of ALL staged slices (a different batch grouping
+    // than the stream's 1-file batches) must produce the same table —
+    // the associativity/commutativity claim made in the doc comment
+    val all = spark.read.parquet(s"$root/src")
+    val oneShot = all.groupBy("doc_id")
+      .agg(max_by(struct(col("doc_id"), col("text"), col("version")),
+        col("version")).as("r"))
+      .select("r.*").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == oneShot, "stream merge diverges from one-shot merge")
+    // replay: merging any staged slice into the final snapshot again
+    // must change nothing
+    val replayed = snap.select("doc_id", "text", "lang", "source", "version")
+      .unionByName(all.filter(col("version") === 2L))
+      .groupBy("doc_id")
+      .agg(max_by(struct(col("doc_id"), col("text"), col("version")),
+        col("version")).as("r"))
+      .select("r.*").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(replayed == got, "replay must be a no-op")
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
