@@ -57,6 +57,37 @@ object JsonLines {
   private[graft] def stagingDir(format: String): String =
     stagingRoot.resolve(format).toString
 
+  /** io19's staged base + CDC derivation + merge frame PRE-write —
+    * exposed so PlanSpec can lock the anti-join∪union merge shape
+    * that the published snapshot's parquet barrier hides from the
+    * registered query's final plan. Returns (merged, root). */
+  private[graft] def mergeUpsertFrame(s: SparkSession, d: String)
+      : (DataFrame, String) = {
+    import org.apache.spark.sql.functions._
+    val root = stagingDir("merge_upsert")
+    graft.Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/snap0")
+    val base = s.read.parquet(s"$root/snap0")
+    val dels = base.filter(col("doc_id") % 11 === 3).select("doc_id")
+    val upds = base
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 3)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ins = base.filter(col("doc_id") % 13 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ingested revision of "),
+          col("doc_id").cast("string")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cdcRows = upds.unionByName(ins)
+    val cdcKeys = dels.unionByName(cdcRows.select("doc_id"))
+    val merged = base
+      .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+      .unionByName(cdcRows)
+    (merged, root)
+  }
+
   /** Null sentinel for the CSV round trip. CSV has no native null: by
     * default Spark writes null as an empty field AND reads empty
     * fields back as null, which conflates null with the empty string.
@@ -410,26 +441,7 @@ object JsonLines {
     // reads back what it published, never its in-memory frames).
     "io19_merge_upsert" -> ((s, d) => {
       import graft.functions.Funcs.md5Long
-      val root = stagingDir("merge_upsert")
-      documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$root/snap0")
-      val base = s.read.parquet(s"$root/snap0")
-      val dels = base.filter(col("doc_id") % 11 === 3).select("doc_id")
-      val upds = base
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 3)
-        .withColumn("text", concat(col("text"), lit(" [rev2]")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      val ins = base.filter(col("doc_id") % 13 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(lit("ingested revision of "),
-            col("doc_id").cast("string")).as("text"),
-          col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      val cdcRows = upds.unionByName(ins)
-      val cdcKeys = dels.unionByName(cdcRows.select("doc_id"))
-      val merged = base
-        .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
-        .unionByName(cdcRows)
+      val (merged, root) = mergeUpsertFrame(s, d)
       merged.write.mode("overwrite").parquet(s"$root/snap1")
       Commit.writeMarker(s, s"$root/_SNAPSHOT", "snap1")
       val snap = s.read.parquet(

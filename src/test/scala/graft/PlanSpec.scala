@@ -532,6 +532,22 @@ class PlanSpec extends AnyFunSuite {
       s"mm11: expected at most join+sort exchanges, got $exchanges:\n$p")
   }
 
+  test("io19 merge is an anti-join + union, never a full outer join") {
+    // the scalable MERGE shape: survivors come from ONE broadcast
+    // anti-join on the cdc key set; a FullOuter (or shuffled) join
+    // here is the classic merge scale-killer. Asserted on the
+    // pre-write frame — the registered query's published-snapshot
+    // barrier hides the merge subtree from its final plan.
+    val p = graft.io.JsonLines.mergeUpsertFrame(spark, d)
+      ._1.queryExecution.executedPlan.toString
+    assert(!p.contains("FullOuter"),
+      s"io19: merge must not full-outer join:\n$p")
+    assert("""BroadcastHashJoin.*\bLeftAnti\b""".r.findFirstIn(p).isDefined,
+      s"io19: expected the broadcast anti-join on cdc keys:\n$p")
+    assert(p.contains("Union"),
+      s"io19: expected survivors ∪ cdc rows:\n$p")
+  }
+
   test("io17 pruned scan reads only candidate shard directories") {
     // the point-lookup path must show directory-level partition
     // pruning on the shard column and broadcast the tiny candidate
