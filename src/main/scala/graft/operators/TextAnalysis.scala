@@ -51,6 +51,12 @@ object TextAnalysis {
     * corpus-relative fraction. */
   private[graft] val TokenBudget = 20000L
 
+  /** em13's drift alarm threshold in milli-z units: 2.576σ ≈ two-sided
+    * p < 0.01 — on 64 independent null dims ~0.6 flags by chance, so
+    * a quiet corpus shows a near-empty page and a real shift lights
+    * its dims. */
+  private[graft] val DriftThreshU3 = 2576L
+
   /** ta24's global mixture budget, split across sources by weight
     * (same absolute-budget reasoning as [[TokenBudget]]). Sized so
     * the per-source budgets actually BIND on the fixture — at 40k
@@ -944,6 +950,57 @@ object TextAnalysis {
     // — M×k×8 = 256 cells regardless of corpus size; vectors never
     // move. This is how a production PQ codebook trains at 100 TB:
     // iterate assign/recenter with only cell-sized state shuffling.
+    // em13: EMBEDDING DRIFT MONITOR — the production check that runs
+    // between every embedding backfill and the index it feeds: did
+    // the distribution move? Two cohorts (vec_id parity here — the
+    // deterministic stand-in for yesterday/today ingestion windows),
+    // per-dimension Welch z-score of the mean shift, and a flagged
+    // verdict at |z| ≥ 2.576 (p < 0.01 two-sided). All sufficient
+    // statistics are micro-unit integer sums (em12's discipline:
+    // order-free under any partitioning, so the z-scores hash-gate);
+    // the z arithmetic runs on the 64-row aggregate with a
+    // zero-variance guard so a constant dimension reports z = 0, not
+    // NaN, in both engines.
+    //
+    // Scale: ONE corpus pass, one (dim)-keyed aggregate with
+    // map-side partials — 64 cells per partition no matter the
+    // corpus; the monitor's cost is a scan, its output a page.
+    "em13_drift_monitor" -> ((s, d) => {
+      val agg = embeddings(s, d)
+        .select((col("vec_id") % 2 === 0).as("a"),
+          posexplode(col("embedding")))
+        .withColumnsRenamed(Map("pos" -> "dim", "col" -> "x"))
+        .select(col("a"), col("dim"),
+          floor(col("x").cast("double") * 1e6 + 0.5).cast("long").as("xq"))
+        .groupBy("dim").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("a"), col("xq")).otherwise(0L)).as("sa"),
+          sum(when(!col("a"), col("xq")).otherwise(0L)).as("sb"),
+          sum(when(col("a"), col("xq") * col("xq")).otherwise(0L)).as("qa"),
+          sum(when(!col("a"), col("xq") * col("xq")).otherwise(0L)).as("qb"))
+      agg
+        .select(col("dim"), col("n_a"), col("n_b"),
+          col("qa"), col("qb"),
+          (col("sa") / 1e6 / col("n_a")).as("ma"),
+          (col("sb") / 1e6 / col("n_b")).as("mb"))
+        .select(col("dim"), col("n_a"), col("n_b"), col("ma"), col("mb"),
+          ((col("qa") / 1e12 - col("n_a") * col("ma") * col("ma"))
+            / (col("n_a") - 1)).as("va"),
+          ((col("qb") / 1e12 - col("n_b") * col("mb") * col("mb"))
+            / (col("n_b") - 1)).as("vb"))
+        .select(col("dim"),
+          floor(col("ma") * 1e6 + 0.5).cast("long").as("mean_a_u6"),
+          floor(col("mb") * 1e6 + 0.5).cast("long").as("mean_b_u6"),
+          when(col("va") / col("n_a") + col("vb") / col("n_b") === 0.0,
+            lit(0L))
+            .otherwise(floor(abs(col("ma") - col("mb")) /
+              sqrt(col("va") / col("n_a") + col("vb") / col("n_b"))
+              * 1000 + 0.5).cast("long")).as("z_u3"))
+        .withColumn("drifted", col("z_u3") >= DriftThreshU3)
+        .orderBy("dim")
+    }),
+
     // em12: PCA SUFFICIENT STATISTICS under the hash gate — the 64×64
     // covariance feeding ml07's eigensolve, so the one ML fit whose
     // inputs weren't oracle-pinned now is everywhere except the
@@ -1512,6 +1569,47 @@ object TextAnalysis {
         |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
         |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
         |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    "em13_drift_monitor" ->
+      s"""WITH pe AS (
+         |  SELECT vec_id % 2 = 0 AS a, i - 1 AS dim,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT) AS xq
+         |  FROM (SELECT vec_id, embedding,
+         |        unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings)
+         |), agg AS (
+         |  SELECT dim,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN a THEN xq ELSE 0 END) AS BIGINT) AS sa,
+         |    CAST(sum(CASE WHEN NOT a THEN xq ELSE 0 END) AS BIGINT) AS sb,
+         |    CAST(sum(CASE WHEN a THEN xq * xq ELSE 0 END) AS BIGINT) AS qa,
+         |    CAST(sum(CASE WHEN NOT a THEN xq * xq ELSE 0 END) AS BIGINT)
+         |      AS qb
+         |  FROM pe GROUP BY dim
+         |), means AS (
+         |  SELECT dim, n_a, n_b, qa, qb,
+         |    sa / 1e6 / n_a AS ma, sb / 1e6 / n_b AS mb
+         |  FROM agg
+         |), vars AS (
+         |  SELECT dim, n_a, n_b, ma, mb,
+         |    (qa / 1e12 - n_a * ma * ma) / (n_a - 1) AS va,
+         |    (qb / 1e12 - n_b * mb * mb) / (n_b - 1) AS vb
+         |  FROM means
+         |), z AS (
+         |  SELECT dim,
+         |    CAST(floor(ma * 1e6 + 0.5) AS BIGINT) AS mean_a_u6,
+         |    CAST(floor(mb * 1e6 + 0.5) AS BIGINT) AS mean_b_u6,
+         |    CASE WHEN va / n_a + vb / n_b = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(abs(ma - mb) /
+         |        sqrt(va / n_a + vb / n_b) * 1000 + 0.5) AS BIGINT)
+         |    END AS z_u3
+         |  FROM vars
+         |)
+         |SELECT dim, mean_a_u6, mean_b_u6, z_u3,
+         |  z_u3 >= $DriftThreshU3 AS drifted
+         |FROM z ORDER BY dim""".stripMargin,
 
     "em12_pca_suffstats" ->
       """WITH pe AS (

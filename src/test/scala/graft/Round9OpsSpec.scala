@@ -207,6 +207,36 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(replayed == got, "replay must be a no-op")
   }
 
+  test("em13 z-scores match a direct Welch recompute") {
+    import graft.operators.TextAnalysis.DriftThreshU3
+    val rows = q("em13_drift_monitor").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 64)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rows.foreach { case (dim, ma6, mb6, z3, drifted) =>
+      def cohort(p: Long) = vecs.filter(_._1 % 2 == p)
+        .map(v => math.floor(v._2(dim).toDouble * 1e6 + 0.5) / 1e6)
+      val (a, b) = (cohort(0), cohort(1))
+      def mean(x: Array[Double]) = x.sum / x.length
+      def varOf(x: Array[Double]) = {
+        val m = mean(x)
+        x.map(v => (v - m) * (v - m)).sum / (x.length - 1)
+      }
+      val z = math.abs(mean(a) - mean(b)) /
+        math.sqrt(varOf(a) / a.length + varOf(b) / b.length)
+      assert(math.abs(z * 1000 - z3) <= 1.0,
+        s"dim $dim: z recompute ${z * 1000} vs $z3")
+      assert(drifted == (z3 >= DriftThreshU3))
+      assert(math.abs(mean(a) * 1e6 - ma6) <= 1.0 &&
+        math.abs(mean(b) * 1e6 - mb6) <= 1.0)
+    }
+    assert(rows.count(_._5) <= 5,
+      "a quiet corpus must not light up the drift page")
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
