@@ -586,6 +586,69 @@ object Relational {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // q42: EXPERIMENT POWER ANALYSIS — q40's planning-side twin: how
+    // many users per variant does the next experiment need, with and
+    // without CUPED? Classic two-sample formula n = 2·(z_α/2+z_β)²·
+    // σ²/Δ² at α=0.05 / power 0.80, MDE = 2% of the metric mean;
+    // CUPED's row multiplies σ² by (1−ρ²), turning q40's variance
+    // reduction into its concrete sample-size saving — the number an
+    // experimentation platform shows next to every proposed test.
+    // Every statistic derives from the SAME exact scaled-BIGINT sums
+    // as q40 (one user-keyed aggregate, identical double-op shapes in
+    // both engines, z-constants as shared decimal literals), with
+    // zero-variance/zero-correlation guards so degenerate corpora
+    // report ρ²=0 rather than NaN.
+    //
+    // Scale: q40's single user exchange; everything after is algebra
+    // on one collected row. 2-row output.
+    "q42_power_analysis" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      val b = ev.agg(min("ts_us"), max("ts_us")).head()
+      val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+      val dec0 = lit(0).cast("decimal(18,2)")
+      val rev = when(col("event_type") === "purchase",
+        col("value").cast("decimal(18,2)")).otherwise(dec0)
+      val t = ev.groupBy("user_id").agg(
+          sum(when(col("ts_us") < mid, rev).otherwise(dec0)).as("x"),
+          sum(when(col("ts_us") >= mid, rev).otherwise(dec0)).as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy")).head()
+      def exactD(dd: java.math.BigDecimal, scale: Int): Double = {
+        val scaled = dd.movePointRight(scale)
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+        require(math.abs(scaled) < (1L << 53),
+          s"q42: scaled sum $scaled exceeds exact-double range")
+        scaled.toDouble / math.pow(10, scale)
+      }
+      val n = t.getLong(0).toDouble
+      val sx = exactD(t.getDecimal(1), 2); val sy = exactD(t.getDecimal(2), 2)
+      val sxy = exactD(t.getDecimal(3), 4)
+      val sxx = exactD(t.getDecimal(4), 4)
+      val syy = exactD(t.getDecimal(5), 4)
+      // identical op shapes to the oracle SQL below — one rounding per
+      // step in both engines
+      val varY = (syy - sy * sy / n) / (n - 1)
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      val num = n * sxy - sx * sy
+      val rho2 = if (den == 0.0) 0.0 else num * num / den
+      val varC = varY * (1.0 - rho2)
+      val delta = 0.02 * (sy / n)
+      require(delta != 0.0, "q42: metric mean is zero — no MDE to power")
+      // z_{0.975} + z_{0.80}, shared decimal literals with the oracle
+      val zsum = 1.959963984540054 + 0.8416212335729143
+      val k = 2.0 * (zsum * zsum)
+      def nReq(v: Double) = math.ceil(k * v / (delta * delta)).toLong
+      def u6(v: Double) = math.floor(v * 1e6 + 0.5).toLong
+      import s.implicits._
+      Seq(("cuped", u6(varC), nReq(varC)),
+          ("naive", u6(varY), nReq(varY)))
+        .toDF("method", "variance_u6", "n_required")
+        .orderBy("method")
+    }),
+
     // q40: CUPED A/B LIFT — variance-reduced experiment readout
     // (Deng et al.'s CUPED, the standard at every experimentation
     // platform): pre-period purchase revenue is the covariate,
@@ -1223,6 +1286,54 @@ object Relational {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q36_rate_limit" -> rateLimitOracle,
+
+    "q42_power_analysis" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events
+        |), mid AS (
+        |  SELECT lo + (hi - lo) // 2 AS m FROM b
+        |), u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN epoch_us(ts) < m AND event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+        |    sum(CASE WHEN epoch_us(ts) >= m AND event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM events CROSS JOIN mid GROUP BY user_id
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(floor(sum(x) * 100) AS BIGINT) / 100.0 AS sx,
+        |    CAST(floor(sum(y) * 100) AS BIGINT) / 100.0 AS sy,
+        |    CAST(floor(sum(x * y) * 10000) AS BIGINT) / 10000.0 AS sxy,
+        |    CAST(floor(sum(x * x) * 10000) AS BIGINT) / 10000.0 AS sxx,
+        |    CAST(floor(sum(y * y) * 10000) AS BIGINT) / 10000.0 AS syy
+        |  FROM u
+        |), alg AS (
+        |  SELECT n, sy,
+        |    (syy - sy * sy / n) / (n - 1) AS var_y,
+        |    (n * sxx - sx * sx) * (n * syy - sy * sy) AS den,
+        |    n * sxy - sx * sy AS num
+        |  FROM st
+        |), alg2 AS (
+        |  SELECT var_y,
+        |    CASE WHEN den = 0 THEN 0.0 ELSE num * num / den END AS rho2,
+        |    0.02 * (sy / n) AS delta
+        |  FROM alg
+        |), alg3 AS (
+        |  SELECT var_y, var_y * (1.0 - rho2) AS var_c, delta FROM alg2
+        |), pick AS (
+        |  SELECT 'naive' AS method, var_y AS v, delta FROM alg3
+        |  UNION ALL
+        |  SELECT 'cuped', var_c, delta FROM alg3
+        |)
+        |SELECT method,
+        |  CAST(floor(v * 1e6 + 0.5) AS BIGINT) AS variance_u6,
+        |  CAST(ceil(2.0 * ((1.959963984540054 + 0.8416212335729143) *
+        |    (1.959963984540054 + 0.8416212335729143)) * v
+        |    / (delta * delta)) AS BIGINT) AS n_required
+        |FROM pick ORDER BY method""".stripMargin,
 
     "q40_cuped" ->
       """WITH b AS (

@@ -237,6 +237,22 @@ class Round9OpsSpec extends AnyFunSuite {
       "a quiet corpus must not light up the drift page")
   }
 
+  test("q42 power numbers obey the CUPED variance inequality") {
+    val rows = q("q42_power_analysis").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (vC, nC) = rows("cuped"); val (vN, nN) = rows("naive")
+    assert(vC > 0 && vN > 0 && nC > 0 && nN > 0)
+    // CUPED variance is var_y·(1−ρ²) ≤ var_y, so its sample size can
+    // never exceed the naive one
+    assert(vC <= vN, s"cuped variance $vC exceeds naive $vN")
+    assert(nC <= nN, s"cuped n $nC exceeds naive $nN")
+    // n scales linearly in variance (same Δ, same z) — cross-check
+    // the two rows against each other within ceil slack
+    val ratio = vC.toDouble / vN
+    assert(math.abs(nC - nN * ratio) <= 1.0 + nN * 1e-9,
+      s"n must scale with variance: $nC vs ${nN * ratio}")
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
