@@ -586,6 +586,49 @@ object Relational {
         .orderBy("r_score", "f_score", "m_score")
     }),
 
+    // q43: METRIC ANOMALY DETECTION — the dashboard alarm behind every
+    // "did revenue just fall off a cliff?" page: daily purchase
+    // revenue scored against the trailing-7-day window (excluding
+    // today), z = (today − mean)/std, flagged at |z| ≥ 3. em13's
+    // monitoring discipline applied to a timeseries: the daily totals
+    // are EXACT centi-unit BIGINTs (decimal sums floored once), the
+    // rolling mean/std come from integer window sums in closed form —
+    // never a built-in windowed stddev, whose incremental algorithm
+    // differs between engines in the last double bits — so the
+    // z-scores hash-gate. Days with under 3 prior observations or
+    // zero variance report z = 0 (warm-up, not NaN).
+    //
+    // Scale: one day-keyed aggregate (map-side partials) and windows
+    // over the |days|-sized result — the ta12 bounded-window
+    // argument; raw events never see a window. (At planetary revenue
+    // the centi-unit squares near 2^63 — swap to unit-grain there.)
+    "q43_metric_anomaly" -> ((s, d) => {
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(floor(sum(col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("rev_c"))
+      daily
+        .withColumn("n7", count(lit(1)).over(w))
+        .withColumn("s7", sum("rev_c").over(w))
+        .withColumn("q7", sum(col("rev_c") * col("rev_c")).over(w))
+        // ANSI mode: the warm-up rows (empty/1-row window) must never
+        // evaluate the /n7 and /(n7-1) divisions — null mean/var there
+        .withColumn("mean7",
+          when(col("n7") >= 1, col("s7") / 100.0 / col("n7")))
+        .withColumn("var7", when(col("n7") >= 2,
+          (col("q7") / 10000.0 - col("n7") * col("mean7") * col("mean7"))
+            / (col("n7") - 1)))
+        .withColumn("z_u3",
+          when(col("n7") < 3 || col("var7") <= 0.0, lit(0L))
+            .otherwise(floor((col("rev_c") / 100.0 - col("mean7"))
+              / sqrt(col("var7")) * 1000 + 0.5).cast("long")))
+        .select(col("day"), col("rev_c"), col("n7"), col("z_u3"))
+        .withColumn("anomaly", abs(col("z_u3")) >= 3000)
+        .orderBy("day")
+    }),
+
     // q42: EXPERIMENT POWER ANALYSIS — q40's planning-side twin: how
     // many users per variant does the next experiment need, with and
     // without CUPED? Classic two-sample formula n = 2·(z_α/2+z_β)²·
@@ -1286,6 +1329,39 @@ object Relational {
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q36_rate_limit" -> rateLimitOracle,
+
+    "q43_metric_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(floor(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100) AS BIGINT)
+        |      AS rev_c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), win AS (
+        |  SELECT day, rev_c,
+        |    CAST(count(*) OVER w AS BIGINT) AS n7,
+        |    CAST(sum(rev_c) OVER w AS BIGINT) AS s7,
+        |    CAST(sum(rev_c * rev_c) OVER w AS BIGINT) AS q7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING)
+        |), st AS (
+        |  SELECT day, rev_c, n7,
+        |    s7 / 100.0 / n7 AS mean7,
+        |    (q7 / 10000.0 - n7 * (s7 / 100.0 / n7) * (s7 / 100.0 / n7))
+        |      / (n7 - 1) AS var7
+        |  FROM win
+        |), z AS (
+        |  SELECT day, rev_c, n7,
+        |    CASE WHEN n7 < 3 OR var7 <= 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((rev_c / 100.0 - mean7) / sqrt(var7)
+        |        * 1000 + 0.5) AS BIGINT)
+        |    END AS z_u3
+        |  FROM st
+        |)
+        |SELECT day, rev_c, n7, z_u3, abs(z_u3) >= 3000 AS anomaly
+        |FROM z ORDER BY day""".stripMargin,
 
     "q42_power_analysis" ->
       """WITH b AS (

@@ -253,6 +253,31 @@ class Round9OpsSpec extends AnyFunSuite {
       s"n must scale with variance: $nC vs ${nN * ratio}")
   }
 
+  test("q43 z-scores match a direct trailing-window recompute") {
+    val rows = q("q43_metric_anomaly").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    val days = rows.map(_._1).sorted
+    rows.foreach { case (day, revC, n7, z3, anomaly) =>
+      val idx = days.indexOf(day)
+      val prior = days.slice(math.max(0, idx - 7), idx).map(byDay)
+      assert(n7 == prior.length, s"$day: window count")
+      assert(anomaly == (math.abs(z3) >= 3000), s"$day: flag rule")
+      if (prior.length >= 3) {
+        val m = prior.map(_ / 100.0).sum / prior.length
+        val v = prior.map(c => math.pow(c / 100.0 - m, 2)).sum /
+          (prior.length - 1)
+        if (v > 0) {
+          val z = (revC / 100.0 - m) / math.sqrt(v)
+          assert(math.abs(z * 1000 - z3) <= 1.0,
+            s"$day: z recompute ${z * 1000} vs $z3")
+        } else assert(z3 == 0)
+      } else assert(z3 == 0, s"$day: warm-up must report 0")
+    }
+  }
+
   test("ta23 equals the bloom-free exact overlap; st17 is its projection") {
     // exact recompute with NO bloom anywhere: the gate's output may
     // not depend on the sketch (false positives must all die in the
