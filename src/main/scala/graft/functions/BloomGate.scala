@@ -26,11 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object BloomGate {
 
-  /** Sketch geometry: sized for [[Items]] insertions at [[Bits]] bits
-    * → ~10.5 bits/item ≈ 0.8% theoretical FPP. The bitset is 128 KiB
-    * regardless of corpus size — that fixed size IS the point. */
-  val Items = 100000L
-  val Bits  = 1L << 20
+  /** Sketch geometry FLOOR: at least [[MinItems]] insertions /
+    * [[MinBits]] bits (128 KiB). [[build]] sizes the actual sketch
+    * from the holdout's real gram count at ≥[[BitsPerItem]] bits/item
+    * (~1% theoretical FPP), rounded up to a power of two — a 10⁸-gram
+    * production holdout gets a 2^30-bit (128 MiB) sketch, not a
+    * saturated 128 KiB one whose might_contain would prune nothing.
+    * The floor keeps small fixtures at the documented 128 KiB shape
+    * (10·MinItems = 10⁶ bits rounds up to exactly [[MinBits]]). */
+  val MinItems    = 100000L
+  val MinBits     = 1L << 20
+  val BitsPerItem = 10L
 
   /** Register `bloom_filter_agg` / `might_contain` in the session's
     * function registry (they are not in Spark's public registry; the
@@ -48,17 +54,36 @@ object BloomGate {
       "scala_udf")
   }
 
+  /** Sketch geometry for `items` insertions: ≥[[BitsPerItem]]
+    * bits/item rounded up to a power of two, floored at [[MinBits]].
+    * Exposed so specs can assert the sizing law directly. */
+  private[graft] def bitsFor(items: Long): Long = {
+    val want = math.max(1L, items) * BitsPerItem
+    val pow2 = java.lang.Long.highestOneBit(want)
+    math.max(MinBits, if (pow2 == want) pow2 else pow2 << 1)
+  }
+
   /** Aggregate `h` (a LongType hash column of `df`) into one
     * serialized bloom sketch. Distributed build: executors fill
     * partial bitsets, merge is bitwise-OR (order-independent, so the
     * sketch is deterministic under any partitioning), and the ONLY
     * driver-side object is the fixed-size serialized filter — the
-    * st10/st11 bounded-collect rule. */
-  def build(df: DataFrame, h: Column): Array[Byte] = {
+    * st10/st11 bounded-collect rule.
+    *
+    * The sketch is sized from the ACTUAL item count (`items` when the
+    * caller already knows it, else one count() over `df` — callers
+    * hand a deduplicated, checkpointed gram frame, so the count is a
+    * cheap second action on materialized rows): a holdout 1000× the
+    * fixture must grow the bitset, or the FPP approaches 1 and the
+    * prefilter silently stops pruning. */
+  def build(df: DataFrame, h: Column, items: Option[Long] = None)
+      : Array[Byte] = {
     register(df.sparkSession)
+    val hs = df.select(h.as("h"))
+    val n = math.max(MinItems, items.getOrElse(hs.count()))
     df.select(h.as("h"))
-      .agg(expr(s"bloom_filter_agg(h, CAST($Items AS BIGINT), " +
-        s"CAST($Bits AS BIGINT))").as("bf"))
+      .agg(expr(s"bloom_filter_agg(h, CAST($n AS BIGINT), " +
+        s"CAST(${bitsFor(n)} AS BIGINT))").as("bf"))
       .head().getAs[Array[Byte]]("bf")
   }
 

@@ -47,6 +47,19 @@ object Relational {
   // q38 RFM: one day in micros (recency bucketing)
   private[graft] val DayUs = 86400L * 1000000L
 
+  /** q19b's explicit HLL geometry: m = 256 registers. [[HllRhoCase]]
+    * is the leading-zero-rank of the 32-bit hash suffix as a pure
+    * integer CASE chain — the SAME string runs as a Spark expr() and
+    * inside the DuckDB oracle, so rho is engine-identical by
+    * construction. [[HllAlphaK]] = α₂₅₆·m²·2³³ as ONE shared double
+    * literal (α_m = 0.7213/(1+1.079/m), Flajolet et al. 2007), the
+    * only float constant in the estimate. */
+  private val HllRhoCase: String =
+    "CASE " + (1 to 32).map(k =>
+      s"WHEN w >= ${1L << (32 - k)} THEN $k").mkString(" ") + " ELSE 33 END"
+  private val HllAlphaK: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 8589934592.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // q01: pricing summary — scan → filter → partial+final hash agg
     // (A2 shape). Mirrors reference doc-freq counting
@@ -772,14 +785,15 @@ object Relational {
     // bounded 7× partition-local blowup — and a second distinct counts
     // each user once per window. Two map-side-combinable exchanges
     // total, both on keys whose cardinality is |users|×|days|-bounded;
-    // no self-join at any corpus size. The max-day clamp is a 1-row
+    // no self-join at any corpus size. The day-bounds clamp is a 1-row
     // aggregate (bounded driver collect, q40's pattern).
     "q41_rolling_active" -> ((s, d) => {
       val ud = events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .distinct()
         .localCheckpoint() // feeds the DAU count AND the window explode
-      val maxDay = ud.agg(max("day")).head().getDate(0)
+      val b = ud.agg(min("day"), max("day")).head()
+      val (minDay, maxDay) = (b.getDate(0), b.getDate(1))
       val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
       val wau = ud
         .select(col("user_id"),
@@ -788,11 +802,17 @@ object Relational {
         .filter(col("day") <= lit(maxDay))
         .distinct()
         .groupBy("day").agg(count(lit(1)).as("wau_7"))
-      // left from the window side: a day with no direct activity can
-      // still close a window (its trailing 6 days were active)
-      wau.join(dau, Seq("day"), "left")
+      // the output is driven from a generated DAY SPINE, not from the
+      // activity frames: a calendar day inside the range whose entire
+      // trailing window was silent still gets a (dau=0, wau_7=0) row —
+      // a DAU/WAU readout with silent gaps misreads as "no such day".
+      // The spine is |days|-sized (one generated literal range).
+      val spine = s.range(1).select(explode(
+        sequence(lit(minDay), lit(maxDay), expr("interval 1 day"))).as("day"))
+      spine.join(dau, Seq("day"), "left")
+        .join(wau, Seq("day"), "left")
         .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
-          col("wau_7"))
+          coalesce(col("wau_7"), lit(0L)).as("wau_7"))
         .orderBy("day")
     }),
 
@@ -880,6 +900,57 @@ object Relational {
           expr("approx_percentile(l_quantity, 0.9, 1000)").as("p90_approx"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+
+    // q19b: EXPLICIT-REGISTER HLL — q19's approximate distinct count
+    // with the sketch built register-by-register in SQL in BOTH
+    // engines (the st09/st11 explicit-sketch discipline applied to
+    // the one approximate aggregate still outside the hash gate):
+    // md5-derived bucket (7 hex chars % 256) and 32-bit suffix, rho =
+    // leading-zero rank via a shared integer CASE chain, register =
+    // max(rho) per (flag, bucket), and the harmonic-mean estimate
+    // computed from the INTEGER sum Σ 2^(33−M_j) (each term exact, so
+    // the sum is order-free) with one shared double literal for
+    // α·m²·2³³. q19 keeps Spark's HLL++ for the API surface; q19b
+    // pins the math hash-exactly. The empty-register spine is
+    // generated (a register map with silent holes would bias the
+    // estimate high).
+    //
+    // Scale: ONE corpus pass into a (flag, bucket)-keyed aggregate
+    // with map-side max partials — ≤ 256·|flags| cells shuffle no
+    // matter the corpus; everything after runs on the 256-row-per-
+    // flag result. This is exactly how a distributed HLL maintains:
+    // registers merge by max, so partials combine anywhere.
+    "q19b_hll_registers" -> ((s, d) => {
+      val m = 256
+      val b = lineitem(s, d)
+        .select(col("l_returnflag"),
+          md5(col("l_partkey").cast("string")).as("hx"))
+        .select(col("l_returnflag"),
+          (conv(substring(col("hx"), 1, 7), 16, 10).cast("long") % m)
+            .as("bucket"),
+          conv(substring(col("hx"), 8, 8), 16, 10).cast("long").as("w"))
+      val regs = b.withColumn("rho", expr(HllRhoCase))
+        .groupBy("l_returnflag", "bucket")
+        .agg(max("rho").as("mj"))
+      val spine = lineitem(s, d).select("l_returnflag").distinct()
+        .select(col("l_returnflag"),
+          explode(sequence(lit(0), lit(m - 1))).as("bucket"))
+      val agg = spine
+        .join(regs, Seq("l_returnflag", "bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - mj)"))
+          .as("sum_pow33"),
+          sum(when(col("mj") > 0, 1L).otherwise(0L)).as("n_nonzero"))
+      val exact = lineitem(s, d).groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_exact"))
+      agg.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sum_pow33"), col("n_nonzero"),
+          floor(lit(HllAlphaK) / col("sum_pow33") * 1000 + 0.5)
+            .cast("long").as("est_u3"),
+          col("n_exact"))
+        .orderBy("l_returnflag")
+    }),
 
     // q18: cube — grouping-sets aggregate over (returnflag,
     // linestatus); the subtotal/grand-total rows come out of one
@@ -1030,6 +1101,40 @@ object Relational {
        |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q19b_hll_registers" ->
+      s"""WITH b AS (
+         |  SELECT l_returnflag,
+         |    ('0x' || substr(hx, 1, 7))::BIGINT % 256 AS bucket,
+         |    ('0x' || substr(hx, 8, 8))::BIGINT AS w
+         |  FROM (SELECT l_returnflag,
+         |          md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem)
+         |), r AS (
+         |  SELECT l_returnflag, bucket, max($HllRhoCase) AS mj
+         |  FROM b GROUP BY 1, 2
+         |), spine AS (
+         |  SELECT l_returnflag, i AS bucket
+         |  FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS i)
+         |), reg AS (
+         |  SELECT s.l_returnflag, s.bucket, coalesce(r.mj, 0) AS mj
+         |  FROM spine s LEFT JOIN r USING (l_returnflag, bucket)
+         |), agg AS (
+         |  SELECT l_returnflag,
+         |    CAST(sum(1::BIGINT << (33 - mj)) AS BIGINT) AS sum_pow33,
+         |    CAST(sum(CASE WHEN mj > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nonzero
+         |  FROM reg GROUP BY 1
+         |), ex AS (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT a.l_returnflag, sum_pow33, n_nonzero,
+         |  CAST(floor($HllAlphaK / sum_pow33 * 1000 + 0.5) AS BIGINT)
+         |    AS est_u3,
+         |  CAST(n_exact AS BIGINT) AS n_exact
+         |FROM agg a JOIN ex USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1457,7 +1562,7 @@ object Relational {
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
         |), mx AS (
-        |  SELECT max(day) AS max_day FROM ud
+        |  SELECT min(day) AS min_day, max(day) AS max_day FROM ud
         |), dau AS (
         |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
         |), w AS (
@@ -1468,9 +1573,16 @@ object Relational {
         |  WHERE day + CAST(i AS INTEGER) <= max_day
         |), wau AS (
         |  SELECT day, CAST(count(*) AS BIGINT) AS wau_7 FROM w GROUP BY day
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(min_day AS TIMESTAMP),
+        |    CAST(max_day AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM mx
         |)
-        |SELECT w.day, coalesce(d.dau, CAST(0 AS BIGINT)) AS dau, w.wau_7
-        |FROM wau w LEFT JOIN dau d USING (day)
+        |SELECT s.day, coalesce(d.dau, CAST(0 AS BIGINT)) AS dau,
+        |  coalesce(w.wau_7, CAST(0 AS BIGINT)) AS wau_7
+        |FROM spine s
+        |LEFT JOIN dau d USING (day)
+        |LEFT JOIN wau w USING (day)
         |ORDER BY day""".stripMargin,
 
     "q38_rfm_segments" ->

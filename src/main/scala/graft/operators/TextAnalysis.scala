@@ -152,14 +152,24 @@ object TextAnalysis {
     * scale shape as the query: the benchmark gram set broadcasts, the
     * candidate side streams through one broadcast semi-join. */
   private[graft] def contaminatedIds(candidates: DataFrame,
+      benchmark: DataFrame): DataFrame =
+    contaminatedIdsT(tokenized(candidates), benchmark)
+
+  /** [[contaminatedIds]] over a pre-tokenized (doc_id, toks)
+    * candidate frame — the curation pipeline hands it the GATED
+    * SURVIVORS' tokens (an id semi-join above the gram explode), so
+    * the 8-gram blowup is paid for the survivor count, not the corpus
+    * (round-9 verdict #1a; answer-identical because the result is
+    * anti-joined against the survivors anyway). */
+  private[graft] def contaminatedIdsT(candToks: DataFrame,
       benchmark: DataFrame): DataFrame = {
     val bg = benchmark.filter(size(tokens(col("text"))) >= ContamN)
       .select(explode(array_distinct(
         wordNgrams(tokens(col("text")), ContamN))).as("g"))
       .distinct()
-    candidates.filter(size(tokens(col("text"))) >= ContamN)
+    candToks.filter(size(col("toks")) >= ContamN)
       .select(col("doc_id"),
-        explode(wordNgrams(tokens(col("text")), ContamN)).as("g"))
+        explode(wordNgrams(col("toks"), ContamN)).as("g"))
       .join(broadcast(bg), Seq("g"), "left_semi")
       .select("doc_id").distinct()
   }
@@ -178,13 +188,28 @@ object TextAnalysis {
   private def countIn(toks: org.apache.spark.sql.Column, words: Seq[String]) =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** (doc_id, toks) — ONE tokenization of a documents frame, the
+    * frame every token-consuming scoring pass ([[scoredT]],
+    * [[repetitionScoredT]], [[contaminatedIdsT]]) can share.
+    * The curation pipeline materializes this once instead of
+    * re-deriving tokens(text) in three separate stages (round-9
+    * verdict: the corpus was tokenized three times per run); at
+    * 100 TB the durable equivalent is a tokenized parquet written
+    * beside the corpus. */
+  private[graft] def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+
   /** (doc_id, n_tokens, mean_token_len, stopword_ratio, quality_score,
     * predicted_lang) in ONE per-row projection — the ta02 quality
     * heuristics and the ta03 stopword-profile argmax (fixed tie-break
     * order) share the tokenization pass; the curation pipeline filters
     * on both without a self-join. */
-  def scored(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def scored(docs: DataFrame): DataFrame = scoredT(tokenized(docs))
+
+  /** [[scored]] over a pre-tokenized (doc_id, toks) frame — same
+    * values, zero re-tokenization. */
+  private[graft] def scoredT(toksDf: DataFrame): DataFrame = {
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
       .cast("double") / nTok
@@ -194,7 +219,7 @@ object TextAnalysis {
         lit(0.3) * least(meanLen / 8.0, lit(1.0)) +
         lit(0.2) * least(nTok / 100.0, lit(1.0)), 6)
     val Seq(en, de, es) = Profiles.map { case (_, ws) => countIn(toks, ws) }
-    docs.select(col("doc_id"), size(toks).as("n_tokens"),
+    toksDf.select(col("doc_id"), size(toks).as("n_tokens"),
       round(meanLen, 6).as("mean_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       score.as("quality_score"),
@@ -210,8 +235,11 @@ object TextAnalysis {
     * Gopher-style repetition ratios (the ta11 projection), reusable by
     * the curation pipeline's repetition gate. Per-row columnar. */
   def repetitionScored(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    repetitionScoredT(tokenized(docs))
+
+  /** [[repetitionScored]] over a pre-tokenized (doc_id, toks) frame. */
+  private[graft] def repetitionScoredT(toksDf: DataFrame): DataFrame =
+    toksDf
       .select(col("doc_id"), col("toks"),
         // null when <2 tokens (sequence(1,0) would count DOWN in
         // Spark); coalesced to empty-equivalent below
@@ -575,10 +603,11 @@ object TextAnalysis {
     // ta23: BLOOM-FILTER DECONTAMINATION — ta16's overlap check in the
     // regime where the holdout's gram set is too large to broadcast
     // (production holdouts run 10⁷–10⁸ grams). Three-stage shape:
-    // (1) the holdout grams aggregate DISTRIBUTED into one fixed-size
-    // bloom sketch (BloomFilterAggregate; 128 KiB no matter the
-    // holdout size) — the sketch, not the set, is what ships to
-    // executors; (2) the training corpus streams through a codegen'd
+    // (1) the holdout grams aggregate DISTRIBUTED into one bloom
+    // sketch (BloomFilterAggregate, sized from the holdout's real
+    // gram count at ~10 bits/gram: 128 KiB at fixture scale, 128 MiB
+    // at a 10⁸-gram production holdout — BloomGate.bitsFor) — the
+    // sketch, not the set, is what ships to executors; (2) the training corpus streams through a codegen'd
     // might_contain prefilter, so only true hits plus a spec-bounded
     // FP residue (Round9OpsSpec asserts the band) ever shuffle; (3) a
     // deliberately NON-broadcast semi-join against the real gram set
@@ -984,16 +1013,23 @@ object TextAnalysis {
           col("qa"), col("qb"),
           (col("sa") / 1e6 / col("n_a")).as("ma"),
           (col("sb") / 1e6 / col("n_b")).as("mb"))
+        // cohort-size guard (q43's warm-up discipline): a cohort with
+        // ≤1 vector has no sample variance — va/vb fall back to 0 and
+        // the z branch below reports 0 outright, so a degenerate
+        // corpus never divides by (n−1)=0 in either engine
         .select(col("dim"), col("n_a"), col("n_b"), col("ma"), col("mb"),
-          ((col("qa") / 1e12 - col("n_a") * col("ma") * col("ma"))
-            / (col("n_a") - 1)).as("va"),
-          ((col("qb") / 1e12 - col("n_b") * col("mb") * col("mb"))
-            / (col("n_b") - 1)).as("vb"))
+          when(col("n_a") >= 2,
+            (col("qa") / 1e12 - col("n_a") * col("ma") * col("ma"))
+              / (col("n_a") - 1)).otherwise(lit(0.0)).as("va"),
+          when(col("n_b") >= 2,
+            (col("qb") / 1e12 - col("n_b") * col("mb") * col("mb"))
+              / (col("n_b") - 1)).otherwise(lit(0.0)).as("vb"))
         .select(col("dim"),
           floor(col("ma") * 1e6 + 0.5).cast("long").as("mean_a_u6"),
           floor(col("mb") * 1e6 + 0.5).cast("long").as("mean_b_u6"),
-          when(col("va") / col("n_a") + col("vb") / col("n_b") === 0.0,
-            lit(0L))
+          when(col("n_a") < 2 || col("n_b") < 2, lit(0L))
+            .when(col("va") / col("n_a") + col("vb") / col("n_b") === 0.0,
+              lit(0L))
             .otherwise(floor(abs(col("ma") - col("mb")) /
               sqrt(col("va") / col("n_a") + col("vb") / col("n_b"))
               * 1000 + 0.5).cast("long")).as("z_u3"))
@@ -1594,14 +1630,19 @@ object TextAnalysis {
          |  FROM agg
          |), vars AS (
          |  SELECT dim, n_a, n_b, ma, mb,
-         |    (qa / 1e12 - n_a * ma * ma) / (n_a - 1) AS va,
-         |    (qb / 1e12 - n_b * mb * mb) / (n_b - 1) AS vb
+         |    CASE WHEN n_a >= 2
+         |      THEN (qa / 1e12 - n_a * ma * ma) / (n_a - 1)
+         |      ELSE 0.0 END AS va,
+         |    CASE WHEN n_b >= 2
+         |      THEN (qb / 1e12 - n_b * mb * mb) / (n_b - 1)
+         |      ELSE 0.0 END AS vb
          |  FROM means
          |), z AS (
          |  SELECT dim,
          |    CAST(floor(ma * 1e6 + 0.5) AS BIGINT) AS mean_a_u6,
          |    CAST(floor(mb * 1e6 + 0.5) AS BIGINT) AS mean_b_u6,
-         |    CASE WHEN va / n_a + vb / n_b = 0 THEN CAST(0 AS BIGINT)
+         |    CASE WHEN n_a < 2 OR n_b < 2 THEN CAST(0 AS BIGINT)
+         |      WHEN va / n_a + vb / n_b = 0 THEN CAST(0 AS BIGINT)
          |      ELSE CAST(floor(abs(ma - mb) /
          |        sqrt(va / n_a + vb / n_b) * 1000 + 0.5) AS BIGINT)
          |    END AS z_u3

@@ -128,6 +128,39 @@ object EventStream {
     s.read.schema(schema).parquet(ids.map(id => s"$out/batch=$id"): _*)
   }
 
+  /** st18's per-batch versioned merge: read the published snapshot
+    * (via the io09 marker), keep-max-version-per-key over
+    * snapshot ∪ batch, write the merged table to `snap<batchId>`, and
+    * swap the marker. Returns false WITHOUT touching storage when the
+    * marker already names this batch's snapshot — the recovery-replay
+    * case (foreachBatch is at-least-once: a crash after the marker
+    * swap but before the offset commit re-delivers the batch), where
+    * re-running the merge would read `cur` from `snap$id` and
+    * mode("overwrite") the very directory it reads. The guard makes
+    * the publish idempotent at the I/O level, not just the merge
+    * algebra (Round10OpsSpec replays a batch through this path). */
+  private[graft] def upsertDocBatch(ss: SparkSession, out: String,
+      df: DataFrame, id: Long): Boolean = {
+    val marker = s"$out/_SNAPSHOT"
+    val published = graft.io.Commit.exists(ss, marker)
+    if (published && graft.io.Commit.readMarker(ss, marker) == s"snap$id")
+      return false
+    val cur =
+      if (published)
+        ss.read.parquet(s"$out/" + graft.io.Commit.readMarker(ss, marker))
+      else ss.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+    cur.unionByName(df)
+      .groupBy("doc_id")
+      .agg(max_by(
+        struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("version")), col("version")).as("r"))
+      .select("r.*")
+      .write.mode("overwrite").parquet(s"$out/snap$id")
+    graft.io.Commit.writeMarker(ss, marker, s"snap$id")
+    true
+  }
+
   /** st11 count-min-sketch geometry: D hash rows × W buckets (the
     * sketch state is D·W cells, stream-size-independent) and the
     * heavy-hitter report size. */
@@ -226,8 +259,9 @@ object EventStream {
     // filter in ta23's large-holdout regime, where the holdout gram
     // set CANNOT ship as a literal (st10's typedlit is sound only
     // because its benchmark is fixed-size). Here the stream carries
-    // each arriving doc's grams through the 128 KiB bloom sketch
-    // (a plan literal — the broadcast-of-the-sketch), so the
+    // each arriving doc's grams through the holdout-sized bloom
+    // sketch (a plan literal — the broadcast-of-the-sketch; ~10
+    // bits/gram via BloomGate.bitsFor, 128 KiB at fixture scale), so the
     // stream-static confirm join against the real gram set shuffles
     // only bloom survivors, and the complete-mode per-doc hit count
     // keeps state for CONFIRMED-contaminated docs only — never
@@ -594,9 +628,15 @@ object EventStream {
     // is deterministic under ANY batch grouping or arrival order —
     // the out-of-order-CDC property a last-write-wins sink lacks, and
     // the reason the oracle can state the final text per key in
-    // closed form. Replayed batches converge (merging the same rows
-    // again changes nothing), so at-least-once delivery × idempotent
-    // merge = exactly-once state, st12's law at the row level.
+    // closed form. Replayed batches converge: a batch whose marker
+    // was not yet swapped re-merges (changing nothing — version-max
+    // is idempotent), and a batch whose marker WAS swapped is skipped
+    // outright by upsertDocBatch's marker guard — without the guard a
+    // recovery replay would read `cur` from snap$id and then
+    // mode("overwrite") the same directory it is reading, crashing
+    // the stream instead of converging. At-least-once delivery ×
+    // idempotent merge = exactly-once state, st12's law at the row
+    // level (replay skip spec'd in Round10OpsSpec).
     //
     // Scale: per batch ONE keyed merge exchange over snapshot∪batch
     // (copy-on-write; production prunes to matched files first, io19)
@@ -637,20 +677,7 @@ object EventStream {
           .writeStream
           .option("checkpointLocation", s"$root/ckpt")
           .foreachBatch((df: DataFrame, id: Long) => {
-            val marker = s"$out/_SNAPSHOT"
-            val cur =
-              if (graft.io.Commit.exists(ss, marker))
-                ss.read.parquet(s"$out/" + graft.io.Commit.readMarker(ss, marker))
-              else ss.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
-            cur.unionByName(df)
-              .groupBy("doc_id")
-              .agg(max_by(
-                struct(col("doc_id"), col("text"), col("lang"),
-                  col("source"), col("version")), col("version")).as("r"))
-              .select("r.*")
-              .write.mode("overwrite").parquet(s"$out/snap$id")
-            graft.io.Commit.writeMarker(ss, marker, s"snap$id")
+            upsertDocBatch(ss, out, df, id)
             batches += 1
             ()
           })
