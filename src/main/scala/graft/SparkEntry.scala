@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.apps.CurationIncremental
 import graft.dedup.Dedup
 import graft.io.JsonLines
 import graft.ml.MlPipeline
@@ -28,7 +29,7 @@ object SparkEntry {
     Relational.queries ++ TextPipeline.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ MlPipeline.queries ++
       Multimodal.queries ++ EventStream.queries ++ Sessionize.queries ++
-      JsonLines.queries
+      JsonLines.queries ++ CurationIncremental.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,5 @@ object SparkEntry {
     Relational.oracles ++ TextPipeline.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ MlPipeline.oracles ++
       Multimodal.oracles ++ EventStream.oracles ++ Sessionize.oracles ++
-      JsonLines.oracles
+      JsonLines.oracles ++ CurationIncremental.oracles
 }

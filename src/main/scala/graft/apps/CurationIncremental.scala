@@ -1,0 +1,333 @@
+package graft.apps
+
+import graft.dedup.Dedup
+import graft.io.Commit
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL curation — how a 100 TB corpus is actually maintained:
+  * the published corpus is never re-curated; each daily delta batch
+  * flows delta → dedup-against-the-corpus-banks → gates →
+  * decontamination → MERGE publish. Every stage is an already
+  * oracle-checked operator (dd01's digest dedup, dd09's
+  * check-against-the-bank shape, dd03's LSH banding, ta02/ta03/ta11's
+  * gates, ta16's contamination core, io19's anti-join∪union MERGE,
+  * io09's marker publish); this module only composes them — the
+  * composition the round-9 verdict named as the #1 missing piece.
+  *
+  * The dedup rules are the FIRST-WINS (keep-smallest-id) family —
+  * exact: min doc_id per content digest; near-dup: drop any exact
+  * keeper sharing an LSH band bucket with a smaller-id exact keeper
+  * (dd19's non-transitive keep-first rule, the SemDeDup shape) —
+  * because first-wins is the rule that makes incrementality EXACT:
+  * under the monotone-ingest contract (every new document's id
+  * exceeds every published id — the log-structured reality of any
+  * append corpus), a batch can never change the verdict on an earlier
+  * document, so
+  *
+  *   incremental(base, then delta) ≡ from-scratch(base ∪ delta)
+  *
+  * row-for-row, for ANY batching of the delta. The registered query
+  * cu01 IS that theorem under the driver's hash gate: the Spark side
+  * runs base-then-delta through the persisted banks and the published
+  * snapshot; the DuckDB oracle curates the full corpus from scratch.
+  * (CurationPipeline.run keeps the batch highest-quality-keeper rule;
+  * that rule is order-dependent by design and cannot be incremental.)
+  *
+  * Persisted state per published version (the "banks" — all
+  * digest/sketch-sized, never text):
+  *   - `keys`:  distinct content digests of every document EVER seen
+  *     (exact-dedup needs all of them: a delta twin of a gated-out
+  *     base doc is still a duplicate);
+  *   - `bank`:  LSH band rows of every EXACT KEEPER (near-dup checks
+  *     run against keepers, pre-gate, exactly like the from-scratch
+  *     rule);
+  *   - `bench`: the pinned decontamination holdout (drawn once from
+  *     the base corpus — production would pin an external eval set);
+  *   - `snap<v>` + `_SNAPSHOT` marker: the published curated corpus
+  *     (io09's atomic swap; `_KEYS`/`_BANK` markers version the banks
+  *     the same way).
+  *
+  * Scale: a delta batch costs O(|delta|) text work (tokenize, score,
+  * gram-explode the batch) plus digest/band-keyed joins against the
+  * banks — the corpus text is never re-read, the banks are
+  * digest-sized, and the MERGE is io19's broadcast-anti ∪ union
+  * (production prunes to matched files; copy-on-write here). The
+  * gram explode broadcasts the fixed-size bench gram set, st10's
+  * rule.
+  */
+object CurationIncremental {
+
+  // gate thresholds — CurationPipeline.run's defaults, shared verbatim
+  private val MinQuality = 0.3
+  private val Langs = Seq("en", "de", "es")
+  private val MaxDupBigramFrac = 0.2
+  private[graft] val BenchN = TextAnalysis.DeconBenchN
+
+  private def gateCond: Column =
+    col("quality_score") >= MinQuality &&
+      col("predicted_lang").isin(Langs: _*) &&
+      col("dup_bigram_frac") <= MaxDupBigramFrac
+
+  /** Published snapshot schema: id + routing columns + the two gate
+    * scores (audit), never the text payload — the curated TEXT stays
+    * in the corpus files; this table is the curation VERDICT. */
+  private def curatedRows(docs: DataFrame, finalIds: DataFrame,
+      scored: DataFrame): DataFrame =
+    finalIds
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .join(scored.select("doc_id", "n_tokens", "quality_score"),
+        Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+
+  private def readVersioned(s: SparkSession, root: String,
+      marker: String): DataFrame =
+    s.read.parquet(s"$root/" + Commit.readMarker(s, s"$root/$marker"))
+
+  /** Curate the base corpus from scratch under the first-wins rules
+    * and publish snapshot v0 plus the banks. Destroys anything at
+    * `root`. */
+  def curateBase(spark: SparkSession, baseDocs: DataFrame, root: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    var mark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
+      mark = now
+    }
+    val fs = Commit.fileSystem(spark)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val docs = baseDocs.localCheckpoint()
+    val toks = TextAnalysis.tokenized(docs).localCheckpoint()
+    stageDone("s1_base_tokenize")
+
+    // exact first-wins + the key bank (ALL digests ever seen)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
+    val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    keyed.select("content_key").distinct()
+      .write.mode("overwrite").parquet(s"$root/keys/v0")
+    Commit.writeMarker(spark, s"$root/_KEYS", "keys/v0")
+    stageDone("s2_base_exact_keys")
+
+    // band bank over exact keepers; first-wins near-dup drop
+    Dedup.bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
+      .write.mode("overwrite").parquet(s"$root/bank/v0")
+    Commit.writeMarker(spark, s"$root/_BANK", "bank/v0")
+    val bank = spark.read.parquet(s"$root/bank/v0")
+    val dropped = bank.join(
+        bank.select(col("doc_id").as("other"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("other") < col("doc_id"))
+      .select("doc_id").distinct()
+    val keep2 = keep1.join(dropped, Seq("doc_id"), "left_anti")
+    stageDone("s3_base_neardup_bank")
+
+    // gates over the shared tokenization
+    val scored = TextAnalysis.scoredT(toks).localCheckpoint()
+    val gated = keep2
+      .join(scored, Seq("doc_id"))
+      .join(TextAnalysis.repetitionScoredT(toks)
+        .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
+      .filter(gateCond)
+      .select("doc_id").localCheckpoint()
+    stageDone("s4_base_gates")
+
+    // pinned holdout + decontamination (candidates = gated survivors)
+    TextAnalysis.benchSample(docs, BenchN).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/bench")
+    val bench = spark.read.parquet(s"$root/bench")
+    val candToks = toks.join(gated, Seq("doc_id"), "left_semi")
+    val finalIds = gated
+      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(TextAnalysis.contaminatedIdsT(candToks, bench),
+        Seq("doc_id"), "left_anti")
+    stageDone("s5_base_decon")
+
+    curatedRows(docs, finalIds, scored)
+      .write.mode("overwrite").parquet(s"$root/snap0")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", "snap0")
+    stageDone("s6_base_publish")
+  }
+
+  /** Apply one delta batch against the published state at `root`:
+    * dedup vs the banks, gate, decontaminate vs the pinned holdout,
+    * MERGE-publish the next snapshot version, roll the banks forward.
+    * Requires the monotone-ingest contract (delta ids > every id in
+    * the banks) — that contract, not luck, is what makes the result
+    * equal to from-scratch curation (see object doc). */
+  def applyDelta(spark: SparkSession, root: String, deltaDocs: DataFrame,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    var mark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
+      mark = now
+    }
+    val ver = Commit.readMarker(spark, s"$root/_SNAPSHOT")
+      .stripPrefix("snap").toLong
+    val next = ver + 1
+    val keys = readVersioned(spark, root, "_KEYS")
+    val bank = readVersioned(spark, root, "_BANK")
+    val bench = spark.read.parquet(s"$root/bench")
+
+    val docs = deltaDocs.localCheckpoint()
+    val toks = TextAnalysis.tokenized(docs).localCheckpoint()
+    stageDone("s7_delta_tokenize")
+
+    // exact: first-wins WITHIN the batch, then anti-join against the
+    // key bank (dd09's novelty check — one digest-keyed join, the
+    // corpus text never moves)
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
+      .localCheckpoint()
+    val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .join(keys, Seq("content_key"), "left_anti")
+      .select("doc_id").localCheckpoint()
+    stageDone("s8_delta_exact_vs_keys")
+
+    // near-dup: a delta keeper is dropped iff any SMALLER-id exact
+    // keeper — published (bank) or in this batch — shares a band
+    // bucket. Band-keyed join against the bank; batch text never
+    // joins corpus text.
+    val deltaBands = Dedup
+      .bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
+      .localCheckpoint() // feeds the drop join AND the bank roll
+    val dropped = deltaBands.join(
+        bank.unionByName(deltaBands)
+          .select(col("doc_id").as("other"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("other") < col("doc_id"))
+      .select("doc_id").distinct()
+    val keep2 = keep1.join(dropped, Seq("doc_id"), "left_anti")
+    stageDone("s9_delta_neardup_vs_bank")
+
+    // gates + decontamination vs the pinned holdout — batch-local
+    // text work only
+    val scored = TextAnalysis.scoredT(toks).localCheckpoint()
+    val gated = keep2
+      .join(scored, Seq("doc_id"))
+      .join(TextAnalysis.repetitionScoredT(toks)
+        .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
+      .filter(gateCond)
+      .select("doc_id").localCheckpoint()
+    val candToks = toks.join(gated, Seq("doc_id"), "left_semi")
+    val finalIds = gated
+      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(TextAnalysis.contaminatedIdsT(candToks, bench),
+        Seq("doc_id"), "left_anti")
+    stageDone("s10_delta_gates_decon")
+
+    // MERGE publish (io19: anti-join ∪ union, never full-outer) into
+    // snap<next>, then the atomic marker swap; banks roll forward
+    // under their own markers. Under monotone ingest the anti-join is
+    // provably empty (new ids), but the MERGE shape is kept — it is
+    // the production path when a delta carries updates too.
+    val cdc = curatedRows(docs, finalIds, scored).localCheckpoint()
+    readVersioned(spark, root, "_SNAPSHOT")
+      .join(broadcast(cdc.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(cdc)
+      .write.mode("overwrite").parquet(s"$root/snap$next")
+    keys.unionByName(keyed.select("content_key")).distinct()
+      .write.mode("overwrite").parquet(s"$root/keys/v$next")
+    bank.unionByName(deltaBands)
+      .write.mode("overwrite").parquet(s"$root/bank/v$next")
+    Commit.writeMarker(spark, s"$root/_KEYS", s"keys/v$next")
+    Commit.writeMarker(spark, s"$root/_BANK", s"bank/v$next")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
+    stageDone("s11_merge_publish")
+  }
+
+  /** The id cutoff splitting a documents table into base (< cutoff)
+    * and delta (≥ cutoff) — the top decile by id, the deterministic
+    * stand-in for "yesterday's corpus + today's arrivals" that both
+    * engines can state in closed form. */
+  private[graft] def cutoffOf(docs: DataFrame): Long = {
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    (maxId + 1L) * 9L / 10L
+  }
+
+  /** Read back the published snapshot at `root`. */
+  private[graft] def published(s: SparkSession, root: String): DataFrame =
+    readVersioned(s, root, "_SNAPSHOT")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cu01: the full incremental composition — curate the base 90%,
+    // then flow the top-decile delta through the banks and MERGE
+    // publish — read back through the PUBLISHED marker. The DuckDB
+    // oracle curates the FULL corpus from scratch under the same
+    // first-wins rules, so the hash gate is an equivalence PROOF:
+    // never-recurate-the-base produces byte-identical curation
+    // verdicts to recurating everything (Round10OpsSpec adds the
+    // any-batching half of the theorem).
+    "cu01_incremental_curation" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val cutoff = cutoffOf(docs)
+      val root = graft.io.JsonLines.stagingDir("curation_incr")
+      curateBase(s, docs.filter(col("doc_id") < cutoff), root)
+      applyDelta(s, root, docs.filter(col("doc_id") >= cutoff))
+      published(s, root)
+        .withColumn("is_delta", col("doc_id") >= cutoff)
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "cu01_incremental_curation" -> {
+      import TextAnalysis.{toksSql, ContamN}
+      val g = ContamN - 1
+      s"""WITH cut AS (
+         |  SELECT (max(doc_id) + 1) * 9 // 10 AS c FROM documents
+         |), keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), ${Dedup.sigCte},
+         |bands AS (
+         |  SELECT doc_id, j // ${Dedup.RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${Dedup.RowsPerBand}
+         |), dropped2 AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM keep1)
+         |    AND b.doc_id IN (SELECT doc_id FROM keep1)
+         |), keep2 AS (
+         |  SELECT doc_id FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)
+         |), ${TextAnalysis.scoredSqlCte},
+         |${TextAnalysis.repSqlCte},
+         |gated AS (
+         |  SELECT k.doc_id FROM keep2 k
+         |  JOIN scored s USING (doc_id) JOIN rep r USING (doc_id)
+         |  WHERE s.quality_score >= $MinQuality
+         |    AND s.predicted_lang IN (${Langs.map("'" + _ + "'").mkString(", ")})
+         |    AND r.dup_bigram_frac <= $MaxDupBigramFrac
+         |), bench AS (
+         |  SELECT doc_id, text FROM documents CROSS JOIN cut
+         |  WHERE doc_id < c
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchN
+         |), bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - $g),
+         |    i -> array_to_string(toks[i : i + $g], ' ')))) AS g
+         |  FROM (SELECT $toksSql AS toks FROM bench)
+         |  WHERE len(toks) >= $ContamN
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - $g),
+         |      i -> array_to_string(toks[i : i + $g], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |          WHERE doc_id IN (SELECT doc_id FROM gated))
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM bg)
+         |), fin AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |)
+         |SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score,
+         |  d.doc_id >= (SELECT c FROM cut) AS is_delta
+         |FROM fin f
+         |JOIN documents d USING (doc_id)
+         |JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    })
+}

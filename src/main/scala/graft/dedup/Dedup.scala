@@ -80,8 +80,8 @@ object Dedup {
   // within each IVF cell
   private[graft] val SemTau = 0.3
 
-  private val NumBands = 4
-  private val RowsPerBand = 4
+  private[graft] val NumBands = 4
+  private[graft] val RowsPerBand = 4
 
   /** 14-char shingles of the leading 64 chars — "leading-content"
     * near-dup signature base (P3 shingling applied to a prefix). */
@@ -164,19 +164,23 @@ object Dedup {
       .agg(min("mh").as("minhash"))
 
   /** (doc_id, band, bkey) — one row per LSH band per document; the
-    * single definition of the banding layout (candidatePairs and dd09
-    * both consume it, so band/row/bkey-format changes once). */
-  private def bandedSigs(s: SparkSession, d: String): DataFrame = {
+    * single definition of the banding layout (candidatePairs, dd09,
+    * and the incremental curation's persisted band bank all consume
+    * it, so band/row/bkey-format changes once). */
+  private[graft] def bandedSigsOf(docs: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until RowsPerBand).map(r =>
           element_at(col("sig_"), b * RowsPerBand + r + 1).cast("string")): _*)
           .as("bkey"))
     }
-    withSigBank(s, d)
+    sigBank(docs).select("doc_id", "sig_")
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
+
+  private def bandedSigs(s: SparkSession, d: String): DataFrame =
+    bandedSigsOf(documents(s, d))
 
   /** Embedding near-dup pairs within random-hyperplane buckets
     * (vec_a < vec_b, rounded cosine ≥ 0.2) — UNORDERED; dd08 adds the
@@ -916,7 +920,7 @@ object Dedup {
        |  FROM reach GROUP BY src
        |)""".stripMargin
 
-  private val sigCte =
+  private[graft] val sigCte =
     s"""hs AS (
        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 7))::BIGINT AS h FROM (
        |    SELECT doc_id, unnest($prefixShinglesSql) AS s FROM documents)

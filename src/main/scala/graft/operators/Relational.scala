@@ -944,10 +944,20 @@ object Relational {
           sum(when(col("mj") > 0, 1L).otherwise(0L)).as("n_nonzero"))
       val exact = lineitem(s, d).groupBy("l_returnflag")
         .agg(countDistinct("l_partkey").as("n_exact"))
+      // Flajolet's small-range correction: below 2.5m the raw
+      // harmonic estimate biases high and LINEAR COUNTING over the
+      // empty-register count V takes over (m·ln(m/V)) — the published
+      // two-regime estimator, stated identically in both engines
+      // (ln-parity at u3 rounding is already proven by ta15's
+      // hash-gated avg_logp at u6).
       agg.join(exact, Seq("l_returnflag"))
+        .withColumn("raw_est", lit(HllAlphaK) / col("sum_pow33"))
+        .withColumn("est",
+          when(col("raw_est") <= 640.0 && col("n_nonzero") < 256,
+            lit(256.0) * log(lit(256.0) / (lit(256) - col("n_nonzero"))))
+            .otherwise(col("raw_est")))
         .select(col("l_returnflag"), col("sum_pow33"), col("n_nonzero"),
-          floor(lit(HllAlphaK) / col("sum_pow33") * 1000 + 0.5)
-            .cast("long").as("est_u3"),
+          floor(col("est") * 1000 + 0.5).cast("long").as("est_u3"),
           col("n_exact"))
         .orderBy("l_returnflag")
     }),
@@ -1127,12 +1137,17 @@ object Relational {
          |), ex AS (
          |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
          |  FROM lineitem GROUP BY 1
+         |), est AS (
+         |  SELECT a.l_returnflag, sum_pow33, n_nonzero, n_exact,
+         |    $HllAlphaK / sum_pow33 AS raw_est
+         |  FROM agg a JOIN ex USING (l_returnflag)
          |)
-         |SELECT a.l_returnflag, sum_pow33, n_nonzero,
-         |  CAST(floor($HllAlphaK / sum_pow33 * 1000 + 0.5) AS BIGINT)
-         |    AS est_u3,
+         |SELECT l_returnflag, sum_pow33, n_nonzero,
+         |  CAST(floor((CASE WHEN raw_est <= 640.0 AND n_nonzero < 256
+         |    THEN 256.0 * ln(256.0 / (256 - n_nonzero))
+         |    ELSE raw_est END) * 1000 + 0.5) AS BIGINT) AS est_u3,
          |  CAST(n_exact AS BIGINT) AS n_exact
-         |FROM agg a JOIN ex USING (l_returnflag)
+         |FROM est
          |ORDER BY l_returnflag""".stripMargin,
 
     "q01_pricing_summary" ->

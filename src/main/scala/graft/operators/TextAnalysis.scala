@@ -1387,6 +1387,21 @@ object TextAnalysis {
   /** `scored` CTE mirroring [[scored]] (doc_id, n_tokens,
     * quality_score, predicted_lang) — shared with the streaming gate's
     * oracle (st08) so the batch and streaming gates can't drift. */
+  /** ta11's dup_bigram_frac as a reusable oracle CTE (the incremental
+    * curation oracle joins it for the repetition gate). */
+  private[graft] def repSqlCte: String =
+    s"""rep AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(bgs) > 0 THEN round(1 -
+       |      CAST(len(list_distinct(bgs)) AS DOUBLE)
+       |        / CAST(len(bgs) AS DOUBLE), 6)
+       |      ELSE 0.0 END AS dup_bigram_frac
+       |  FROM (SELECT doc_id,
+       |      list_transform(generate_series(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |)""".stripMargin
+
   private[graft] def scoredSqlCte: String =
     s"""scored AS (
        |  SELECT doc_id,

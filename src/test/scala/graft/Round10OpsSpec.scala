@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-10 work: the incremental-curation
+  * equivalence theorem (in-suite halves the DuckDB hash gate can't
+  * state), st18's replay-safe publish, the bloom sizing law, and
+  * q19b's register algebra.
+  */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, d)
+
+  import graft.apps.CurationIncremental
+
+  test("incremental curation is invariant to delta BATCHING: " +
+    "one delta wave == two id-ordered waves, row for row") {
+    // cu01's oracle proves incremental(base, delta) == from-scratch;
+    // this proves the other half of the theorem — the published
+    // corpus does not depend on how the delta is batched, as long as
+    // batches respect id order (the monotone-ingest contract).
+    val docs = Tables.documents(spark, d)
+    val cutoff = CurationIncremental.cutoffOf(docs)
+    val mid = docs.filter(col("doc_id") >= cutoff)
+      .agg(expr("percentile_approx(doc_id, 0.5)")).head().getLong(0)
+
+    val root1 = java.nio.file.Files
+      .createTempDirectory("graft_incr_one").toString
+    CurationIncremental.curateBase(spark,
+      docs.filter(col("doc_id") < cutoff), root1)
+    CurationIncremental.applyDelta(spark, root1,
+      docs.filter(col("doc_id") >= cutoff))
+
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_incr_two").toString
+    CurationIncremental.curateBase(spark,
+      docs.filter(col("doc_id") < cutoff), root2)
+    CurationIncremental.applyDelta(spark, root2,
+      docs.filter(col("doc_id") >= cutoff && col("doc_id") < mid))
+    CurationIncremental.applyDelta(spark, root2,
+      docs.filter(col("doc_id") >= mid))
+
+    val one = CurationIncremental.published(spark, root1)
+    val two = CurationIncremental.published(spark, root2)
+    assert(one.count() > 0)
+    assert(one.exceptAll(two).isEmpty && two.exceptAll(one).isEmpty,
+      "published corpus differs between one-wave and two-wave ingestion")
+    // the two-wave run must have published three snapshot versions
+    assert(graft.io.Commit.readMarker(spark, s"$root2/_SNAPSHOT") == "snap2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root1))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+  }
+
+  test("st18's upsertDocBatch skips a replayed batch whose marker " +
+    "already points at it (recovery replay is a no-op, not a crash)") {
+    import graft.streaming.EventStream
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_upsert_replay").toString
+    val b0 = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "source")
+      .withColumn("version", lit(1L)).limit(50)
+    assert(EventStream.upsertDocBatch(spark, out, b0, 0L))
+    val afterFirst = spark.read.parquet(s"$out/snap0").collect().toSet
+    // the at-least-once replay: same batch id re-delivered after the
+    // marker swap — without the guard this read+overwrite of snap0
+    // throws; with it, the call reports a skip and state is untouched
+    assert(!EventStream.upsertDocBatch(spark, out, b0, 0L))
+    assert(spark.read.parquet(s"$out/snap0").collect().toSet == afterFirst)
+    // a NEW batch id still merges normally on top
+    val b1 = b0.withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .withColumn("version", lit(2L)).limit(10)
+    assert(EventStream.upsertDocBatch(spark, out, b1, 1L))
+    assert(graft.io.Commit.readMarker(spark, s"$out/_SNAPSHOT") == "snap1")
+    val merged = spark.read.parquet(s"$out/snap1")
+    assert(merged.filter(col("version") === 2L).count() == 10)
+    assert(merged.count() == 50)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("BloomGate sizes the sketch from the holdout count " +
+    "(fixture floor preserved, production holdouts grow the bitset)") {
+    import graft.functions.BloomGate
+    // the documented fixture shape: anything at or under MinItems
+    // stays exactly 2^20 bits (128 KiB)
+    assert(BloomGate.bitsFor(1L) == BloomGate.MinBits)
+    assert(BloomGate.bitsFor(BloomGate.MinItems) == BloomGate.MinBits)
+    // a 10⁸-gram holdout gets 2^30 bits, not a saturated 2^20
+    assert(BloomGate.bitsFor(100000000L) == (1L << 30))
+    // monotone, power-of-two, and ≥ BitsPerItem·n everywhere
+    var prev = 0L
+    for (n <- Seq(1L, 1000L, 200000L, 3000000L, 50000000L)) {
+      val b = BloomGate.bitsFor(n)
+      assert(java.lang.Long.bitCount(b) == 1)
+      assert(b >= math.min(BloomGate.MinBits, n * BloomGate.BitsPerItem))
+      assert(b >= n * BloomGate.BitsPerItem || b == BloomGate.MinBits)
+      assert(b >= prev); prev = b
+    }
+  }
+
+  test("q19b's registers reconstruct: estimate within HLL's error " +
+    "band of the exact distinct count, registers consistent") {
+    val rows = q("q19b_hll_registers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sumPow, nNonzero, estU3, nExact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // register sum bounds: 256 empty registers would give 256·2^33
+      assert(sumPow <= 256L * (1L << 33) && sumPow > 0)
+      assert(nNonzero >= 0 && nNonzero <= 256)
+      // HLL standard error at m=256 is 1.04/√256 = 6.5%; allow 4σ.
+      // (The hash gate pins exactness; this pins the MATH being the
+      // estimator it claims to be.)
+      val est = estU3 / 1000.0
+      assert(math.abs(est - nExact) <= math.max(4 * 0.065 * nExact, 8.0),
+        s"flag ${r.getString(0)}: est $est vs exact $nExact")
+    }
+  }
+
+  test("curation pipeline align gate: score column carried, " +
+    "align_gated stats row present, drops audited") {
+    import graft.apps.CurationPipeline
+    val none = CurationPipeline.run(spark, d)
+    assert(!none.curated.columns.contains("align_u6"))
+    assert(none.stats.filter(col("stage") === "align_gated").isEmpty)
+    // a threshold high enough to actually drop scored survivors
+    val gatedRun = CurationPipeline.run(spark, d,
+      alignGateU6 = Some(Long.MaxValue))
+    assert(gatedRun.curated.columns.contains("align_u6"))
+    val droppedRow = gatedRun.stats
+      .filter(col("stage") === "align_gated").collect()
+    assert(droppedRow.length == 1)
+    val nDropped = droppedRow.head.getLong(1)
+    // every doc WITH an alignment score below MaxValue is dropped, so
+    // the audited drop count must equal the before/after difference
+    val before = none.stats.filter(col("stage") === "after_decontamination")
+      .head().getLong(1)
+    val after = gatedRun.stats
+      .filter(col("stage") === "after_decontamination").head().getLong(1)
+    assert(before - after == nDropped && nDropped > 0)
+    // survivors are exactly the docs with NO alignment score (absence
+    // passes by the partial-coverage contract), so align_u6 is null
+    // on every curated row
+    assert(gatedRun.curated.filter(col("align_u6").isNotNull).isEmpty)
+  }
+}
