@@ -563,4 +563,69 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"io17: the pruned scan must not shuffle-join:\n$p")
   }
+
+  test("curation decontamination explodes grams only for gated " +
+    "survivors: the id semi-join sits BELOW the gram Generate") {
+    // round-9 verdict #1a: the 8-gram blowup must track the survivor
+    // count, not the corpus — the candidate-restricting LeftSemi on
+    // doc_id must be a child of the explode (printed after it in the
+    // top-down dump), and the gram confirm must broadcast the
+    // fixed-size bench gram set
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d)
+    val gatedIds = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val bench = graft.operators.TextAnalysis.benchSample(docs, 16)
+    val candToks = graft.operators.TextAnalysis.tokenized(docs)
+      .join(gatedIds, Seq("doc_id"), "left_semi")
+    val p = graft.operators.TextAnalysis
+      .contaminatedIdsT(candToks, bench)
+      .queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate explode")
+    assert(gen >= 0, s"s5: expected the gram explode:\n${p.take(3000)}")
+    val idSemi = """BroadcastHashJoin \[doc_id[^\n]*LeftSemi""".r
+      .findAllMatchIn(p).map(_.start).toSeq
+    assert(idSemi.exists(_ > gen),
+      s"s5: the survivor id semi-join must sit below the explode:\n$p")
+    assert("""BroadcastHashJoin [^\n]*\bg\b[^\n]*LeftSemi""".r
+      .findFirstIn(p).isDefined ||
+      """BroadcastHashJoin.*LeftSemi""".r.findFirstIn(p.take(gen)).isDefined,
+      s"s5: the bench gram set must broadcast above the explode:\n$p")
+  }
+
+  test("q19b registers aggregate with map-side max partials; " +
+    "corpus never joins") {
+    // the (flag, bucket) register build must combine map-side (the
+    // shuffle carries ≤256·|flags| cells) and the only joins sit
+    // above the aggregate on the 256-row-per-flag spine
+    val p = plan("q19b_hll_registers")
+    assert(p.contains("partial_max"),
+      s"q19b: expected map-side partial max for the registers:\n$p")
+    val agg = p.indexOf("partial_max")
+    assert(!p.substring(agg).contains("Join"),
+      s"q19b: no join may touch the corpus-sided hash stream:\n$p")
+  }
+
+  test("cu delta near-dup check is a band-bucket equi-join against " +
+    "the bank, never all-pairs") {
+    // the incremental batch joins the persisted band bank on
+    // (band, bkey) — a cartesian/nested-loop here would be quadratic
+    // in the corpus and defeat the entire delta premise
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, d)
+    val bank = graft.dedup.Dedup.bandedSigsOf(
+      docs.filter(col("doc_id") % 10 =!= 9))
+    val deltaBands = graft.dedup.Dedup.bandedSigsOf(
+      docs.filter(col("doc_id") % 10 === 9))
+    val dropped = deltaBands.join(
+        bank.unionByName(deltaBands)
+          .select(col("doc_id").as("other"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("other") < col("doc_id"))
+      .select("doc_id").distinct()
+    val p = dropped.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cu: bank check must be an equi-join:\n$p")
+    assert(p.contains("band"), s"cu: expected the band key in the join:\n$p")
+  }
 }
