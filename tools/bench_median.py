@@ -40,7 +40,8 @@ def main():
                       if not k.startswith("pipeline_")), 3)
     n_q = sum(1 for k in medians if not k.startswith("pipeline_"))
     pipelines = {k: v for k, v in medians.items()
-                 if k.startswith("pipeline_") and k.endswith("_e2e")}
+                 if k.startswith("pipeline_")
+                 and not re.match(r"pipeline_.*_s\d+_", k)}
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
