@@ -816,6 +816,42 @@ object Relational {
         .orderBy("day")
     }),
 
+    // q44: RETENTION COHORTS — the signup-cohort × day-offset matrix
+    // (day-N retention) every growth team reads beside q41's DAU/WAU
+    // and q26's growth accounting: cohort = the user's first active
+    // day (q26's first-seen discipline), offset = days since, and the
+    // retained fraction in integer micro-units so the ratio
+    // hash-gates. The classic trap is a per-offset self-join of the
+    // activity table (14 scans) or a user×day window; the shipped
+    // shape is dedup-once + ONE user-keyed first-day aggregate +
+    // one join back on user_id, then a (cohort, offset)-keyed count.
+    //
+    // Scale: the (user, day) dedup and the first-day aggregate are
+    // the same user-keyed exchange family as q13/q26; the matrix
+    // aggregate is |days|×14-bounded with map-side partials; cohort
+    // sizes are a |days|-row join. No self-join, no window over raw
+    // events, at any corpus size.
+    "q44_retention_cohorts" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .localCheckpoint() // feeds the first-day agg AND the offset join
+      val first = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val sizes = first.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      ud.join(first, Seq("user_id"))
+        .withColumn("offset", datediff(col("day"), col("cohort_day")))
+        .filter(col("offset") <= 13)
+        .groupBy("cohort_day", "offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset"), col("n_active"),
+          col("cohort_size"),
+          floor(col("n_active") * lit(1000000.0) / col("cohort_size") + 0.5)
+            .cast("long").as("retention_u6"))
+        .orderBy("cohort_day", "offset")
+    }),
+
     // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
     // conversion: for every purchase, the user's most recent PRECEDING
     // non-purchase event type (view/click/signup/...), 'direct' when
@@ -1599,6 +1635,28 @@ object Relational {
         |LEFT JOIN dau d USING (day)
         |LEFT JOIN wau w USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q44_retention_cohorts" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+        |), sz AS (
+        |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1
+        |), m AS (
+        |  SELECT f.cohort_day,
+        |    CAST(ud.day - f.cohort_day AS INTEGER) AS "offset",
+        |    CAST(count(*) AS BIGINT) AS n_active
+        |  FROM ud JOIN f USING (user_id)
+        |  WHERE ud.day - f.cohort_day <= 13
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m.cohort_day, m."offset", m.n_active, sz.cohort_size,
+        |  CAST(floor(m.n_active * 1000000.0 / sz.cohort_size + 0.5)
+        |    AS BIGINT) AS retention_u6
+        |FROM m JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, "offset"""".stripMargin,
 
     "q38_rfm_segments" ->
       s"""WITH mx AS (

@@ -1052,6 +1052,41 @@ object TextAnalysis {
     // carries ≤2080 cells per map partition; the cov closed form
     // (G_ij − s_i·s_j/n)/(n−1) runs over the 2080-row result with a
     // broadcast 64-row diagonal join.
+    // em14: EMBEDDING TABLE QA AUDIT — the gate every embedding
+    // backfill runs before its vectors reach an index or a trainer:
+    // per source, vector counts, dimension consistency (a mixed-dim
+    // table silently breaks every ANN structure downstream),
+    // zero-norm vectors (cosine is undefined on them — mm12 excludes
+    // them; this query COUNTS them), and the norm profile, summed in
+    // integer micro-units so the aggregate is order-free under any
+    // partitioning. Vectors whose document row is missing land in
+    // their own '__no_doc__' bucket instead of vanishing — the
+    // absence-is-audited contract curation stage 5 set.
+    //
+    // Scale: one pass over embeddings + one id equi-join to the
+    // (doc_id, source) projection; the aggregate is |sources|-keyed
+    // with map-side partials. Per-row norm is the in-order vec fold
+    // (bit-identical in both engines).
+    "em14_embedding_qa" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .join(documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"), "left")
+        .select(coalesce(col("source"), lit("__no_doc__")).as("source"),
+          size(col("embedding")).as("dim"),
+          floor(sqrt(dotProduct(col("embedding"), col("embedding")))
+            * 1e6 + 0.5).cast("long").as("nrm_u6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("dim").as("dim_min"), max("dim").as("dim_max"),
+          sum(when(col("nrm_u6") === 0L, 1L).otherwise(0L))
+            .as("n_zero_norm"),
+          min("nrm_u6").as("norm_min_u6"),
+          max("nrm_u6").as("norm_max_u6"),
+          sum("nrm_u6").as("sum_norm_u6"))
+        .orderBy("source")),
+
     "em12_pca_suffstats" -> ((s, d) => {
       val cells = pcaCells(s, d)
         .localCheckpoint() // feeds the diagonal extract AND the report
@@ -1666,6 +1701,27 @@ object TextAnalysis {
          |SELECT dim, mean_a_u6, mean_b_u6, z_u3,
          |  z_u3 >= $DriftThreshU3 AS drifted
          |FROM z ORDER BY dim""".stripMargin,
+
+    "em14_embedding_qa" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, len(embedding) AS dim,
+         |    CAST(floor(sqrt(${dotProductSql("embedding", "embedding")})
+         |      * 1e6 + 0.5) AS BIGINT) AS nrm_u6
+         |  FROM embeddings
+         |), j AS (
+         |  SELECT coalesce(d.source, '__no_doc__') AS source,
+         |    e.dim, e.nrm_u6
+         |  FROM e LEFT JOIN documents d ON e.vec_id = d.doc_id
+         |)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(min(dim) AS INTEGER) AS dim_min,
+         |  CAST(max(dim) AS INTEGER) AS dim_max,
+         |  CAST(sum(CASE WHEN nrm_u6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_norm,
+         |  min(nrm_u6) AS norm_min_u6,
+         |  max(nrm_u6) AS norm_max_u6,
+         |  CAST(sum(nrm_u6) AS BIGINT) AS sum_norm_u6
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "em12_pca_suffstats" ->
       """WITH pe AS (
