@@ -60,9 +60,10 @@ import org.apache.spark.sql.functions._
 object CurationIncremental {
 
   // gate thresholds — CurationPipeline.run's defaults, shared verbatim
-  private val MinQuality = 0.3
-  private val Langs = Seq("en", "de", "es")
-  private val MaxDupBigramFrac = 0.2
+  // (private[graft]: st19's streaming ingest gate reuses them)
+  private[graft] val MinQuality = 0.3
+  private[graft] val Langs = Seq("en", "de", "es")
+  private[graft] val MaxDupBigramFrac = 0.2
   private[graft] val BenchN = TextAnalysis.DeconBenchN
 
   private def gateCond: Column =

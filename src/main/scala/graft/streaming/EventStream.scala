@@ -161,6 +161,65 @@ object EventStream {
     true
   }
 
+  /** st19's per-batch ingest step: exact-dedup the batch against the
+    * accumulated KEY BANK (first-wins within the batch, then a
+    * digest-keyed anti-join — dd09's novelty check as streaming
+    * state), quality/language-gate the survivors, append them through
+    * st12's marker-committed sink, and roll the key bank forward
+    * under its own marker.
+    *
+    * Exactly-once by construction: the key-bank swap is the LAST
+    * step, so `keys marker == keys/v<id>` proves the whole batch
+    * completed and the replay skips outright; a crash anywhere
+    * earlier replays into (a) an identical recompute of the accepted
+    * rows from the UNCHANGED previous bank, (b) commitBatch's own
+    * marker guard (skip if committed), and (c) the bank write —
+    * every step idempotent, so at-least-once delivery composes to
+    * exactly-once state (st18's law, here across TWO artifacts). */
+  private[graft] def ingestCurateBatch(ss: SparkSession, root: String,
+      out: String, df: DataFrame, id: Long): Boolean = {
+    import graft.apps.CurationIncremental.{Langs, MinQuality}
+    val keysMarker = s"$root/_KEYS"
+    val cur =
+      if (graft.io.Commit.exists(ss, keysMarker))
+        graft.io.Commit.readMarker(ss, keysMarker)
+      else ""
+    if (cur == s"keys/v$id") return false // fully processed; replay skip
+    val prevKeys =
+      if (cur.nonEmpty) ss.read.parquet(s"$root/$cur")
+      else ss.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("content_key", StringType))))
+    val keyed = df.withColumn("content_key", md5(col("text")))
+      .localCheckpoint() // feeds first-wins, the accept join, the bank
+    val novel = keyed.groupBy("content_key")
+      .agg(min("doc_id").as("doc_id"))
+      .join(prevKeys, Seq("content_key"), "left_anti")
+      .select("doc_id")
+    // score the SURVIVORS, not the batch — redelivered duplicates are
+    // dropped before they cost a tokenization (the s5 lesson)
+    val survivors = keyed.join(novel, Seq("doc_id"), "left_semi")
+    val accepted = survivors
+      .join(graft.operators.TextAnalysis.scored(survivors)
+        .select("doc_id", "n_tokens", "quality_score", "predicted_lang"),
+        Seq("doc_id"))
+      .filter(col("quality_score") >= MinQuality &&
+        col("predicted_lang").isin(Langs: _*))
+      .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+    commitBatch(ss, out, accepted, id)
+    prevKeys.unionByName(keyed.select("content_key").distinct())
+      .distinct()
+      .write.mode("overwrite").parquet(s"$root/keys/v$id")
+    graft.io.Commit.writeMarker(ss, keysMarker, s"keys/v$id")
+    true
+  }
+
+  private[graft] val ingestCuratedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_tokens", IntegerType),
+    StructField("quality_score", DoubleType)))
+
   /** st11 count-min-sketch geometry: D hash rows × W buckets (the
     * sketch state is D·W cells, stream-size-independent) and the
     * heavy-hitter report size. */
@@ -696,6 +755,77 @@ object EventStream {
         .orderBy("lang")
     }),
 
+    // st19: STREAMING INGEST CURATION — cu01's delta path as a
+    // stream, the way a 100 TB corpus actually grows: each microbatch
+    // is exact-deduped against the accumulated CONTENT-KEY BANK
+    // (dd09's novelty check as streaming state, digests-only anti-join
+    // — text never shuffles), the novel survivors are quality/
+    // language-gated (st08's gate, CurationPipeline's thresholds),
+    // appended through st12's marker-committed sink, and the bank
+    // rolls forward under its own io09 marker — LAST, so the marker
+    // proves batch completion and a recovery replay skips outright
+    // (exactly-once across TWO artifacts, st18's law; replay exercised
+    // below and in Round10OpsSpec).
+    //
+    // Determinism discipline (st18's): first-wins dedup is order-
+    // sensitive in general, so the staging delivers every content key
+    // as its COMPLETE row group (slices keyed by hash(content_key);
+    // redeliveries copy whole key groups from other slices). Then
+    // within-batch min-id ∘ cross-batch first-wins = global min-id
+    // per key under ANY arrival order, which is what lets the oracle
+    // state the accepted set in closed form over the batch table.
+    //
+    // Scale: per batch the anti-join carries 16-byte digests, scoring
+    // touches novel survivors only, the bank is a keys-only table,
+    // and the 100 TB base corpus is never re-read — the entire point
+    // of incremental ingest.
+    "st19_stream_ingest_curate" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_ingest").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = graft.Tables.documents(ss, d)
+      val keyed = docs.withColumn("ck", md5(col("text")))
+      def slice(i: Int) =
+        keyed.filter(pmod(xxhash64(col("ck")), lit(3)) === i)
+      // complete key groups from earlier slices, redelivered
+      def regroup(src: DataFrame, seed: Int) =
+        src.filter(pmod(xxhash64(col("ck"), lit(seed)), lit(5)) === 0)
+      val b0 = slice(0)
+      val b1 = slice(1).unionByName(regroup(slice(0), 1))
+      val b2 = slice(2)
+        .unionByName(regroup(slice(0), 2))
+        .unionByName(regroup(slice(1), 3))
+      Seq(b0, b1, b2).foreach(
+        _.drop("ck").coalesce(1).write.mode("append").parquet(s"$root/src"))
+      val out = s"$root/out"
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            ingestCurateBatch(ss, root, out, df, id); ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      val ids = committedIds(ss, out)
+      require(ids.size >= 2, s"expected multiple ingest batches, got $ids")
+      // crash-recovery replay of the final batch: the key-bank marker
+      // proves completion, so the whole step must be a no-op
+      require(!ingestCurateBatch(ss, root, out, b2.drop("ck"), ids.last),
+        "replayed ingest batch must be skipped")
+      readCommitted(ss, out, ingestCuratedSchema).orderBy("doc_id")
+    }),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -792,6 +922,24 @@ object EventStream {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the accepted set in closed form: min doc_id per distinct text
+    // (the order-independence argument in the query comment), then
+    // st08's gate verbatim
+    "st19_stream_ingest_curate" -> {
+      import graft.apps.CurationIncremental.{Langs, MinQuality}
+      s"""WITH ${graft.operators.TextAnalysis.scoredSqlCte},
+         |winners AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+         |)
+         |SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score
+         |FROM documents d
+         |JOIN winners USING (doc_id)
+         |JOIN scored s ON s.doc_id = d.doc_id
+         |WHERE s.quality_score >= $MinQuality
+         |  AND s.predicted_lang IN (${Langs.map(l => s"'$l'").mkString(", ")})
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "st17_stream_bloom_decontaminate" ->
       s"""WITH ${graft.operators.TextAnalysis.deconHoldoutCtes}

@@ -79,6 +79,43 @@ class Round10OpsSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("st19's ingestCurateBatch: accepted corpus is invariant to " +
+    "batching (three key-sliced batches == one batch) and a replayed " +
+    "batch skips with the bank untouched") {
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, d)
+    val keyed = docs.withColumn("ck", md5(col("text")))
+    def run(batches: Seq[DataFrame]): (String, Set[org.apache.spark.sql.Row]) = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ingest").toString
+      val out = s"$root/out"
+      batches.zipWithIndex.foreach { case (b, i) =>
+        assert(EventStream.ingestCurateBatch(spark, root, out,
+          b.drop("ck"), i.toLong))
+      }
+      (root, EventStream.readCommitted(spark, out,
+        EventStream.ingestCuratedSchema).collect().toSet)
+    }
+    // each batch carries COMPLETE content-key groups (the st19
+    // staging contract), so the accepted set must not depend on how
+    // the corpus is split into batches
+    val slices = (0 until 3).map(i =>
+      keyed.filter(pmod(xxhash64(col("ck")), lit(3)) === i))
+    val (root3, three) = run(slices)
+    val (root1, one) = run(Seq(keyed))
+    assert(one.nonEmpty && one == three,
+      "accepted corpus differs between 1-batch and 3-batch ingestion")
+    // recovery replay of the final batch: the key-bank marker proves
+    // completion, so the call reports a skip and the bank is untouched
+    assert(graft.io.Commit.readMarker(spark, s"$root3/_KEYS") == "keys/v2")
+    assert(!EventStream.ingestCurateBatch(spark, root3, s"$root3/out",
+      slices(2).drop("ck"), 2L))
+    assert(graft.io.Commit.readMarker(spark, s"$root3/_KEYS") == "keys/v2")
+    Seq(root3, root1).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r)))
+  }
+
   test("BloomGate sizes the sketch from the holdout count " +
     "(fixture floor preserved, production holdouts grow the bitset)") {
     import graft.functions.BloomGate
