@@ -453,6 +453,101 @@ object JsonLines {
         .orderBy("lang")
     }),
 
+    // io20: DATA-QUALITY EXPECTATIONS — the declarative constraint
+    // audit (the Delta CHECK-constraint / DLT-expectation shape) a
+    // lakehouse runs before publishing a snapshot: each table carries
+    // a suite of NAMED checks, the audit emits one row per check
+    // (violations, total, pass) and a publish gate (io09's WAP) would
+    // read `pass`. Check classes covered: accepted-values, numeric
+    // range, non-empty, primary-key uniqueness, referential
+    // integrity, event-time freshness. The suite deliberately
+    // includes expectations the fixture VIOLATES (a tightened
+    // discount cap, an event-type allowlist without 'error', and the
+    // generator's non-unique (l_orderkey, l_linenumber) line key) —
+    // a report that can only say "pass" audits nothing.
+    //
+    // Scale: every per-row predicate check over a table folds into
+    // ONE conditional aggregate — the orders scan answers two checks
+    // in a single pass, events two, so adding a check adds a column,
+    // not a scan. Uniqueness is the two-phase shape (group on the
+    // key, then count groups): partial-agg-friendly, never a global
+    // expand-distinct. Referential integrity is one LEFT ANTI join
+    // whose dimension side Spark broadcasts at this size and
+    // shuffle-joins past the threshold — either way the fact table is
+    // scanned once. The report is |checks| rows; nothing else
+    // reaches the driver.
+    "io20_expectations" -> ((s, d) => {
+      val ord = graft.Tables.orders(s, d)
+      val li = graft.Tables.lineitem(s, d)
+      val cust = graft.Tables.customer(s, d)
+      val docs = graft.Tables.documents(s, d)
+      val ev = graft.Tables.events(s, d)
+      def report(table: String, rows: DataFrame): DataFrame =
+        rows.select(lit(table).as("table_name"), col("check_name"),
+          col("violations").cast("long"), col("total").cast("long"))
+      // one scan of orders answers both row-predicate checks
+      val ordChecks = report("orders", ord.agg(
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v_status"),
+        sum(when(col("o_totalprice") < 0.0 ||
+          col("o_totalprice") > 600000.0, 1L).otherwise(0L)).as("v_price"),
+        count(lit(1)).as("total"))
+        .select(expr("stack(2, 'accepted_status', v_status, " +
+          "'range_totalprice', v_price) AS (check_name, violations)"),
+          col("total")))
+      val liChecks = report("lineitem", li.agg(
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L)
+          .otherwise(0L)).as("v_disc"),
+        count(lit(1)).as("total"))
+        .select(expr("stack(2, 'range_quantity', v_qty, " +
+          "'range_discount_tight', v_disc) AS (check_name, violations)"),
+          col("total")))
+      // uniqueness: two-phase (group on the key, count the groups) —
+      // violations = rows beyond the first of each key
+      def unique(table: String, check: String, keyed: DataFrame) =
+        report(table, keyed.groupBy("k").agg(count(lit(1)).as("c"))
+          .agg((sum(col("c")) - count(lit(1))).as("violations"),
+            sum(col("c")).as("total"))
+          .select(lit(check).as("check_name"), col("violations"),
+            col("total")))
+      val liUnique = unique("lineitem", "unique_order_line",
+        li.select(concat_ws("#", col("l_orderkey"), col("l_linenumber"))
+          .as("k")))
+      val custUnique = unique("customer", "pk_unique_custkey",
+        cust.select(col("c_custkey").as("k")))
+      // referential integrity: fact rows whose FK misses the dimension
+      val fk = report("orders",
+        ord.join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .crossJoin(ord.agg(count(lit(1)).as("total")))
+          .select(lit("fk_custkey_exists").as("check_name"),
+            col("violations"), col("total")))
+      val docChecks = report("documents", docs.agg(
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("violations"),
+        count(lit(1)).as("total"))
+        .select(lit("nonempty_text").as("check_name"), col("violations"),
+          col("total")))
+      val evChecks = report("events", ev.agg(
+        sum(when(!col("event_type").isin("click", "view", "purchase",
+          "signup"), 1L).otherwise(0L)).as("v_type"),
+        sum(when(col("ts") < lit("2024-01-01 00:00:00").cast("timestamp")
+          || col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"),
+          1L).otherwise(0L)).as("v_fresh"),
+        count(lit(1)).as("total"))
+        .select(expr("stack(2, 'accepted_event_type', v_type, " +
+          "'freshness_window', v_fresh) AS (check_name, violations)"),
+          col("total")))
+      ordChecks.unionByName(liChecks).unionByName(liUnique)
+        .unionByName(custUnique).unionByName(fk).unionByName(docChecks)
+        .unionByName(evChecks)
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("table_name", "check_name")
+    }),
+
     // io15: PARTITION-SCHEME EVOLUTION — the migration every
     // long-lived table eventually runs: history was laid out under
     // one partitioning (here by event_type — fine when queries were
@@ -1044,6 +1139,65 @@ object JsonLines {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "io20_expectations" ->
+      """WITH checks AS (
+        |  SELECT 'orders' AS table_name, 'accepted_status' AS check_name,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |    CAST(count(*) AS BIGINT) AS total FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'range_totalprice',
+        |    CAST(sum(CASE WHEN o_totalprice < 0.0
+        |      OR o_totalprice > 600000.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'range_quantity',
+        |    CAST(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'range_discount_tight',
+        |    CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'unique_order_line',
+        |    CAST(sum(c) - count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'customer', 'pk_unique_custkey',
+        |    CAST(sum(c) - count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+        |  FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        |  UNION ALL
+        |  SELECT 'orders', 'fk_custkey_exists',
+        |    CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM orders o
+        |  UNION ALL
+        |  SELECT 'documents', 'nonempty_text',
+        |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'events', 'accepted_event_type',
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup') THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'events', 'freshness_window',
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |      OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM events
+        |)
+        |SELECT table_name, check_name, violations, total,
+        |  violations = 0 AS pass
+        |FROM checks ORDER BY table_name, check_name""".stripMargin,
 
     "io15_layout_migration" ->
       """WITH b AS (

@@ -196,7 +196,17 @@ object Multimodal {
     * Exact while blockSum·nPixels < 2^63, i.e. images up to ~10^8
     * pixels — any practical decode. Blocks that receive no pixels
     * (w or h < 8) hash as 0-bits in both engines. */
-  def imageAHash(r: MediaRecord): ImgAHash = {
+  def imageAHash(r: MediaRecord): ImgAHash = aHashOf(r, edited = false)
+
+  /** mm13's re-encoded VARIANT hash: the same aHash computed over the
+    * decoded plane after a deterministic small edit — every 37th
+    * pixel's three channels shifted by +101 (mod 256), a stand-in for
+    * the watermark/recompression perturbations copy detection must
+    * survive. Defined on the DECODED bytes (b′ = (b + 101) mod 256),
+    * so the oracle reproduces it from the pixel generator. */
+  def imageAHashEdited(r: MediaRecord): ImgAHash = aHashOf(r, edited = true)
+
+  private def aHashOf(r: MediaRecord, edited: Boolean): ImgAHash = {
     val img = decodePpm(r.payload)
     val w = img.width
     val h = img.height
@@ -209,9 +219,12 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val cx = x * 8 / w
-        val base = (y * w + x) * 3
-        val s = (img.pixels(base) & 0xFF) + (img.pixels(base + 1) & 0xFF) +
-          (img.pixels(base + 2) & 0xFF)
+        val p = y * w + x
+        val base = p * 3
+        val shift = if (edited && p % 37 == 0) 101 else 0
+        val s = ((img.pixels(base) & 0xFF) + shift) % 256 +
+          ((img.pixels(base + 1) & 0xFF) + shift) % 256 +
+          ((img.pixels(base + 2) & 0xFF) + shift) % 256
         val c = cy * 8 + cx
         cellSum(c) += s
         cellCnt(c) += 1
@@ -785,6 +798,63 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // mm13: IMAGE NEAR-DUP DETECTION (banded Hamming LSH over aHash) —
+    // mm09 catches only EXACT perceptual-hash matches; this is the
+    // production copy detector (the PDQ/PhotoDNA shape): match
+    // originals against re-encoded copies whose hash differs in a few
+    // bits. Each 64-bit aHash splits into 8 bands of 8 bits; a pair
+    // becomes a candidate iff SOME band is equal (one equi-join on
+    // (band_id, band_val)); candidates are verified by exact Hamming
+    // distance ≤ 7. By pigeonhole, distance ≤ 7 over 8 bands forces
+    // at least one equal band — band recall is EXACT for d ≤ 7, not
+    // probabilistic (the LSH miss risk starts at d = 8). The variant
+    // side here is each image's deterministic edited re-encode
+    // ([[imageAHashEdited]]): ~77% of true pairs land within d ≤ 3
+    // and 98% within d ≤ 7 on the fixture, so the detector's recall
+    // is measurable (`is_true_pair`), and chance band collisions are
+    // killed by the verify (random hashes sit at d ≈ 32).
+    //
+    // Scale: payloads decode per-row and never shuffle — only 24-byte
+    // (id, hi, lo) rows enter the band explode (a bounded 8×), and
+    // the band join shuffles on a 2-byte key; per-bucket candidate
+    // lists are the standard LSH skew surface (a saturated band value
+    // → salt or drop the bucket, dd03's rule). The verify is
+    // integer xor/popcount on the pair rows — no re-join back to
+    // payloads, since the hashes ride through the explode.
+    "mm13_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val orig = mediaPayloads(s, d)
+        .mapPartitions(_.map(imageAHash)).toDF()
+        .select(col("doc_id"), col("ahash_hi").as("a_hi"),
+          col("ahash_lo").as("a_lo"))
+      val vari = mediaPayloads(s, d)
+        .mapPartitions(_.map(imageAHashEdited)).toDF()
+        .select(col("doc_id").as("re_id"), col("ahash_hi").as("b_hi"),
+          col("ahash_lo").as("b_lo"))
+      def banded(df: DataFrame, hi: String, lo: String): DataFrame = {
+        val bandCols = (0 until 8).map { j =>
+          val half = if (j < 4) lo else hi
+          struct(lit(j).as("band_id"),
+            (shiftright(col(half), 8 * (j % 4)) % 256).as("band_val"))
+        }
+        df.withColumn("b", explode(array(bandCols: _*)))
+          .select(df.columns.map(col) :+ col("b.band_id") :+
+            col("b.band_val"): _*)
+      }
+      banded(orig, "a_hi", "a_lo")
+        .join(banded(vari, "b_hi", "b_lo"), Seq("band_id", "band_val"))
+        .groupBy("doc_id", "re_id", "a_hi", "a_lo", "b_hi", "b_lo")
+        .agg(count(lit(1)).as("n_bands"))
+        .withColumn("hamming",
+          expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)")
+            .cast("long"))
+        .where(col("hamming") <= 7L)
+        .select(col("doc_id"), col("re_id"), col("n_bands"),
+          col("hamming"), (col("doc_id") === col("re_id"))
+            .as("is_true_pair"))
+        .orderBy("doc_id", "re_id")
+    }),
+
     // mm11: CAPTION↔IMAGE ALIGNMENT — the CLIP-style joint-embedding
     // gate every multimodal curation pipeline runs between a caption
     // and its media: score = cosine(text-side vector, image-side
@@ -1289,6 +1359,84 @@ object Multimodal {
         |  CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT)
         |    AS n_same_hash
         |FROM hashes ORDER BY doc_id""".stripMargin,
+
+    // mm13: mm09's hash CTEs computed twice from the pixel generator —
+    // original bytes and the +101-mod-256 edited variant — then the
+    // 8×8-bit band explode, candidate equi-join, and exact Hamming
+    // verify. The hash match proves decode, edit model, banding and
+    // popcount math end to end in both engines.
+    "mm13_image_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS w,
+        |    3 + (doc_id % 17) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM dims
+        |), cell AS (
+        |  SELECT doc_id, w, h,
+        |    (((p // w) * 8) // h) * 8 + ((p % w) * 8) // w AS c,
+        |    ((doc_id * 31 + (3 * p) * 7) % 256)
+        |      + ((doc_id * 31 + (3 * p + 1) * 7) % 256)
+        |      + ((doc_id * 31 + (3 * p + 2) * 7) % 256) AS s,
+        |    (((doc_id * 31 + (3 * p) * 7) % 256
+        |       + CASE WHEN p % 37 = 0 THEN 101 ELSE 0 END) % 256)
+        |      + (((doc_id * 31 + (3 * p + 1) * 7) % 256
+        |       + CASE WHEN p % 37 = 0 THEN 101 ELSE 0 END) % 256)
+        |      + (((doc_id * 31 + (3 * p + 2) * 7) % 256
+        |       + CASE WHEN p % 37 = 0 THEN 101 ELSE 0 END) % 256) AS s2
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id, w, h, c,
+        |    CAST(sum(s) AS BIGINT) AS cs, CAST(sum(s2) AS BIGINT) AS cs2,
+        |    CAST(count(*) AS BIGINT) AS cc
+        |  FROM cell GROUP BY doc_id, w, h, c
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS ts,
+        |    CAST(sum(cs2) AS BIGINT) AS ts2
+        |  FROM agg GROUP BY doc_id
+        |), hashes AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN a.c >= 32 AND a.cs * a.w * a.h > t.ts * a.cc
+        |      THEN (1::BIGINT << (a.c - 32)) ELSE 0::BIGINT END)
+        |      AS BIGINT) AS a_hi,
+        |    CAST(sum(CASE WHEN a.c < 32 AND a.cs * a.w * a.h > t.ts * a.cc
+        |      THEN (1::BIGINT << a.c) ELSE 0::BIGINT END)
+        |      AS BIGINT) AS a_lo,
+        |    CAST(sum(CASE WHEN a.c >= 32
+        |        AND a.cs2 * a.w * a.h > t.ts2 * a.cc
+        |      THEN (1::BIGINT << (a.c - 32)) ELSE 0::BIGINT END)
+        |      AS BIGINT) AS b_hi,
+        |    CAST(sum(CASE WHEN a.c < 32 AND a.cs2 * a.w * a.h > t.ts2 * a.cc
+        |      THEN (1::BIGINT << a.c) ELSE 0::BIGINT END)
+        |      AS BIGINT) AS b_lo
+        |  FROM agg a JOIN tot t USING (doc_id)
+        |  GROUP BY a.doc_id
+        |), bandsA AS (
+        |  SELECT doc_id, a_hi, a_lo, j AS band_id,
+        |    CASE WHEN j < 4 THEN (a_lo >> (8 * j)) % 256
+        |         ELSE (a_hi >> (8 * (j - 4))) % 256 END AS band_val
+        |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j)
+        |), bandsB AS (
+        |  SELECT doc_id AS re_id, b_hi, b_lo, j AS band_id,
+        |    CASE WHEN j < 4 THEN (b_lo >> (8 * j)) % 256
+        |         ELSE (b_hi >> (8 * (j - 4))) % 256 END AS band_val
+        |  FROM hashes, (SELECT unnest(generate_series(0, 7)) AS j)
+        |), cand AS (
+        |  SELECT a.doc_id, v.re_id, a.a_hi, a.a_lo, v.b_hi, v.b_lo,
+        |    CAST(count(*) AS BIGINT) AS n_bands
+        |  FROM bandsA a JOIN bandsB v
+        |    ON a.band_id = v.band_id AND a.band_val = v.band_val
+        |  GROUP BY a.doc_id, v.re_id, a.a_hi, a.a_lo, v.b_hi, v.b_lo
+        |)
+        |SELECT doc_id, re_id, n_bands,
+        |  CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo))
+        |    AS BIGINT) AS hamming,
+        |  doc_id = re_id AS is_true_pair
+        |FROM cand
+        |WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
+        |ORDER BY doc_id, re_id""".stripMargin,
 
     "mm02_decode_features" ->
       """WITH dims AS (

@@ -64,6 +64,12 @@ object TextAnalysis {
     * vacuous. */
   private[graft] val MixBudget = 20000L
 
+  /** ta25's document budget, apportioned across sources by
+    * temperature-scaled token mass (largest-remainder method). Sized
+    * well under the fixture's per-source doc counts at sf0.01 so the
+    * quotas BIND (a quota a source can always fill tests nothing). */
+  private[graft] val TempMixDocBudget = 100L
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -803,6 +809,69 @@ object TextAnalysis {
       budgets.join(selAgg, Seq("source"), "left")
         .select(col("source"), col("weight"), col("budget_tokens"),
           coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+        .orderBy("source")
+    }),
+
+    // ta25: TEMPERATURE-SCALED SOURCE SAMPLING — ta24 takes the
+    // mixture weights as GIVEN; this is the step that DERIVES them:
+    // the multilingual-LM upsampling rule w_i ∝ c_i^α (α = 1/2 here,
+    // the T=2 temperature that lifts low-resource sources without
+    // letting any source dominate — the mBERT/XLM-R recipe). A fixed
+    // DOC budget is then apportioned by the largest-remainder method
+    // (Hare quota: floor shares first, the leftover seats to the
+    // largest fractional remainders) — the exact-apportionment rule
+    // that makes quotas sum to the budget by construction — and each
+    // source fills its quota in salted-hash order (ta13's rule: no
+    // RNG, reshards and reruns pick the same docs).
+    //
+    // Engine-exactness: α = 1/2 makes the temperature score a SQRT —
+    // correctly rounded in IEEE 754, so bit-identical across engines
+    // (no libm pow/exp drift) — quantized to micro-units
+    // (floor(√c·1e6 + 0.5)) after which every share/remainder/rank is
+    // INTEGER arithmetic.
+    //
+    // Scale: one corpus pass folds to |sources| rows; the share +
+    // remainder-rank math is windows over that |sources|-row frame;
+    // the quota fill is one per-source row_number window (at 100 TB,
+    // prefiltered by hash threshold the ta13 way before the window);
+    // quotas broadcast back. Nothing but per-source aggregates ever
+    // reaches the driver (the scalar S = Σ s_micro, like ta24's tot).
+    "ta25_temperature_mix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val base = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val scored = base.groupBy("source")
+        .agg(sum("n_tokens").as("c_tokens"), count(lit(1)).as("n_docs"))
+        .withColumn("s_micro",
+          floor(sqrt(col("c_tokens").cast("double")) * 1e6 + 0.5)
+            .cast("long"))
+        .localCheckpoint() // |sources| rows; feeds S, quotas, report
+      val totS = scored.agg(sum("s_micro")).head().getLong(0)
+      val b = TempMixDocBudget
+      val q0 = scored
+        .withColumn("base_q", expr(s"($b * s_micro) div ${totS}L"))
+        .withColumn("rem", expr(s"($b * s_micro) % ${totS}L"))
+      val leftover = b - q0.agg(sum("base_q")).head().getLong(0)
+      val quotas = q0
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("rem").desc, col("source"))))
+        .withColumn("quota_docs", col("base_q") +
+          when(col("rk") <= leftover, 1L).otherwise(0L))
+      val sel = base
+        .join(broadcast(quotas.select("source", "quota_docs")),
+          Seq("source"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .where(col("rn") <= col("quota_docs"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum("n_tokens").as("sel_tokens"))
+      quotas.join(sel, Seq("source"), "left")
+        .select(col("source"), col("c_tokens"), col("n_docs"),
+          col("s_micro"), col("quota_docs"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
           coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
         .orderBy("source")
     }),
@@ -1961,6 +2030,49 @@ object TextAnalysis {
          |  coalesce(a.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
          |FROM b LEFT JOIN agg a USING (source)
          |ORDER BY source""".stripMargin,
+
+    "ta25_temperature_mix" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS c_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE)) * 1000000
+         |      + 0.5) AS BIGINT) AS s_micro
+         |  FROM base GROUP BY source
+         |), tot AS (
+         |  SELECT CAST(sum(s_micro) AS BIGINT) AS ts FROM sc
+         |), q0 AS (
+         |  SELECT source, c_tokens, n_docs, s_micro,
+         |    ($TempMixDocBudget * s_micro) // ts AS base_q,
+         |    ($TempMixDocBudget * s_micro) % ts AS rem
+         |  FROM sc CROSS JOIN tot
+         |), lo AS (
+         |  SELECT $TempMixDocBudget - sum(base_q) AS leftover FROM q0
+         |), quota AS (
+         |  SELECT source, c_tokens, n_docs, s_micro,
+         |    base_q + CASE WHEN row_number()
+         |        OVER (ORDER BY rem DESC, source) <= (SELECT leftover
+         |        FROM lo) THEN 1 ELSE 0 END AS quota_docs
+         |  FROM q0
+         |), ranked AS (
+         |  SELECT source, n_tokens, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM base
+         |), sel AS (
+         |  SELECT r.source, CAST(count(*) AS BIGINT) AS n_sel,
+         |    CAST(sum(r.n_tokens) AS BIGINT) AS sel_tokens
+         |  FROM ranked r JOIN quota USING (source)
+         |  WHERE r.rn <= quota_docs GROUP BY r.source
+         |)
+         |SELECT q.source, q.c_tokens, q.n_docs, q.s_micro,
+         |  CAST(q.quota_docs AS BIGINT) AS quota_docs,
+         |  coalesce(s.n_sel, CAST(0 AS BIGINT)) AS n_sel,
+         |  coalesce(s.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
+         |FROM quota q LEFT JOIN sel s USING (source)
+         |ORDER BY q.source""".stripMargin,
 
     "ta19_budget_select" ->
       s"""WITH q AS (

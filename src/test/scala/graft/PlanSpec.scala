@@ -628,4 +628,28 @@ class PlanSpec extends AnyFunSuite {
       s"cu: bank check must be an equi-join:\n$p")
     assert(p.contains("band"), s"cu: expected the band key in the join:\n$p")
   }
+
+  test("mm13 candidate join is an equi-join on the band key — " +
+    "payload-sized data never reaches a pair stage") {
+    val p = plan("mm13_image_neardup")
+    // an all-pairs plan here is quadratic in the corpus; the whole
+    // point of banding is ONE equi-join on (band_id, band_val)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mm13: banded join must stay an equi-join:\n$p")
+    assert(p.contains("band_val"),
+      s"mm13: expected the band key in the join:\n$p")
+    // the Hamming verify prunes AFTER the band join, on hash columns
+    // only — decoded payload bytes appear nowhere in the plan
+    assert(!p.contains("payload"),
+      s"mm13: payloads must not ride past the hash projection:\n$p")
+  }
+
+  test("ta25 quota join broadcasts the |sources|-row side") {
+    val p = plan("ta25_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ta25: quotas must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -181,4 +181,68 @@ class Round10OpsSpec extends AnyFunSuite {
     // on every curated row
     assert(gatedRun.curated.filter(col("align_u6").isNotNull).isEmpty)
   }
+
+  test("io20 expectation report: internally consistent, and the " +
+    "fixture-violated checks actually FAIL") {
+    val rep = q("io20_expectations").collect()
+    assert(rep.length == 10)
+    rep.foreach { r =>
+      val (v, t, pass) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(v >= 0 && v <= t)
+      assert(pass == (v == 0)) // `pass` is derived, never asserted free
+    }
+    val byName = rep.map(r => r.getString(1) -> r.getBoolean(4)).toMap
+    // the generator's line key really is non-unique, and the
+    // tightened discount cap really is exceeded — a suite where every
+    // check passes would prove nothing about the checker
+    assert(!byName("unique_order_line"))
+    assert(!byName("range_discount_tight"))
+    assert(!byName("accepted_event_type"))
+    // the structurally-sound constraints hold
+    assert(byName("fk_custkey_exists") && byName("pk_unique_custkey") &&
+      byName("range_quantity") && byName("freshness_window"))
+  }
+
+  test("ta25 temperature mix: quotas sum EXACTLY to the budget " +
+    "(largest-remainder law) and the fill respects availability") {
+    val rows = q("ta25_temperature_mix").collect()
+    val budget = graft.operators.TextAnalysis.TempMixDocBudget
+    assert(rows.map(_.getLong(4)).sum == budget) // exact apportionment
+    rows.foreach { r =>
+      val (c, nDocs, sMicro, quota, nSel) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      // the α=1/2 score is the micro-quantized IEEE sqrt — recompute
+      assert(sMicro == math.floor(math.sqrt(c.toDouble) * 1e6 + 0.5).toLong)
+      // a source fills min(quota, availability), never more
+      assert(nSel == math.min(quota, nDocs))
+    }
+    // temperature FLATTENS the mixture: quota shares must be strictly
+    // less spread than raw token shares (sqrt compresses ratios)
+    val cs = rows.map(_.getLong(1).toDouble)
+    val qs = rows.map(_.getLong(4).toDouble)
+    assert(qs.max / qs.min < cs.max / cs.min)
+  }
+
+  test("mm13 banded-Hamming near-dup: pigeonhole recall is EXACT — " +
+    "every true pair within d<=7 is found, none beyond is") {
+    import graft.multimodal.Multimodal
+    val hashes = Multimodal.mediaPayloads(spark, d).collect()
+      .map { r =>
+        val a = Multimodal.imageAHash(r)
+        val b = Multimodal.imageAHashEdited(r)
+        val dist = java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi) +
+          java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo)
+        r.doc_id -> dist
+      }.toMap
+    val out = q("mm13_image_neardup").collect()
+    out.foreach { r =>
+      assert(r.getLong(3) <= 7L) // verify gate holds on every pair
+      assert(r.getLong(2) >= 1L) // a candidate has >= 1 equal band
+    }
+    val truePairs = out.filter(_.getBoolean(4))
+      .map(r => r.getLong(0)).toSet
+    val expected = hashes.filter(_._2 <= 7).keySet
+    assert(truePairs == expected) // exact recall at d<=7, by pigeonhole
+    assert(expected.nonEmpty)     // ...and the law was actually exercised
+  }
 }
