@@ -220,6 +220,61 @@ object EventStream {
     StructField("n_tokens", IntegerType),
     StructField("quality_score", DoubleType)))
 
+  /** st20's allowed lateness: events up to 3 days behind the
+    * watermark are accepted (flagged late), older ones dropped. */
+  private[graft] val LatenessUs = 3L * 24 * 3600 * 1000000L
+
+  private[graft] val lateAuditSchema = StructType(Seq(
+    StructField("batch_id", LongType), StructField("wm_in_us", LongType),
+    StructField("n_arrived", LongType), StructField("n_on_time", LongType),
+    StructField("n_late_accepted", LongType),
+    StructField("n_dropped", LongType),
+    StructField("wm_out_us", LongType)))
+
+  /** st20's per-batch watermark/late-data audit step. State is ONE
+    * number — the watermark (max event time, µs, over completed
+    * batches) under an io09 marker. Per batch: classify every row
+    * against the INCOMING watermark (on-time ≥ wm; late-accepted in
+    * [wm − lateness, wm); dropped < wm − lateness — Structured
+    * Streaming's own accept/drop rule, audited instead of silent),
+    * commit the one-row audit through st12's idempotent sink, then
+    * advance the marker to max(wm, batch max). Replay-safe: the
+    * audit-marker guard skips a re-delivered batch before any state
+    * is read, and the watermark advance is a max — idempotent even
+    * if a crash lands between sink commit and marker write. */
+  private[graft] def lateAuditBatch(ss: SparkSession, root: String,
+      out: String, df: DataFrame, id: Long): Boolean = {
+    if (graft.io.Commit.exists(ss, s"$out/_committed_$id")) return false
+    val wmMarker = s"$root/_WM"
+    val wmIn: Option[Long] =
+      if (graft.io.Commit.exists(ss, wmMarker))
+        Some(graft.io.Commit.readMarker(ss, wmMarker).toLong)
+      else None
+    val wmCol = wmIn.map(v => lit(v)).getOrElse(lit(null).cast("long"))
+    val audit = df.agg(
+        count(lit(1)).as("n_arrived"),
+        sum(when(wmCol.isNotNull &&
+          col("ts_us") < wmCol - LatenessUs, 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(wmCol.isNotNull && col("ts_us") < wmCol &&
+          col("ts_us") >= wmCol - LatenessUs, 1L).otherwise(0L))
+          .as("n_late_accepted"),
+        max(col("ts_us")).as("bmax"))
+      .select(lit(id).as("batch_id"), wmCol.as("wm_in_us"),
+        col("n_arrived"),
+        (col("n_arrived") - col("n_dropped") - col("n_late_accepted"))
+          .as("n_on_time"),
+        col("n_late_accepted"), col("n_dropped"),
+        greatest(coalesce(wmCol, lit(Long.MinValue)), col("bmax"))
+          .as("wm_out_us"))
+    val r = audit.head() // 1 row by construction — bounded
+    commitBatch(ss, out,
+      ss.createDataFrame(java.util.List.of(r), r.schema), id)
+    graft.io.Commit.writeMarker(ss, wmMarker,
+      r.getAs[Long]("wm_out_us").toString)
+    true
+  }
+
   /** st11 count-min-sketch geometry: D hash rows × W buckets (the
     * sketch state is D·W cells, stream-size-independent) and the
     * heavy-hitter report size. */
@@ -826,6 +881,75 @@ object EventStream {
       readCommitted(ss, out, ingestCuratedSchema).orderBy("doc_id")
     }),
 
+    // st20: LATE-DATA AUDIT — the watermark observability every
+    // production stream needs and Structured Streaming doesn't give
+    // you (dropped-late rows vanish silently; the numDroppedRows
+    // metric is per-query, not per-batch-auditable): per microbatch,
+    // the incoming watermark, on-time / late-accepted / dropped
+    // counts under an explicit allowed-lateness, and the outgoing
+    // watermark — the table an SLA dashboard reads.
+    //
+    // Determinism discipline: late-ness is inherently ARRIVAL-ORDER-
+    // dependent, so unlike st18/st19 (which buy order-independence),
+    // st20 PINS the order instead — five staged files named and
+    // mtime-stamped in batch order (FileStreamSource takes files
+    // oldest-mtime-first), with a deterministic straggler rule
+    // (every 97th event arrives one batch late). That makes the
+    // whole audit a closed form over (event_id, ts) — the oracle
+    // recomputes watermark progression and all three counts in SQL.
+    //
+    // Scale: per batch, ONE aggregate (map-side partials) over the
+    // batch and a 1-row audit append; watermark state is a single
+    // number under an io09 marker; replay-safe via the st12 guard.
+    // Events themselves never shuffle — the audit is a fold.
+    "st20_stream_late_audit" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_lateaudit")
+        .toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val ev = graft.Tables.events(ss, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val m = ev.agg(max("event_id")).head().getLong(0) + 1
+      // arrival batch: id-quintile, stragglers (+1 batch) every 97th
+      val staged = ev.withColumn("arrive",
+        least(expr(s"(event_id * 5) div ${m}L") +
+          when(col("event_id") % 97 === 0, 1L).otherwise(0L), lit(4L)))
+      fs.mkdirs(new Path(s"$root/src"))
+      (0 until 5).foreach { k =>
+        staged.filter(col("arrive") === k).drop("arrive")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/stage/b$k")
+        val part = fs.listStatus(new Path(s"$root/stage/b$k"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        fs.rename(part, new Path(s"$root/src/b$k.parquet"))
+        // arrival order = mtime order (FileStreamSource's sort key)
+        fs.setTimes(new Path(s"$root/src/b$k.parquet"),
+          60000L * (k + 1), -1)
+      }
+      val out = s"$root/out"
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("ts_us", LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            lateAuditBatch(ss, root, out, df, id); ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      readCommitted(ss, out, lateAuditSchema).orderBy("batch_id")
+    }),
+
     // st03: stream–static join — the static side (per-user totals
     // would be a dimension table in production) is broadcast into
     // every micro-batch; the stream side never shuffles. Joining to
@@ -922,6 +1046,49 @@ object EventStream {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // watermark progression and all three accept/drop counts in
+    // closed form over (event_id, ts): arrival batch from the staging
+    // rule, wm_in = running max of prior batch maxima, classification
+    // against wm_in with the same 3-day lateness constant
+    "st20_stream_late_audit" ->
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us FROM events
+         |), mx AS (
+         |  SELECT max(event_id) + 1 AS m FROM e
+         |), b AS (
+         |  SELECT event_id, ts_us,
+         |    least((event_id * 5) // m + CASE WHEN event_id % 97 = 0
+         |      THEN 1 ELSE 0 END, 4) AS batch_id
+         |  FROM e CROSS JOIN mx
+         |), wm AS (
+         |  SELECT batch_id, max(ts_us) AS bmax FROM b GROUP BY batch_id
+         |), wmc AS (
+         |  SELECT batch_id,
+         |    max(bmax) OVER (ORDER BY batch_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS wm_in_us,
+         |    max(bmax) OVER (ORDER BY batch_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS wm_out_us
+         |  FROM wm
+         |)
+         |SELECT b.batch_id, w.wm_in_us,
+         |  CAST(count(*) AS BIGINT) AS n_arrived,
+         |  CAST(sum(CASE WHEN w.wm_in_us IS NULL
+         |    OR b.ts_us >= w.wm_in_us THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_on_time,
+         |  CAST(sum(CASE WHEN w.wm_in_us IS NOT NULL
+         |    AND b.ts_us < w.wm_in_us
+         |    AND b.ts_us >= w.wm_in_us - $LatenessUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late_accepted,
+         |  CAST(sum(CASE WHEN w.wm_in_us IS NOT NULL
+         |    AND b.ts_us < w.wm_in_us - $LatenessUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  w.wm_out_us
+         |FROM b JOIN wmc w USING (batch_id)
+         |GROUP BY b.batch_id, w.wm_in_us, w.wm_out_us
+         |ORDER BY b.batch_id""".stripMargin,
 
     // the accepted set in closed form: min doc_id per distinct text
     // (the order-independence argument in the query comment), then

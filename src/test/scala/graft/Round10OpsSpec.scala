@@ -245,4 +245,33 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(truePairs == expected) // exact recall at d<=7, by pigeonhole
     assert(expected.nonEmpty)     // ...and the law was actually exercised
   }
+
+  test("st20 late audit: conservation + monotone watermark, and a " +
+    "replayed batch is skipped before any state is touched") {
+    import graft.streaming.EventStream
+    val rows = q("st20_stream_late_audit").collect()
+    assert(rows.length == 5)
+    var prevWm = Long.MinValue
+    rows.foreach { r =>
+      // every arrival is classified exactly once
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5))
+      // the watermark never regresses, and wm_out is wm_in ∨ batch max
+      val wmOut = r.getLong(6)
+      assert(wmOut >= prevWm)
+      if (!r.isNullAt(1)) assert(r.getLong(1) == prevWm)
+      prevWm = wmOut
+    }
+    // stragglers actually exercised both late buckets somewhere
+    assert(rows.map(_.getLong(4)).sum > 0 && rows.map(_.getLong(5)).sum > 0)
+    // replay: the audit sink's marker guard fires before the
+    // watermark marker is read or advanced
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_stream_lateaudit")
+      .toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"))
+    val wmBefore = graft.io.Commit.readMarker(spark, s"$root/_WM")
+    assert(!EventStream.lateAuditBatch(spark, root, s"$root/out", ev, 4L))
+    assert(graft.io.Commit.readMarker(spark, s"$root/_WM") == wmBefore)
+  }
 }
