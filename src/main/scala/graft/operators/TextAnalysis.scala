@@ -70,6 +70,11 @@ object TextAnalysis {
     * quotas BIND (a quota a source can always fill tests nothing). */
   private[graft] val TempMixDocBudget = 100L
 
+  /** ta26's merge count. Real tokenizers run 30k–100k merges; the
+    * oracle unrolls one CTE stage per merge, so the fixture uses 3 —
+    * nothing in the iteration depends on the value. */
+  private[graft] val BpeIters = 3
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -874,6 +879,72 @@ object TextAnalysis {
           coalesce(col("n_sel"), lit(0L)).as("n_sel"),
           coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
         .orderBy("source")
+    }),
+
+    // ta26: BPE MERGE TRAINING — the first K = 3 merge steps of
+    // byte-pair encoding (Sennrich et al. 2016), the algorithm behind
+    // every modern LM tokenizer: count adjacent symbol pairs across
+    // the corpus, merge the most frequent pair everywhere, repeat.
+    // Output per iteration: the chosen pair, its corpus count, and
+    // the symbol-vocabulary size after the merge — the trainer's
+    // artifact (the merge table IS the tokenizer).
+    //
+    // The classic trainer optimization is structural here: the corpus
+    // is folded ONCE into word TYPES × frequency, and every iteration
+    // runs over the type table (|vocab| rows), never the corpus.
+    // Greedy left-to-right merging is expressed as a LITERAL string
+    // replace over a boundary-wrapped symbol string (each symbol
+    // wrapped ␟sym␟, pair pattern ␟l␟␟r␟ → ␟lr␟): replace() scans
+    // left-to-right over non-overlapping occurrences in BOTH engines,
+    // which is exactly BPE's merge order, and the wrapping stops a
+    // pair from matching inside a longer symbol. Post-merge type
+    // collisions ([a,b]→[ab] colliding with an existing [ab]) stay
+    // unmerged rows — pair counting sums over rows, so the multiset
+    // semantics are identical in both engines.
+    //
+    // Scale: one corpus pass → type table; each iteration shuffles
+    // (pair, count) aggregates bounded by the pair vocabulary; the
+    // argmax is a 1-row collect (the only driver touch, like ta19's
+    // boundary row); lineage is truncated per iteration. At 100 TB
+    // the type table is Heaps-law-bounded (ta18) — millions of rows,
+    // not corpus-sized — which is why real BPE trainers run this way.
+    "ta26_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      val sep = "\u001F" // unit separator: cannot occur in tokens
+      var words = documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
+          .as("seq"))
+        .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
+        .localCheckpoint()
+      val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+      (1 to BpeIters).foreach { k =>
+        val sy = split(trim(col("seq"), sep), s"$sep$sep")
+        val best = words
+          .select(col("f"), sy.as("sy"))
+          .where(size(col("sy")) >= 2)
+          .withColumn("i", explode(sequence(lit(0), size(col("sy")) - 2)))
+          .select(col("f"),
+            element_at(col("sy"), col("i") + 1).as("lsym"),
+            element_at(col("sy"), col("i") + 2).as("rsym"))
+          .groupBy("lsym", "rsym").agg(sum("f").as("cnt"))
+          .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+          .limit(1).head()
+        val (l, r, cnt) =
+          (best.getString(0), best.getString(1), best.getLong(2))
+        words = words.withColumn("seq",
+          replace(col("seq"), lit(sep + l + sep + sep + r + sep),
+            lit(sep + l + r + sep)))
+          .localCheckpoint()
+        val vocabAfter = words
+          .select(explode(split(trim(col("seq"), sep), s"$sep$sep"))
+            .as("sym"))
+          .agg(count_distinct(col("sym"))).head().getLong(0)
+        out += ((k.toLong, l, r, cnt, vocabAfter))
+      }
+      out.result()
+        .toDF("iter", "lsym", "rsym", "pair_count", "vocab_after")
+        .orderBy("iter")
     }),
 
     "ta19_budget_select" -> ((s, d) => {
@@ -2073,6 +2144,51 @@ object TextAnalysis {
          |  coalesce(s.sel_tokens, CAST(0 AS BIGINT)) AS sel_tokens
          |FROM quota q LEFT JOIN sel s USING (source)
          |ORDER BY q.source""".stripMargin,
+
+    // ta26: the three merge stages unrolled — each stage counts
+    // adjacent symbol pairs over the type table, picks the argmax
+    // (count desc, pair lex), and applies the same boundary-wrapped
+    // literal replace as the Spark side. chr(31) = the wrap char.
+    "ta26_bpe_merges" -> {
+      def stage(k: Int): String = {
+        val prev = s"w${k - 1}"
+        s"""p$k AS (
+           |  SELECT list_extract(sy, i) AS lsym,
+           |    list_extract(sy, i + 1) AS rsym,
+           |    CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+           |    FROM (SELECT f, string_split(trim(seq, chr(31)),
+           |      chr(31) || chr(31)) AS sy FROM $prev))
+           |  GROUP BY 1, 2
+           |), b$k AS (
+           |  SELECT lsym, rsym, cnt FROM p$k
+           |  ORDER BY cnt DESC, lsym, rsym LIMIT 1
+           |), w$k AS (
+           |  SELECT replace(seq,
+           |    chr(31) || b.lsym || chr(31) || chr(31) || b.rsym || chr(31),
+           |    chr(31) || b.lsym || b.rsym || chr(31)) AS seq, f
+           |  FROM $prev CROSS JOIN b$k b
+           |), v$k AS (
+           |  SELECT CAST(count(DISTINCT sym) AS BIGINT) AS v FROM (
+           |    SELECT unnest(string_split(trim(seq, chr(31)),
+           |      chr(31) || chr(31))) AS sym FROM w$k)
+           |)""".stripMargin
+      }
+      val stages = (1 to BpeIters).map(stage).mkString(", ")
+      val rows = (1 to BpeIters).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter, lsym, rsym,
+           |  cnt AS pair_count, (SELECT v FROM v$k) AS vocab_after
+           |  FROM b$k""".stripMargin).mkString(" UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(word, '(.)',
+         |    chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |), $stages
+         |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+    },
 
     "ta19_budget_select" ->
       s"""WITH q AS (

@@ -274,4 +274,38 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!EventStream.lateAuditBatch(spark, root, s"$root/out", ev, 4L))
     assert(graft.io.Commit.readMarker(spark, s"$root/_WM") == wmBefore)
   }
+
+  test("ta26 BPE merges match a direct in-memory reference trainer " +
+    "(pair choice, count, and vocab size, iteration by iteration)") {
+    // independent implementation: mutable symbol sequences, explicit
+    // greedy left-to-right merge — no string-replace trick shared
+    // with the query under test
+    val words = Tables.documents(spark, d).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .map(w => w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toList)
+    var freq = words.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val expected = (1 to graft.operators.TextAnalysis.BpeIters).map { _ =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f }
+      }
+      val ((l, r), cnt) = pairCounts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      def merge(seq: List[String]): List[String] = seq match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest)
+        case a :: rest => a :: merge(rest)
+        case Nil => Nil
+      }
+      freq = freq.groupBy { case (seq, _) => merge(seq) }
+        .map { case (k, v) => k -> v.values.sum }
+      val vocab = freq.keys.flatten.toSet.size.toLong
+      (l, r, cnt, vocab)
+    }
+    val got = q("ta26_bpe_merges").collect().map(r =>
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+  }
 }
