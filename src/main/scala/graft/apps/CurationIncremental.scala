@@ -238,6 +238,39 @@ object CurationIncremental {
     stageDone("s11_merge_publish")
   }
 
+  /** cu02's tightened quality bar (vs [[MinQuality]] = 0.3; the
+    * fixture's published scores span ~0.30–0.43, so 0.36 BINDS —
+    * both keep and remove sets are non-empty). */
+  private[graft] val RegateMinQuality = 0.36
+
+  /** cu02: GATE-CHANGE RECURATION — tighten the quality gate on an
+    * already-published corpus WITHOUT re-reading any text. Sound
+    * because (a) both dedup stages run UPSTREAM of the gates, so a
+    * stricter gate cannot change any dedup verdict, and (b)
+    * decontamination is a PER-DOCUMENT property of the doc's own
+    * grams vs the pinned holdout, so a doc's contamination verdict
+    * doesn't depend on which other docs are gated. Hence
+    *
+    *   from-scratch(minQ′) ≡ published(minQ) ∩ {quality ≥ minQ′}
+    *
+    * for any minQ′ ≥ minQ — and the right side reads only the
+    * published VERDICT table (quality_score is audited in the
+    * snapshot exactly for this). The new snapshot is written and
+    * marker-swapped like any other version; at 100 TB copy-on-write
+    * you'd prune the rewrite to files containing removals (io16's
+    * stats route) — the verdict table is id+scores, never text, so
+    * even the full rewrite is corpus-size-independent. */
+  def regateQuality(spark: SparkSession, root: String,
+      minQ: Double): Unit = {
+    val ver = Commit.readMarker(spark, s"$root/_SNAPSHOT")
+      .stripPrefix("snap").toLong
+    val next = ver + 1
+    readVersioned(spark, root, "_SNAPSHOT")
+      .filter(col("quality_score") >= minQ)
+      .write.mode("overwrite").parquet(s"$root/snap$next")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
+  }
+
   /** The id cutoff splitting a documents table into base (< cutoff)
     * and delta (≥ cutoff) — the top decile by id, the deterministic
     * stand-in for "yesterday's corpus + today's arrivals" that both
@@ -269,6 +302,20 @@ object CurationIncremental {
       published(s, root)
         .withColumn("is_delta", col("doc_id") >= cutoff)
         .orderBy("doc_id")
+    }),
+
+    // cu02: gate-change recuration — curate the corpus at the 0.3
+    // quality bar, then tighten to 0.36 purely from the published
+    // verdict table (see [[regateQuality]]). The DuckDB oracle
+    // curates FROM SCRATCH at 0.36 over the raw corpus, so the hash
+    // gate is the equivalence proof: filter-the-verdict ≡
+    // recurate-everything, text never re-read.
+    "cu02_gate_recuration" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val root = graft.io.JsonLines.stagingDir("curation_regate")
+      curateBase(s, docs, root)
+      regateQuality(s, root, RegateMinQuality)
+      published(s, root).orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +373,67 @@ object CurationIncremental {
          |)
          |SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score,
          |  d.doc_id >= (SELECT c FROM cut) AS is_delta
+         |FROM fin f
+         |JOIN documents d USING (doc_id)
+         |JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // from-scratch curation at the TIGHTENED bar — identical CTE
+    // chain to cu01 minus the base/delta split (cu02 curates the
+    // whole corpus as base), bench drawn from the full corpus, and
+    // the stricter threshold applied in `gated`. Equality with the
+    // Spark side's verdict-table filter proves the recuration theorem.
+    "cu02_gate_recuration" -> {
+      import TextAnalysis.{toksSql, ContamN}
+      val g = ContamN - 1
+      s"""WITH keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), ${Dedup.sigCte},
+         |bands AS (
+         |  SELECT doc_id, j // ${Dedup.RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${Dedup.RowsPerBand}
+         |), dropped2 AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM keep1)
+         |    AND b.doc_id IN (SELECT doc_id FROM keep1)
+         |), keep2 AS (
+         |  SELECT doc_id FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)
+         |), ${TextAnalysis.scoredSqlCte},
+         |${TextAnalysis.repSqlCte},
+         |gated AS (
+         |  SELECT k.doc_id FROM keep2 k
+         |  JOIN scored s USING (doc_id) JOIN rep r USING (doc_id)
+         |  WHERE s.quality_score >= $RegateMinQuality
+         |    AND s.predicted_lang IN (${Langs.map("'" + _ + "'").mkString(", ")})
+         |    AND r.dup_bigram_frac <= $MaxDupBigramFrac
+         |), bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchN
+         |), bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - $g),
+         |    i -> array_to_string(toks[i : i + $g], ' ')))) AS g
+         |  FROM (SELECT $toksSql AS toks FROM bench)
+         |  WHERE len(toks) >= $ContamN
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - $g),
+         |      i -> array_to_string(toks[i : i + $g], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |          WHERE doc_id IN (SELECT doc_id FROM gated))
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM bg)
+         |), fin AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |)
+         |SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score
          |FROM fin f
          |JOIN documents d USING (doc_id)
          |JOIN scored s USING (doc_id)

@@ -308,4 +308,30 @@ class Round10OpsSpec extends AnyFunSuite {
       (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq == expected)
   }
+
+  test("cu02 regate: removals are exactly the under-bar rows, the " +
+    "old snapshot stays readable, and re-applying is idempotent") {
+    import graft.apps.CurationIncremental
+    val docs = Tables.documents(spark, d)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_regate").toString
+    CurationIncremental.curateBase(spark, docs, root)
+    val v0 = CurationIncremental.published(spark, root).collect()
+    CurationIncremental.regateQuality(spark, root, 0.36)
+    val v1 = CurationIncremental.published(spark, root).collect()
+    // removals = exactly the published rows under the new bar
+    val removed = v0.map(_.getLong(0)).toSet -- v1.map(_.getLong(0)).toSet
+    assert(removed == v0.filter(_.getDouble(4) < 0.36)
+      .map(_.getLong(0)).toSet)
+    assert(removed.nonEmpty && v1.nonEmpty) // the bar BINDS both ways
+    // the superseded snapshot is still on disk under its version name
+    // (io18's GC owns deletion; regate never destroys history)
+    assert(spark.read.parquet(s"$root/snap0").count() == v0.length)
+    // idempotence: tightening to the same bar changes nothing
+    CurationIncremental.regateQuality(spark, root, 0.36)
+    val v2 = CurationIncremental.published(spark, root).collect()
+    assert(v2.map(_.getLong(0)).sorted.sameElements(
+      v1.map(_.getLong(0)).sorted))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
