@@ -956,6 +956,51 @@ object JsonLines {
         .orderBy("doc_id")
     }),
 
+    // io21: DETECT-AND-ROLLBACK — the undo every versioned table
+    // needs when a bad publish lands: v1 (good) then v2 (a buggy
+    // upstream filter dropped a third of the corpus and truncated
+    // every fifth text) are published through io09's audit+swap; a
+    // publish-time EXPECTATION (io20's discipline — "the current
+    // snapshot retains ≥ 90% of the previous version's rows") fires
+    // on v2, and the rollback is a MARKER SWAP back to v1 — no data
+    // moves, history stays (io18's GC owns deletion). The oracle
+    // recomputes the per-lang byte checksums from the raw corpus, so
+    // the hash gate proves the rollback restored v1 EXACTLY — a
+    // rollback that silently left v2 current fails the gate on every
+    // lang row.
+    //
+    // Scale: rollback cost is one marker write, corpus-size-
+    // independent — the entire point of pointer-swap publishing; the
+    // row-retention gate is a count per side (production reads both
+    // from snapshot STATS, io16's table, not a scan).
+    "io21_snapshot_rollback" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      import org.apache.hadoop.fs.Path
+      val root = stagingDir("rollback")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true) // history = exactly [v1, v2]
+      val src = documents(s, d)
+        .select(DocSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val good = publishSnapshot(s, src, root)
+      val bad = publishSnapshot(s, src.where(col("doc_id") % 3 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          substring(col("text"), 1, 10)).otherwise(col("text"))), root)
+      def nOf(v: String) =
+        s.read.schema(DocSchema).parquet(s"$root/$v").count()
+      val retentionOk = nOf(bad) * 10L >= nOf(good) * 9L
+      require(currentVersion(s, root) == bad && !retentionOk,
+        "fixture must publish the bad snapshot and trip the gate")
+      Commit.writeMarker(s, s"$root/_CURRENT", good) // the ROLLBACK
+      s.read.schema(DocSchema)
+        .parquet(s"$root/" + currentVersion(s, root))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("lang")
+    }),
+
     // io05: bucketed layout + co-located join — the pre-shuffled
     // warehouse layout that removes the exchange from the biggest
     // fact⋈fact join. Both tables are written bucketBy(8) + sortBy on
@@ -1198,6 +1243,15 @@ object JsonLines {
         |SELECT table_name, check_name, violations, total,
         |  violations = 0 AS pass
         |FROM checks ORDER BY table_name, check_name""".stripMargin,
+
+    // io21: the rolled-back CURRENT must be byte-identical to the
+    // good snapshot, i.e. to the raw corpus
+    "io21_snapshot_rollback" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "io15_layout_migration" ->
       """WITH b AS (

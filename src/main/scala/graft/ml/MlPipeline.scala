@@ -499,6 +499,51 @@ object MlPipeline {
               (col("np") * col("nn")).cast("double"), 6)).as("auc"))
     }),
 
+    // ml22: K-FOLD CROSS-VALIDATED RANK-AUC — the evaluation
+    // discipline a single held-out AUC (ml15) lacks: fold the scored
+    // population 5 ways by SALTED CONTENT HASH (ta09's split rule —
+    // no RNG, so reruns and reshards land every vector in the same
+    // fold; the salt decorrelates fold assignment from every other
+    // hash use of vec_id) and report ml15's exact rank-AUC per fold.
+    // The fold-to-fold spread is the variance estimate a model
+    // comparison actually needs (spec-pinned: all five folds within a
+    // band, and their pooled counts reconstruct ml15's population).
+    //
+    // Scale: identical to ml15 — scores bucket to ≤ 1e6+1 score_6
+    // values PER FOLD before any window, so the rank accumulation
+    // runs over bounded aggregates, never raw vectors; adding folds
+    // multiplies the bounded table by K, not the corpus cost. The
+    // 0.5-granular U sums are exact in double (halves), order-free.
+    "ml22_kfold_eval" -> ((s, d) => {
+      val folds = 5
+      val scored = queries("ml12_logistic_score")(s, d)
+        .select(col("vec_id"), col("score_6"))
+      val truth = embeddings(s, d)
+        .select(col("vec_id"), (col("label") % 2 === 1).as("is_pos"))
+      val byScore = scored.join(truth, "vec_id")
+        .withColumn("fold", pmod(graft.functions.Funcs.md5Long(
+          concat(col("vec_id").cast("string"), lit("#fold")), 7),
+          lit(folds.toLong)))
+        .groupBy("fold", "score_6")
+        .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("is_pos"), 0L).otherwise(1L)).as("n_neg"))
+      val below = Window.partitionBy("fold").orderBy("score_6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore
+        .withColumn("cum_neg_below",
+          coalesce(sum("n_neg").over(below), lit(0L)))
+        .groupBy("fold")
+        .agg(sum("n_pos").as("np"), sum("n_neg").as("nn"),
+          sum(col("n_pos") *
+            (col("cum_neg_below").cast("double") +
+              lit(0.5) * col("n_neg"))).as("u"))
+        .select(col("fold"), col("np"), col("nn"),
+          when(col("np") === 0 || col("nn") === 0, lit(null))
+            .otherwise(round(col("u") /
+              (col("np") * col("nn")).cast("double"), 6)).as("auc"))
+        .orderBy("fold")
+    }),
+
     // ml16: the PRECISION-RECALL CURVE over ml12's scores — ml13 is
     // one operating point, ml15 is the rank summary; this is the curve
     // a threshold actually gets chosen from. Same bounded-aggregate
@@ -1083,6 +1128,43 @@ object MlPipeline {
          |       ELSE round(u / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
          |  END AS auc
          |FROM t""".stripMargin,
+
+    // ml22: ml15's CTE chain with the salted-hash fold column
+    // partitioning every stage
+    "ml22_kfold_eval" ->
+      s"""WITH w AS (
+         |  SELECT embedding AS w FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT e.vec_id,
+         |    round(1.0 / (1.0 + exp(-(
+         |      ${graft.functions.Funcs.dotProductSql("w.w", "e.embedding")}
+         |    ))), 6) AS score_6,
+         |    e.label % 2 = 1 AS is_pos,
+         |    ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '#fold'),
+         |      1, 7))::BIGINT % 5 AS fold
+         |  FROM embeddings e CROSS JOIN w
+         |), g AS (
+         |  SELECT fold, score_6,
+         |    CAST(count(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+         |    CAST(count(CASE WHEN NOT is_pos THEN 1 END) AS BIGINT) AS n_neg
+         |  FROM m GROUP BY fold, score_6
+         |), c AS (
+         |  SELECT fold, n_pos, n_neg,
+         |    COALESCE(CAST(sum(n_neg) OVER (PARTITION BY fold
+         |      ORDER BY score_6
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS cum_neg_below
+         |  FROM g
+         |), t AS (
+         |  SELECT fold, CAST(sum(n_pos) AS BIGINT) AS np,
+         |    CAST(sum(n_neg) AS BIGINT) AS nn,
+         |    sum(n_pos * (cum_neg_below + 0.5 * n_neg)) AS u
+         |  FROM c GROUP BY fold)
+         |SELECT fold, np, nn,
+         |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+         |       ELSE round(u / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+         |  END AS auc
+         |FROM t ORDER BY fold""".stripMargin,
 
     "ml12_logistic_score" ->
       s"""WITH w AS (

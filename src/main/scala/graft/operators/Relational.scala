@@ -225,6 +225,59 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // q45: MERGEABLE HISTOGRAM QUANTILES — the explicit-register
+    // discipline (st09/st11/q19b) applied to the one aggregate family
+    // still missing a sketch twin: quantiles. q15's exact percentile
+    // needs the full sorted value set per group; at 100 TB the
+    // scalable path is a fixed-geometry equi-width histogram —
+    // registers are (type, bin) counts with GLOBALLY fixed bin edges,
+    // so shard histograms merge by ADDITION (associative/commutative,
+    // the CMS/HLL merge law) and the quantile read is a cumulative
+    // walk over 256 registers. The estimate is the bin's upper edge —
+    // error ≤ one bin width by construction (spec-pinned against the
+    // exact answer, which ships alongside in the same row the way
+    // q19b ships its band).
+    //
+    // Scale: ONE conditional aggregate over events → ≤ 256·|types|
+    // registers (map-side partials); the cumulative windows run over
+    // the register table, never raw data (ta12's bounded-window
+    // rule); min/max is a 2-double driver touch (io16's shape). The
+    // exact columns exist to measure the sketch — production drops
+    // them and keeps the one linear pass.
+    "q45_hist_quantiles" -> ((s, d) => {
+      val bins = 256
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val b = ev.agg(min("value"), max("value")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val width = (hi - lo) / bins
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      val cum = ev
+        .withColumn("bin", least(floor((col("value") - lo) / width),
+          lit(bins - 1)).cast("long"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(w))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+        .localCheckpoint() // 256·|types| registers feed all three reads
+      def estOf(q: Double, name: String): DataFrame = cum
+        .where(col("cum") >= ceil(lit(q) * col("n")))
+        .groupBy("event_type").agg(min("bin").as("bin"))
+        .select(col("event_type"),
+          round(lit(lo) + (col("bin") + 1) * width, 6).as(name))
+      val exact = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99_exact"),
+          count(lit(1)).as("n"))
+      exact
+        .join(estOf(0.5, "p50_est"), Seq("event_type"))
+        .join(estOf(0.9, "p90_est"), Seq("event_type"))
+        .join(estOf(0.99, "p99_est"), Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          col("p50_est"), col("p50_exact"), col("p90_est"),
+          col("p90_exact"), col("p99_est"), col("p99_exact"))
+        .orderBy("event_type")
+    }),
+
     // q11: event-time windowed aggregation (batch twin of the
     // streaming module; hour buckets).
     "q11_events_hourly" -> ((s, d) =>
@@ -1384,6 +1437,44 @@ object Relational {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q45_hist_quantiles" ->
+      """WITH b AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |    (max(value) - min(value)) / 256 AS width
+        |  FROM events
+        |), regs AS (
+        |  SELECT event_type,
+        |    least(CAST(floor((value - lo) / width) AS BIGINT), 255) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events CROSS JOIN b
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM regs
+        |), est AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+        |    min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS b90,
+        |    min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99
+        |  FROM cum GROUP BY event_type
+        |), exact AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |    round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |    round(quantile_cont(value, 0.99), 6) AS p99_exact,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT x.event_type, x.n,
+        |  round(b.lo + (e.b50 + 1) * b.width, 6) AS p50_est, x.p50_exact,
+        |  round(b.lo + (e.b90 + 1) * b.width, 6) AS p90_est, x.p90_exact,
+        |  round(b.lo + (e.b99 + 1) * b.width, 6) AS p99_est, x.p99_exact
+        |FROM exact x JOIN est e USING (event_type) CROSS JOIN b
+        |ORDER BY x.event_type""".stripMargin,
 
     "q11_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

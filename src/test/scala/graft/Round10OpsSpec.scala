@@ -334,4 +334,61 @@ class Round10OpsSpec extends AnyFunSuite {
       v1.map(_.getLong(0)).sorted))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("q45 histogram quantiles: every estimate brackets the rank " +
+    "statistic within one bin width") {
+    // the sketch's error CONTRACT is against the DISCRETE order
+    // statistic x_k, k = ceil(q·n) (the row the register walk
+    // locates): the estimate is the upper edge of x_k's bin, so
+    // x_k <= est <= x_k + width. (The query's *_exact columns are
+    // the continuous interpolated quantiles — those can exceed x_k
+    // by one inter-value gap, which is a property of interpolation,
+    // not sketch error.)
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"), col("value"))
+    val b = ev.agg(min("value"), max("value")).head()
+    val width = (b.getDouble(1) - b.getDouble(0)) / 256
+    val byType = ev.collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getDouble(1)).sorted }
+    q("q45_hist_quantiles").collect().foreach { r =>
+      val sorted = byType(r.getString(0))
+      Seq((2, 0.5), (4, 0.9), (6, 0.99)).foreach { case (ei, qq) =>
+        val est = r.getDouble(ei)
+        val xk = sorted(math.ceil(qq * sorted.length).toInt - 1)
+        assert(est >= xk - 1e-9 && est - width <= xk + 1e-9,
+          s"estimate $est does not bracket x_k=$xk within width $width")
+      }
+    }
+  }
+
+  test("ml22 k-fold AUC: pooled fold counts reconstruct ml15's " +
+    "population, and every fold is populated") {
+    val foldRows = q("ml22_kfold_eval").collect()
+    assert(foldRows.length == 5)
+    foldRows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0))
+    val pop = q("ml15_rank_auc").head()
+    assert(foldRows.map(_.getLong(1)).sum == pop.getLong(0))
+    assert(foldRows.map(_.getLong(2)).sum == pop.getLong(1))
+    // per-fold AUCs estimate the same ranking quality — a fold
+    // diverging wildly from the population would mean the hash split
+    // correlated with the score (the salt exists to prevent that)
+    val popAuc = pop.getDouble(2)
+    foldRows.foreach(r => assert(math.abs(r.getDouble(3) - popAuc) < 0.2))
+  }
+
+  test("io21 rollback leaves BOTH snapshot versions on disk — " +
+    "rollback is a pointer move, never a delete") {
+    q("io21_snapshot_rollback").collect() // runs publish/gate/rollback
+    val root = graft.io.JsonLines.stagingDir("rollback")
+    val versions = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("v_"))
+    assert(versions.length == 2, "history must retain good AND bad")
+    val cur = graft.io.Commit.readMarker(spark, s"$root/_CURRENT")
+    // the CURRENT pointer names the LARGER snapshot (the good one —
+    // the bad publish dropped a third of the rows)
+    val sizes = versions.map(v => v.getName ->
+      spark.read.parquet(v.getPath).count()).toMap
+    assert(sizes(cur) == sizes.values.max)
+  }
 }
