@@ -584,6 +584,37 @@ object Multimodal {
     }
   }
 
+  final case class AudioFrameKey(doc_id: Long, frame_idx: Int, fkey: Long)
+
+  /** mm14 worker: per-frame content keys from the DECODED PCM — the
+    * frame-shingle basis of aligned audio copy detection (dd05's
+    * shingle-overlap shape on the audio modality): key(f) =
+    * Σ_c s(f,c)·(c+1) over the first 16 frames (every payload has
+    * ≥ 16 by the generator's floor). A re-encode that perturbs some
+    * frames leaves the REST of the keys intact, so copies surface as
+    * high aligned-frame overlap; unrelated docs share essentially no
+    * aligned keys. `edited = true` keys the deterministic re-encode
+    * (every (doc_id+f)%7 frame's samples shifted by 999+31f, wrapped
+    * int16 — ~14% of frames touched). */
+  def audioFrameKeys(r: MediaRecord,
+      edited: Boolean): Iterator[AudioFrameKey] = {
+    val wav = decodeWav(r.payload)
+    Iterator.range(0, 16).map { f =>
+      var key = 0L
+      var c = 0
+      while (c < wav.channels) {
+        val off = (f * wav.channels + c) * 2
+        var s = ((wav.pcm(off + 1).toInt << 8) |
+          (wav.pcm(off) & 0xFF)).toLong
+        if (edited && (r.doc_id + f) % 7 == 0)
+          s = ((s + 32768 + 999 + f * 31) % 65536) - 32768
+        key += s * (c + 1)
+        c += 1
+      }
+      AudioFrameKey(r.doc_id, f, key)
+    }
+  }
+
   /** Synthetic audio table: (doc_id, payload) where payload is a real
     * RIFF/WAVE file whose geometry derives from the document — the
     * binary-column source mm06 decodes. */
@@ -852,6 +883,47 @@ object Multimodal {
         .select(col("doc_id"), col("re_id"), col("n_bands"),
           col("hamming"), (col("doc_id") === col("re_id"))
             .as("is_true_pair"))
+        .orderBy("doc_id", "re_id")
+    }),
+
+    // mm14: AUDIO NEAR-DUP DETECTION (aligned frame-shingle overlap) —
+    // mm13's copy-detection role for the audio modality, built the
+    // way audio segment matchers actually work: per-frame content
+    // keys from the decoded PCM form an INVERTED INDEX on
+    // (frame_idx, key); a pair surfaces iff it shares at least one
+    // aligned frame key (one equi-join — the dd05 shingle shape),
+    // and the verdict is the aligned-overlap count n_match ≥ 12 of
+    // 16. The re-encode perturbs every (doc_id+f)%7 frame (~14%), so
+    // true pairs land at n_match 13–14 while unrelated docs share
+    // essentially no aligned keys (the generator's frame keys are
+    // doc-unique). An envelope-bit fingerprint (Haitsma–Kalker) was
+    // evaluated and rejected for THIS fixture: the synthetic PCM's
+    // envelope is a smooth ramp, so all docs collapse to one
+    // envelope pattern — the shingle index is the basis that
+    // discriminates here, and it scales the same way.
+    //
+    // Scale: PCM decodes per-row; only 16 (id, frame, 8-byte key)
+    // rows per doc enter the index join; the shuffle key is
+    // (frame_idx, key) and per-bucket lists are bounded by true
+    // copies + rare collisions (the dd03 skew rule applies to a
+    // saturated bucket). The overlap count is a pair-keyed aggregate
+    // over join rows — no payload ever shuffles.
+    "mm14_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val orig = wavPayloads(s, d)
+        .mapPartitions(_.flatMap(audioFrameKeys(_, edited = false)))
+        .toDF()
+      val vari = wavPayloads(s, d)
+        .mapPartitions(_.flatMap(audioFrameKeys(_, edited = true)))
+        .toDF()
+        .select(col("doc_id").as("re_id"), col("frame_idx"), col("fkey"))
+      orig.join(vari, Seq("frame_idx", "fkey"))
+        .groupBy("doc_id", "re_id")
+        .agg(count(lit(1)).as("n_match"))
+        .where(col("n_match") >= 12L)
+        .select(col("doc_id"), col("re_id"), col("n_match"),
+          lit(16L).as("n_frames"),
+          (col("doc_id") === col("re_id")).as("is_true_pair"))
         .orderBy("doc_id", "re_id")
     }),
 
@@ -1436,6 +1508,43 @@ object Multimodal {
         |  doc_id = re_id AS is_true_pair
         |FROM cand
         |WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 7
+        |ORDER BY doc_id, re_id""".stripMargin,
+
+    // mm14: frame keys recomputed from the PCM sample GENERATOR
+    // (the mm06/mm08 oracle discipline), original and edited, then
+    // the aligned inverted-index join and the overlap threshold.
+    // 33767 = 32768 + 999 (the wrap offset).
+    "mm14_audio_neardup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS ch FROM documents
+        |), fr AS (
+        |  SELECT doc_id, ch, unnest(generate_series(0, 15)) AS f
+        |  FROM dims
+        |), sm AS (
+        |  SELECT doc_id, f, unnest(generate_series(0, ch - 1)) AS c
+        |  FROM fr
+        |), sv AS (
+        |  SELECT doc_id, f, c,
+        |    ((doc_id * 37 + f * 11 + c * 5) % 65536) - 32768 AS s
+        |  FROM sm
+        |), keys AS (
+        |  SELECT doc_id, f,
+        |    CAST(sum(s * (c + 1)) AS BIGINT) AS a_key,
+        |    CAST(sum(CASE WHEN (doc_id + f) % 7 = 0
+        |      THEN (((s + 33767 + f * 31) % 65536) - 32768) * (c + 1)
+        |      ELSE s * (c + 1) END) AS BIGINT) AS b_key
+        |  FROM sv GROUP BY doc_id, f
+        |), hits AS (
+        |  SELECT a.doc_id, v.doc_id AS re_id,
+        |    CAST(count(*) AS BIGINT) AS n_match
+        |  FROM keys a JOIN keys v
+        |    ON a.f = v.f AND a.a_key = v.b_key
+        |  GROUP BY a.doc_id, v.doc_id
+        |)
+        |SELECT doc_id, re_id, n_match, CAST(16 AS BIGINT) AS n_frames,
+        |  doc_id = re_id AS is_true_pair
+        |FROM hits
+        |WHERE n_match >= 12
         |ORDER BY doc_id, re_id""".stripMargin,
 
     "mm02_decode_features" ->

@@ -475,6 +475,49 @@ object EventStream {
         df => graft.dedup.Dedup.sourceSketch(graft.dedup.Dedup.sigBank(df))
       }.orderBy("source", "j")),
 
+    // st21: streaming QUANTILE registers — q45's histogram sketch as
+    // a live materialized view. Works for the same reason st09 does:
+    // the register merge law (ADDITION, with globally fixed bin
+    // edges) is exactly streaming aggregation's combine operator, so
+    // the per-microbatch partial counts ARE the sketch merge, and
+    // state is ≤ 256·|types| register rows — bounded by geometry,
+    // never by the stream. Bin bounds are pinned BEFORE the stream
+    // starts (production pins known metric bounds; here a 2-double
+    // batch probe, io16's shape). The quantile walk then runs over
+    // the live view exactly as q45 runs it over the batch registers,
+    // and the closed-form oracle (q45's SQL minus the exact columns)
+    // hash-gates the whole path: stream-maintained registers ≡ batch
+    // registers, the merge law in action.
+    "st21_stream_quantiles" -> ((s, d) => {
+      val b = graft.Tables.events(s, d).agg(min("value"), max("value"))
+        .head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val width = (hi - lo) / 256
+      val regs = runStream(s, d, "st_quantile_regs", copies = 1,
+        outputMode = "complete") { df =>
+          df.withColumn("bin",
+              least(floor((col("value") - lo) / width), lit(255))
+                .cast("long"))
+            .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+        }
+      val w = org.apache.spark.sql.expressions.Window
+      val cum = regs
+        .withColumn("cum", sum("c").over(
+          w.partitionBy("event_type").orderBy("bin")))
+        .withColumn("n", sum("c").over(w.partitionBy("event_type")))
+        .localCheckpoint()
+      def estOf(q: Double, name: String): DataFrame = cum
+        .where(col("cum") >= ceil(lit(q) * col("n")))
+        .groupBy("event_type").agg(min("bin").as("bin"))
+        .select(col("event_type"),
+          round(lit(lo) + (col("bin") + 1) * width, 6).as(name))
+      cum.groupBy("event_type").agg(max("n").as("n"))
+        .join(estOf(0.5, "p50_est"), Seq("event_type"))
+        .join(estOf(0.9, "p90_est"), Seq("event_type"))
+        .join(estOf(0.99, "p99_est"), Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // st02: streaming deduplication — the source is staged TWICE (two
     // files with identical rows), and `dropDuplicatesWithinWatermark`
     // on event_id collapses them back to one row each; the oracle is
@@ -1046,6 +1089,40 @@ object EventStream {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q45's register walk, minus the exact comparator columns — the
+    // streaming registers must equal the batch registers (merge law)
+    "st21_stream_quantiles" ->
+      """WITH b AS (
+        |  SELECT min(value) AS lo, max(value) AS hi,
+        |    (max(value) - min(value)) / 256 AS width
+        |  FROM events
+        |), regs AS (
+        |  SELECT event_type,
+        |    least(CAST(floor((value - lo) / width) AS BIGINT), 255) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events CROSS JOIN b
+        |  GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bin, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM regs
+        |), est AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS b50,
+        |    min(CASE WHEN cum >= ceil(0.9 * n) THEN bin END) AS b90,
+        |    min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS b99,
+        |    CAST(max(n) AS BIGINT) AS n
+        |  FROM cum GROUP BY event_type
+        |)
+        |SELECT e.event_type, e.n,
+        |  round(b.lo + (e.b50 + 1) * b.width, 6) AS p50_est,
+        |  round(b.lo + (e.b90 + 1) * b.width, 6) AS p90_est,
+        |  round(b.lo + (e.b99 + 1) * b.width, 6) AS p99_est
+        |FROM est e CROSS JOIN b
+        |ORDER BY e.event_type""".stripMargin,
 
     // watermark progression and all three accept/drop counts in
     // closed form over (event_id, ts): arrival batch from the staging

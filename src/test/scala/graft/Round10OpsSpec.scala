@@ -377,6 +377,32 @@ class Round10OpsSpec extends AnyFunSuite {
     foldRows.foreach(r => assert(math.abs(r.getDouble(3) - popAuc) < 0.2))
   }
 
+  test("st21 streaming quantile registers agree with q45's batch " +
+    "registers column for column (the merge law, stream vs batch)") {
+    val stream = q("st21_stream_quantiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val batch = q("q45_hist_quantiles").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(4), r.getDouble(6))).toMap
+    assert(stream == batch)
+  }
+
+  test("mm14 aligned frame-shingle overlap: 100% recall, zero false " +
+    "pairs, and n_match = frames minus the edited count, doc by doc") {
+    val docs = Tables.documents(spark, d).select("doc_id").collect()
+      .map(_.getLong(0))
+    val out = q("mm14_audio_neardup").collect()
+    assert(out.forall(_.getBoolean(4)), "no unrelated pair may match")
+    assert(out.map(_.getLong(0)).toSet == docs.toSet, "every re-encode found")
+    val byDoc = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.foreach { id =>
+      val edited = (0 until 16).count(f => (id + f) % 7 == 0)
+      assert(byDoc(id) == 16L - edited,
+        s"doc $id: expected ${16 - edited} intact frames, got ${byDoc(id)}")
+    }
+  }
+
   test("io21 rollback leaves BOTH snapshot versions on disk — " +
     "rollback is a pointer move, never a delete") {
     q("io21_snapshot_rollback").collect() // runs publish/gate/rollback
