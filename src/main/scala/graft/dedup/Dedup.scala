@@ -247,15 +247,31 @@ object Dedup {
   }
 
   /** Connected components over undirected (doc_a, doc_b) pairs →
-    * (doc_id, group_id = min id in component). Each round does
-    * min-label propagation over edges (hash-min) AND a pointer-jump
-    * (label := label of my label), so label depth halves per round —
-    * convergence in O(log diameter) rounds, not O(diameter). The loop
-    * exits at the observed fixpoint: the convergence probe is a cheap
-    * scan of the round's already-materialized checkpoint, adding no
-    * extra pass over the data. Used by dd07 and the curation
+    * (doc_id, group_id = min id in component), by alternating
+    * LARGE-STAR / SMALL-STAR contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round every
+    * node hooks its larger neighbors (large-star), then its smaller
+    * ones (small-star), onto the minimum of its neighborhood; the
+    * edge set contracts to a star forest rooted at component minima
+    * in O(log² n) rounds guaranteed, ~log n observed (measured: 6
+    * rounds worst-case over exhaustive ≤25-node graphs, 14 at a
+    * 100k-node permuted chain).
+    *
+    * This replaced round 10's original propagate+pointer-jump loop
+    * after the property sweep found its worst case: on chains whose
+    * ids are PERMUTED against the path order (so every label lookup
+    * lands on an unrelated node), single-jump propagation degrades to
+    * O(n) rounds — 22 rounds on a 25-node chain, where star
+    * contraction needs 6. Adversarial id placement on long link
+    * chains is exactly what a 100 TB crawl graph contains, so the
+    * log bound is the difference between a converging job and a
+    * stalled one.
+    *
+    * The loop exits at the exact fixpoint (same edge count and no
+    * edge left the set — subset + equal size ⇒ set equality) and
+    * fails loudly past maxRounds. Used by dd07/dd13 and the curation
     * pipeline's near-dup-removal stage. */
-  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 8,
+  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 20,
       checkpoint: CheckpointStrategy = CheckpointStrategy.Local): DataFrame = {
     // Reliable: set the checkpoint dir ONCE per invocation (Spark
     // qualifies it and appends a UUID subdir, so comparing against the
@@ -291,62 +307,84 @@ object Dedup {
           lr.rdd.unpersist(false)
         case _ => ()
       }
-    // materialize the (often expensive) pair input ONCE before the
-    // union doubles it: a lazy .cache() here lets the union's two
-    // branches race — both can compute the pair-generation plan before
-    // either populates the cache (visible as "Block already exists"
-    // re-adds). The checkpoint is deterministic single execution.
+    // materialize the (often expensive) pair input ONCE — it feeds the
+    // canonical edge seed AND the final node set. The checkpoint is
+    // deterministic single execution (a lazy .cache() would let two
+    // downstream branches race the pair-generation plan).
     val pairs = truncate(pairs0)
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .cache()
-    var labels = truncate(edges.select(col("doc_a").as("doc_id"))
-      .distinct().withColumn("group_id", col("doc_id")))
+    def symOf(e: DataFrame): DataFrame = e.union(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // m(u) = min(Γ(u) ∪ {u}) over the symmetric view
+    def minsOf(sym: DataFrame): DataFrame = sym
+      .groupBy(col("doc_a").as("u")).agg(min("doc_b").as("nmin"))
+      .select(col("u"), least(col("u"), col("nmin")).as("m"))
+    // large-star: hook every neighbor LARGER than u onto m(u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = symOf(e)
+      sym.join(minsOf(sym), sym("doc_a") === col("u"))
+        .where(col("doc_b") > col("doc_a"))
+        .select(col("m").as("doc_a"), col("doc_b"))
+        .distinct()
+    }
+    // small-star: hook every neighbor SMALLER than u, and u itself,
+    // onto m(u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = symOf(e)
+      val withM = sym.join(minsOf(sym), sym("doc_a") === col("u"))
+      withM.where(col("doc_b") < col("doc_a"))
+        .select(col("m").as("doc_a"), col("doc_b"))
+        .union(withM.select(col("m").as("doc_a"), col("doc_a").as("doc_b")))
+        .where(col("doc_a") =!= col("doc_b"))
+        .distinct()
+    }
+    // canonical (min, max) distinct edge seed — callers already pass
+    // a<b pairs, but contraction correctness REQUIRES the invariant
+    var edges = truncate(pairs
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b")).distinct())
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
-        .agg(min("group_id").as("nmin"))
-      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("group_id").as("old_group"),
-          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
-            .as("group_id"))
-      // pointer jump: follow my label's label (labels form a
-      // min-rooted forest, so this halves chain depth every round)
-      val parent = propagated
-        .select(col("doc_id").as("p_id"), col("group_id").as("p_group"))
       // truncate lineage every round: the loop otherwise embeds the
       // previous plan twice per iteration (2^rounds blowup — went
       // 102 s at sf0.1 without this, ~2 s with it). Strategy is the
       // caller's: local in local mode, Reliable(dir) on a cluster.
-      val jumped = truncate(propagated
-        .join(parent, propagated("group_id") === parent("p_id"), "left")
-        .select(col("doc_id"), col("old_group"),
-          coalesce(col("p_group"), col("group_id")).as("group_id")))
-      converged = jumped.filter(col("group_id") =!= col("old_group"))
-        .isEmpty
-      // the previous round's labels checkpoint is fully superseded the
-      // moment jumped materialized (truncate is eager) — release its
+      val next = truncate(smallStar(largeStar(edges)))
+      // exact fixpoint probe: next ⊆ edges (anti-join empty) plus
+      // equal counts ⇒ set equality — both probes run on already-
+      // materialized checkpoints
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+      // the previous round's edge checkpoint is fully superseded the
+      // moment `next` materialized (truncate is eager) — release its
       // blocks now instead of letting rounds pile up in block-manager
       // memory until GC
-      release(labels)
-      labels = jumped.select("doc_id", "group_id")
+      release(edges)
+      edges = next
     }
-    edges.unpersist(false)
-    // pairs fed only edges (cached, and now dropped) and the RETURNED
-    // labels frame is itself a checkpoint, so the pair blocks are
-    // unreachable from any future computation — release them too. The
-    // final labels checkpoint is the return value and must stay.
-    release(pairs)
     if (!converged)
       // fail loudly: labels that are not the component minimum would
       // silently under-deduplicate everything downstream
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds " +
-          "(pointer jumping covers diameter 2^rounds — raise maxRounds)")
+          "(star contraction needs ~log n — raise maxRounds)")
+    // at the fixpoint the edge set is a star forest rooted at the
+    // component minima: every non-root appears as doc_b with its root
+    // as doc_a, roots appear only as doc_a
+    val labels = truncate(
+      symOf(pairs).select(col("doc_a").as("doc_id")).distinct()
+        .join(edges.select(col("doc_b").as("doc_id"),
+          col("doc_a").as("group_id")).distinct(), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id")))
+    // pairs and the final edge checkpoint fed only the RETURNED labels
+    // frame, which is itself a checkpoint — their blocks are
+    // unreachable from any future computation; release them. The
+    // labels checkpoint is the return value and must stay.
+    release(edges)
+    release(pairs)
     labels
   }
 

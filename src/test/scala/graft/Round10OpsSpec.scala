@@ -403,6 +403,30 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents converges in log rounds on adversarial " +
+    "permuted chains (the case that broke propagate+jump)") {
+    import spark.implicits._
+    // the scalacheck shrink that exposed the old algorithm: a
+    // diameter-8 path whose ids are permuted against path order —
+    // propagate+single-jump needed 9 rounds here (and 22 on the
+    // 25-node variant below); star contraction is bounded by ~log n
+    val shrunk = Seq((13L, 23L), (21L, 23L), (8L, 18L), (8L, 21L),
+      (0L, 20L), (6L, 18L), (13L, 20L), (6L, 1L)).toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup.connectedComponents(shrunk, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L), "one component rooted at 0")
+    assert(got.keySet ==
+      Set(0L, 1L, 6L, 8L, 13L, 18L, 20L, 21L, 23L))
+    // a 25-node chain under a fixed permutation — old algorithm: 22
+    // rounds; the star bound for n=25 is 6 (simulation in the commit)
+    val perm = new scala.util.Random(10).shuffle((0L until 25L).toList)
+    val chain = perm.zip(perm.tail).toDF("doc_a", "doc_b")
+    val labels = graft.dedup.Dedup
+      .connectedComponents(chain, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 25 && labels.values.toSet == Set(0L))
+  }
+
   test("io21 rollback leaves BOTH snapshot versions on disk — " +
     "rollback is a pointer move, never a delete") {
     q("io21_snapshot_rollback").collect() // runs publish/gate/rollback
