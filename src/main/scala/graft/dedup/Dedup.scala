@@ -318,13 +318,15 @@ object Dedup {
     def minsOf(sym: DataFrame): DataFrame = sym
       .groupBy(col("doc_a").as("u")).agg(min("doc_b").as("nmin"))
       .select(col("u"), least(col("u"), col("nmin")).as("m"))
-    // large-star: hook every neighbor LARGER than u onto m(u)
+    // large-star: hook every neighbor LARGER than u onto m(u).
+    // Duplicate output edges are harmless here — minsOf is a MIN
+    // aggregate (dup-insensitive) and small-star's final distinct
+    // canonicalizes — so this stage skips its own dedup shuffle.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = symOf(e)
       sym.join(minsOf(sym), sym("doc_a") === col("u"))
         .where(col("doc_b") > col("doc_a"))
         .select(col("m").as("doc_a"), col("doc_b"))
-        .distinct()
     }
     // small-star: hook every neighbor SMALLER than u, and u itself,
     // onto m(u)
@@ -352,11 +354,23 @@ object Dedup {
       // 102 s at sf0.1 without this, ~2 s with it). Strategy is the
       // caller's: local in local mode, Reliable(dir) on a cluster.
       val next = truncate(smallStar(largeStar(edges)))
-      // exact fixpoint probe: next ⊆ edges (anti-join empty) plus
-      // equal counts ⇒ set equality — both probes run on already-
-      // materialized checkpoints
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("doc_a", "doc_b"), "left_anti").isEmpty
+      // exact convergence probe with NO confirm round: the
+      // contraction's fixpoints are precisely the PROPER star forests
+      // — no node on both sides (roots only as doc_a, leaves only as
+      // doc_b) AND every leaf under exactly one root. Both conditions
+      // are required: {(0,5),(0,7),(1,5),(1,6)} has disjoint sides
+      // but leaf 5 under two roots — one more round merges 0 and 1,
+      // so declaring convergence there returns duplicated, WRONG
+      // labels (caught by the union-find property sweep). At a proper
+      // star forest each center is its component minimum by
+      // construction (center < every leaf), and both star steps map
+      // the set to itself.
+      converged = next.select("doc_a")
+        .join(next.select(col("doc_b").as("doc_a")), Seq("doc_a"),
+          "left_semi")
+        .isEmpty &&
+        next.groupBy("doc_b").agg(count(lit(1)).as("n_roots"))
+          .where(col("n_roots") > 1).isEmpty
       // the previous round's edge checkpoint is fully superseded the
       // moment `next` materialized (truncate is eager) — release its
       // blocks now instead of letting rounds pile up in block-manager

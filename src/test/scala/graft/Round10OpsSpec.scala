@@ -417,6 +417,18 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L), "one component rooted at 0")
     assert(got.keySet ==
       Set(0L, 1L, 6L, 8L, 13L, 18L, 20L, 21L, 23L))
+    // the probe counterexample: after one contraction round this graph
+    // is {(0,5),(0,7),(1,5),(1,6)} — SIDES-DISJOINT but leaf 5 sits
+    // under two roots, so a sides-only convergence probe would stop
+    // early and return duplicated labels for 5 (found by the property
+    // sweep; the proper-star-forest probe must keep going)
+    val probeTrap = Seq((0L, 7L), (5L, 6L), (1L, 6L), (5L, 7L))
+      .toDF("doc_a", "doc_b")
+    val trapLabels = graft.dedup.Dedup
+      .connectedComponents(probeTrap, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(trapLabels.length == 5, "exactly one label row per node")
+    assert(trapLabels.toMap.values.toSet == Set(0L))
     // a 25-node chain under a fixed permutation — old algorithm: 22
     // rounds; the star bound for n=25 is 6 (simulation in the commit)
     val perm = new scala.util.Random(10).shuffle((0L until 25L).toList)
