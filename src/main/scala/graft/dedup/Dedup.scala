@@ -53,6 +53,11 @@ object Dedup {
   private[graft] val SpanW      = 64
   private[graft] val SpanStride = 32
 
+  /** dd22's width ladder — the span lengths an exact-substring dedup
+    * policy is tuned over (powers of two around the Lee et al. 50-
+    * token operating point, char-denominated here). */
+  private[graft] val SpanLadder = Seq(16, 32, 64, 128, 256)
+
   /** Deterministic fixed-size sample: hash-ordered top-N over the id.
     * Plans as per-partition TakeOrdered + an N-row merge — one scan,
     * no corpus shuffle — and the SQL oracle reproduces it with
@@ -904,6 +909,76 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // dd22: EXACT-SUBSTRING DUP LADDER — dd15 answers "how much of
+    // each doc is duplicated at ONE width"; this is the width LADDER
+    // an exact-substring dedup policy is actually tuned on (the Lee
+    // et al. "Deduplicating Training Data Makes Language Models
+    // Better" regime): for every width in {16,32,64,128,256}, how
+    // many distinct spans are shared ACROSS documents, how many docs
+    // share the worst span, total cross-doc occurrences, and the
+    // lexicographically smallest offending span (the auditable
+    // example a policy review wants to see). Stride is 1 — EXACT
+    // occurrence semantics, not dd15's 2×-coverage windows.
+    //
+    // Scale: the counting pass shuffles (width, 16-hex digest,
+    // doc_id) — never span text (dd15's rule); groups are bounded by
+    // docs actually sharing a span. Span TEXT is materialized in a
+    // second pass restricted by a semi-join to the cross-doc digests
+    // (late materialization, dd10's lesson) and reduced by min() —
+    // at production scale that pass further prefilters to the docs
+    // containing any offending span. The ladder output is |widths|
+    // rows. The unbounded-length variant (suffix-array
+    // prefix-doubling) trades these linear digest shuffles for
+    // O(log n) global sorts; the bounded ladder is what policy
+    // tuning actually consumes.
+    "dd22_span_ladder" -> ((s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .localCheckpoint() // feeds one explode per width, twice
+      def exploded(w: Int): DataFrame = docs
+        .filter(length(col("text")) >= w)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (w - 1)))
+            .as("pos"), col("text"))
+        .select(lit(w).as("w"), col("doc_id"), col("pos"),
+          expr(s"substring(text, pos, $w)").as("span"))
+      val widths = SpanLadder
+      // ONE corpus explode; (doc_id, pos) ride along so span text is
+      // never recomputed corpus-wide — any witness of a digest has
+      // the span's content, so extraction below touches ONE
+      // (doc, pos) per cross digest instead of re-exploding
+      val hashed = widths.map(w => exploded(w).select(col("w"),
+          col("doc_id"), col("pos"),
+          substring(md5(col("span")), 1, 16).as("h")))
+        .reduce(_ unionByName _)
+        .localCheckpoint() // feeds the span aggregate AND the witnesses
+      val crossSpans = hashed.groupBy("w", "h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(struct(col("doc_id"), col("pos"))).as("wit"))
+        .filter(col("n_docs") >= 2)
+        .localCheckpoint() // feeds the ladder aggregate AND extraction
+      val perWidth = crossSpans.groupBy("w")
+        .agg(count(lit(1)).as("n_cross_spans"),
+          max("n_docs").as("max_docs"),
+          sum("n_occ").as("n_cross_occ"))
+      val minSpan = crossSpans
+        .select(col("w"), col("wit.doc_id").as("doc_id"),
+          col("wit.pos").as("pos"))
+        .join(docs, Seq("doc_id"))
+        .select(col("w"), expr("substring(text, pos, w)").as("span"))
+        .groupBy("w").agg(min("span").as("min_cross_span"))
+      widths.toDF("w")
+        .join(perWidth, Seq("w"), "left")
+        .join(minSpan, Seq("w"), "left")
+        .select(col("w").cast("long"),
+          coalesce(col("n_cross_spans"), lit(0L)).as("n_cross_spans"),
+          coalesce(col("max_docs"), lit(0L)).as("max_docs"),
+          coalesce(col("n_cross_occ"), lit(0L)).as("n_cross_occ"),
+          col("min_cross_span"))
+        .orderBy("w")
+    }),
+
     // dd16: canonical-REPRESENTATIVE selection — the "which duplicate
     // do we KEEP" decision that turns dd07's group ids into an
     // actionable keep/drop list: per near-dup group, the member with
@@ -1416,6 +1491,45 @@ object Dedup {
          |  CAST(floor(coalesce(d.n_dup, 0) * 1000000.0 / t.n_windows + 0.5)
          |       AS BIGINT) AS dup_frac_u6
          |FROM totals t LEFT JOIN dup_per_doc d ON t.doc_id = d.doc_id
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "dd22_span_ladder" -> {
+      val widthsList = SpanLadder.mkString("[", ", ", "]")
+      s"""WITH widths AS (
+         |  SELECT unnest($widthsList) AS w
+         |), pos AS (
+         |  SELECT w, doc_id, text,
+         |    unnest(generate_series(1, length(text) - w + 1)) AS p
+         |  FROM documents CROSS JOIN widths
+         |  WHERE length(text) >= w
+         |), spans AS (
+         |  SELECT w, doc_id, substr(text, p, w) AS span
+         |  FROM pos
+         |), per AS (
+         |  SELECT w, substr(md5(span), 1, 16) AS h,
+         |    count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |  FROM spans GROUP BY 1, 2
+         |), crossed AS (
+         |  SELECT * FROM per WHERE n_docs >= 2
+         |), pw AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_cross_spans,
+         |    CAST(max(n_docs) AS BIGINT) AS max_docs,
+         |    CAST(sum(n_occ) AS BIGINT) AS n_cross_occ
+         |  FROM crossed GROUP BY w
+         |), mn AS (
+         |  SELECT s.w, min(s.span) AS min_cross_span
+         |  FROM spans s JOIN crossed c
+         |    ON c.w = s.w AND c.h = substr(md5(s.span), 1, 16)
+         |  GROUP BY s.w
+         |)
+         |SELECT CAST(widths.w AS BIGINT) AS w,
+         |  coalesce(pw.n_cross_spans, CAST(0 AS BIGINT)) AS n_cross_spans,
+         |  coalesce(pw.max_docs, CAST(0 AS BIGINT)) AS max_docs,
+         |  coalesce(pw.n_cross_occ, CAST(0 AS BIGINT)) AS n_cross_occ,
+         |  mn.min_cross_span
+         |FROM widths LEFT JOIN pw ON widths.w = pw.w
+         |LEFT JOIN mn ON widths.w = mn.w
+         |ORDER BY w""".stripMargin
+    }
   )
 }

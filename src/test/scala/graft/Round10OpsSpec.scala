@@ -439,6 +439,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(labels.size == 25 && labels.values.toSet == Set(0L))
   }
 
+  test("dd22 span ladder matches a brute-force in-memory recompute " +
+    "(counts, worst-span doc fanout, and the lexicographic witness)") {
+    val texts = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = q("dd22_span_ladder").collect()
+    graft.dedup.Dedup.SpanLadder.zip(got).foreach { case (w, row) =>
+      val perSpan = scala.collection.mutable.Map[String,
+        (scala.collection.mutable.Set[Long], Long)]()
+      texts.foreach { case (id, t) =>
+        (0 to t.length - w).foreach { i =>
+          val s = t.substring(i, i + w)
+          val (ids, occ) = perSpan.getOrElseUpdate(s,
+            (scala.collection.mutable.Set[Long](), 0L))
+          ids += id
+          perSpan(s) = (ids, occ + 1)
+        }
+      }
+      val cross = perSpan.filter(_._2._1.size >= 2)
+      assert(row.getLong(0) == w)
+      assert(row.getLong(1) == cross.size.toLong)
+      assert(row.getLong(2) ==
+        (if (cross.isEmpty) 0L else cross.values.map(_._1.size).max.toLong))
+      assert(row.getLong(3) == cross.values.map(_._2).sum)
+      if (cross.nonEmpty) assert(row.getString(4) == cross.keys.min)
+      else assert(row.isNullAt(4))
+    }
+  }
+
   test("io21 rollback leaves BOTH snapshot versions on disk — " +
     "rollback is a pointer move, never a delete") {
     q("io21_snapshot_rollback").collect() // runs publish/gate/rollback
