@@ -979,6 +979,63 @@ object Dedup {
         .orderBy("w")
     }),
 
+    // dd23: DUPLICATE-SPAN REMOVAL — the rewrite rung above dd22's
+    // census: dd15/dd22 DETECT duplicated substrings; this operator
+    // actually REMOVES them and hands back the cleaned corpus, the
+    // step the Lee et al. exact-substring pipeline ships (keep ONE
+    // occurrence of every duplicated span, delete the rest). The
+    // corpus is cut into non-overlapping [[SpanW]]-char segments
+    // (trailing partial included); a segment INSTANCE survives iff it
+    // is the globally-first occurrence of its content — min
+    // (doc_id, k) over the content digest, the first-wins rule every
+    // dd keep-decision here uses — and each document is re-assembled
+    // from its surviving segments. Output per doc: segment totals,
+    // removed count, and the rewritten text's length + md5 (the hash
+    // PROVES the rewrite without shipping the text).
+    //
+    // Scale (the late-materialization shape): segment TEXT never
+    // enters a shuffle. Pass 1 shuffles (digest, doc_id, k) to elect
+    // first occurrences — min(struct) is partial-aggregatable, so
+    // map-side combine collapses per-partition repeats; pass 2
+    // shuffles (doc_id, k, kept) flags down to per-doc kept-k ARRAYS
+    // (ints only); the rebuild is then ONE doc_id equi-join back to
+    // the text and a per-row substring concat — the payload moves
+    // through exactly one join, never an explode-shuffle. Segments
+    // per doc = len/W, so state is linear and bounded everywhere.
+    "dd23_span_removal" -> ((s, d) => {
+      val w = SpanW
+      val docs = documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint() // feeds the instance pass AND the rebuild
+      val inst = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(0L),
+            floor((length(col("text")) - 1) / w).cast("long"))).as("k"),
+          col("text"))
+        .select(col("doc_id"), col("k"),
+          substring(md5(expr(s"substring(text, k * $w + 1, $w)")), 1, 16)
+            .as("h"))
+        .localCheckpoint() // feeds the first-wins aggregate AND flags
+      val firsts = inst.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("k"))).as("wit"))
+      val keptKs = inst.join(firsts, Seq("h"))
+        .withColumn("kept", col("doc_id") === col("wit.doc_id") &&
+          col("k") === col("wit.k"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+          sort_array(collect_list(when(col("kept"), col("k")))).as("ks"))
+      docs.join(keptKs, Seq("doc_id"))
+        .withColumn("new_text", concat_ws("",
+          transform(col("ks"), k =>
+            col("text").substr((k * w + 1).cast("int"), lit(w)))))
+        .select(col("doc_id"), col("n_segs"), col("n_removed"),
+          length(col("new_text")).cast("long").as("new_len"),
+          md5(col("new_text")).as("new_md5"))
+        .orderBy("doc_id")
+    }),
+
     // dd16: canonical-REPRESENTATIVE selection — the "which duplicate
     // do we KEEP" decision that turns dd07's group ids into an
     // actionable keep/drop list: per near-dup group, the member with
@@ -1530,6 +1587,36 @@ object Dedup {
          |FROM widths LEFT JOIN pw ON widths.w = pw.w
          |LEFT JOIN mn ON widths.w = mn.w
          |ORDER BY w""".stripMargin
-    }
+    },
+
+    // dd23: the first-wins election is a row_number over the content
+    // digest (ORDER BY doc_id, k ≡ Spark's min(struct)); the rebuild
+    // is an ordered filtered string_agg.
+    "dd23_span_removal" ->
+      s"""WITH segs AS (
+         |  SELECT doc_id, k,
+         |    substr(text, CAST(k * $SpanW + 1 AS INT), $SpanW) AS seg
+         |  FROM (
+         |    SELECT doc_id, text,
+         |      unnest(generate_series(0,
+         |        CAST(floor((length(text) - 1) / $SpanW) AS BIGINT))) AS k
+         |    FROM documents WHERE length(text) >= 1)
+         |), flags AS (
+         |  SELECT doc_id, k, seg,
+         |    row_number() OVER (PARTITION BY substr(md5(seg), 1, 16)
+         |      ORDER BY doc_id, k) = 1 AS kept
+         |  FROM segs
+         |), reb AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_removed,
+         |    coalesce(string_agg(seg, '' ORDER BY k)
+         |      FILTER (WHERE kept), '') AS new_text
+         |  FROM flags GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_segs, n_removed,
+         |  CAST(length(new_text) AS BIGINT) AS new_len,
+         |  md5(new_text) AS new_md5
+         |FROM reb ORDER BY doc_id""".stripMargin
   )
 }
