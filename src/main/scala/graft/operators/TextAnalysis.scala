@@ -75,6 +75,55 @@ object TextAnalysis {
     * nothing in the iteration depends on the value. */
   private[graft] val BpeIters = 3
 
+  /** ta26/ta27 symbol-boundary wrap char (unit separator: cannot
+    * occur in tokens). */
+  private[graft] val BpeSep = "\u001F"
+
+  /** ta26/ta27 shared BPE trainer: folds the corpus ONCE into word
+    * TYPES × frequency, then runs [[BpeIters]] greedy merge steps
+    * over the type table (see ta26's doc comment for why the
+    * boundary-wrapped literal replace() IS left-to-right BPE merge
+    * order in both engines). Returns the per-iteration merge rows
+    * (iter, lsym, rsym, pair_count, vocab_after) and the final
+    * encoded type table (seq, f) — the latter is ta27's input.
+    * Lineage is truncated per iteration (localCheckpoint). */
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    val sep = BpeSep
+    var words = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
+        .as("seq"))
+      .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    (1 to BpeIters).foreach { k =>
+      val sy = split(trim(col("seq"), sep), s"$sep$sep")
+      val best = words
+        .select(col("f"), sy.as("sy"))
+        .where(size(col("sy")) >= 2)
+        .withColumn("i", explode(sequence(lit(0), size(col("sy")) - 2)))
+        .select(col("f"),
+          element_at(col("sy"), col("i") + 1).as("lsym"),
+          element_at(col("sy"), col("i") + 2).as("rsym"))
+        .groupBy("lsym", "rsym").agg(sum("f").as("cnt"))
+        .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+        .limit(1).head()
+      val (l, r, cnt) =
+        (best.getString(0), best.getString(1), best.getLong(2))
+      words = words.withColumn("seq",
+        replace(col("seq"), lit(sep + l + sep + sep + r + sep),
+          lit(sep + l + r + sep)))
+        .localCheckpoint()
+      val vocabAfter = words
+        .select(explode(split(trim(col("seq"), sep), s"$sep$sep"))
+          .as("sym"))
+        .agg(count_distinct(col("sym"))).head().getLong(0)
+      out += ((k.toLong, l, r, cnt, vocabAfter))
+    }
+    (out.result(), words)
+  }
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -910,41 +959,41 @@ object TextAnalysis {
     // not corpus-sized — which is why real BPE trainers run this way.
     "ta26_bpe_merges" -> ((s, d) => {
       import s.implicits._
-      val sep = "\u001F" // unit separator: cannot occur in tokens
-      var words = documents(s, d)
-        .select(explode(tokens(col("text"))).as("word"))
-        .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
-          .as("seq"))
-        .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
-        .localCheckpoint()
-      val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-      (1 to BpeIters).foreach { k =>
-        val sy = split(trim(col("seq"), sep), s"$sep$sep")
-        val best = words
-          .select(col("f"), sy.as("sy"))
-          .where(size(col("sy")) >= 2)
-          .withColumn("i", explode(sequence(lit(0), size(col("sy")) - 2)))
-          .select(col("f"),
-            element_at(col("sy"), col("i") + 1).as("lsym"),
-            element_at(col("sy"), col("i") + 2).as("rsym"))
-          .groupBy("lsym", "rsym").agg(sum("f").as("cnt"))
-          .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
-          .limit(1).head()
-        val (l, r, cnt) =
-          (best.getString(0), best.getString(1), best.getLong(2))
-        words = words.withColumn("seq",
-          replace(col("seq"), lit(sep + l + sep + sep + r + sep),
-            lit(sep + l + r + sep)))
-          .localCheckpoint()
-        val vocabAfter = words
-          .select(explode(split(trim(col("seq"), sep), s"$sep$sep"))
-            .as("sym"))
-          .agg(count_distinct(col("sym"))).head().getLong(0)
-        out += ((k.toLong, l, r, cnt, vocabAfter))
-      }
-      out.result()
-        .toDF("iter", "lsym", "rsym", "pair_count", "vocab_after")
+      val (merges, _) = bpeTrained(s, d)
+      merges.toDF("iter", "lsym", "rsym", "pair_count", "vocab_after")
         .orderBy("iter")
+    }),
+
+    // ta27: BPE ENCODING — the APPLICATION half of the tokenizer
+    // story ta26 trains: run the trained merge table over the corpus
+    // and report the resulting token (symbol) distribution — per
+    // final symbol, its corpus occurrence count and the number of
+    // word TYPES it appears in. This is what "tokenize the corpus
+    // with the shipped tokenizer" produces at scale: the token
+    // histogram a sampling/budget pass (ta19/ta24) consumes, and the
+    // sanity readout (merged symbols should dominate their parts) a
+    // tokenizer release is reviewed on.
+    //
+    // Scale: the trainer's structure is the optimization (see ta26 —
+    // the corpus folds ONCE into word types × frequency and every
+    // merge runs over the type table); encoding then never touches
+    // the corpus at all: the final type table IS the encoded corpus
+    // (each type's symbol sequence × its frequency), so this query
+    // adds one |types|-bounded explode + hash aggregate on top of
+    // the training chain. At 100 TB the type table is Heaps-law-
+    // bounded (ta18) and the symbol vocabulary is merge-table-
+    // bounded — both corpus-independent.
+    "ta27_bpe_encode" -> ((s, d) => {
+      val (_, words) = bpeTrained(s, d)
+      words
+        .select(col("seq"), col("f"),
+          explode(split(trim(col("seq"), BpeSep), s"$BpeSep$BpeSep"))
+            .as("sym"))
+        .groupBy("sym")
+        .agg(sum("f").as("corpus_count"),
+          count_distinct(col("seq")).as("n_types"))
+        .select(col("sym"), col("corpus_count"), col("n_types"))
+        .orderBy(col("corpus_count").desc, col("sym"))
     }),
 
     "ta19_budget_select" -> ((s, d) => {
@@ -2188,6 +2237,49 @@ object TextAnalysis {
          |  GROUP BY 1
          |), $stages
          |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+    },
+
+    // ta27: the same unrolled merge stages as ta26; encoding is then
+    // one symbol explode + aggregate over the FINAL type table.
+    "ta27_bpe_encode" -> {
+      def stage(k: Int): String = {
+        val prev = s"w${k - 1}"
+        s"""p$k AS (
+           |  SELECT list_extract(sy, i) AS lsym,
+           |    list_extract(sy, i + 1) AS rsym,
+           |    CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+           |    FROM (SELECT f, string_split(trim(seq, chr(31)),
+           |      chr(31) || chr(31)) AS sy FROM $prev))
+           |  GROUP BY 1, 2
+           |), b$k AS (
+           |  SELECT lsym, rsym, cnt FROM p$k
+           |  ORDER BY cnt DESC, lsym, rsym LIMIT 1
+           |), w$k AS (
+           |  SELECT replace(seq,
+           |    chr(31) || b.lsym || chr(31) || chr(31) || b.rsym || chr(31),
+           |    chr(31) || b.lsym || b.rsym || chr(31)) AS seq, f
+           |  FROM $prev CROSS JOIN b$k b
+           |)""".stripMargin
+      }
+      val stages = (1 to BpeIters).map(stage).mkString(", ")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(word, '(.)',
+         |    chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |), $stages, enc AS (
+         |  SELECT seq, f,
+         |    unnest(string_split(trim(seq, chr(31)),
+         |      chr(31) || chr(31))) AS sym
+         |  FROM w$BpeIters
+         |)
+         |SELECT sym, CAST(sum(f) AS BIGINT) AS corpus_count,
+         |  CAST(count(DISTINCT seq) AS BIGINT) AS n_types
+         |FROM enc GROUP BY sym
+         |ORDER BY corpus_count DESC, sym""".stripMargin
     },
 
     "ta19_budget_select" ->
