@@ -39,6 +39,15 @@ object TextAnalysis {
     * The 500-row sf0.001/sf0.01 fixture keeps a 372-doc train side. */
   private[graft] val DeconHoldoutN = 128
 
+  /** ta28's embedding-decontamination holdout size and cosine gate.
+    * The holdout is deliberately SMALL (an eval set, not a corpus) —
+    * the scale premise is the OPPOSITE of ta23's: eval embeddings
+    * broadcast whole, so the scan is one linear corpus pass. τ sits
+    * above the fixture's p90 max-cosine (≈0.37) so the gate binds
+    * without flagging everything. */
+  private[graft] val SemDeconN   = 100
+  private[graft] val SemDeconTau = 0.35
+
   /** ta18's nested-fraction count: fraction j = hash buckets < j, so
     * each sample contains the previous one. 8 log-spaced-enough points
     * for a log-log fit; the bucket spine is generated, so empty
@@ -695,6 +704,49 @@ object TextAnalysis {
       hits.join(counts, Seq("doc_id"))
         .select("doc_id", "n_grams", "n_hit")
         .orderBy("doc_id")
+    }),
+
+    // ta28: SEMANTIC decontamination — the third rung of the
+    // decontamination ladder (ta16 exact n-gram overlap → ta23 bloom
+    // at holdout scale → ta28 embedding similarity): paraphrased or
+    // lightly-reworded eval items share no 8-gram with the training
+    // doc, so the published recipe (e.g. the GPT-3/LLaMA decon
+    // appendices' fuzzy pass, SemDeDup's cosine rule pointed at a
+    // holdout) gates on EMBEDDING cosine instead. Holdout = the
+    // hash-ordered [[SemDeconN]]-vector eval sample; every remaining
+    // vector reports its max cosine against the holdout and is
+    // flagged when it clears [[SemDeconTau]].
+    //
+    // Scale: the premise is the REVERSE of ta23's — an eval set is
+    // small by construction, so the holdout (vectors + precomputed
+    // norms) broadcasts whole and the scan is ONE linear corpus pass
+    // (BroadcastNestedLoopJoin, N·D flops/row, no shuffle of
+    // embeddings); the only aggregation is a per-id max of an
+    // integer. max commutes with the micro-unit floor (monotone), so
+    // quantize-then-max is exact and order-free. At a 10⁶-item
+    // holdout you'd bucket with ss03's IVF cells first — that path
+    // is dd19; this is the eval-set regime.
+    "ta28_semantic_decon" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+      val hold = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SemDeconN)
+        .select(col("vec_id").as("h_id"), col("embedding").as("he"),
+          col("nrm").as("hn"))
+        .localCheckpoint() // feeds the anti-join AND the broadcast scan
+      e.join(broadcast(hold.select("h_id")),
+          col("vec_id") === col("h_id"), "left_anti")
+        .crossJoin(broadcast(hold))
+        .withColumn("cos_u6",
+          floor(dotProduct(col("embedding"), col("he"))
+            / (col("nrm") * col("hn")) * 1e6 + 0.5).cast("long"))
+        .groupBy("vec_id").agg(max("cos_u6").as("max_cos_u6"))
+        .withColumn("is_contam",
+          col("max_cos_u6") >= math.round(SemDeconTau * 1e6))
+        .select("vec_id", "max_cos_u6", "is_contam")
+        .orderBy("vec_id")
     }),
 
     // ta17: PII REDACTION — the scrub pass every shipping corpus runs
@@ -2059,6 +2111,31 @@ object TextAnalysis {
          |  CAST(length(r) AS BIGINT) AS redacted_len,
          |  md5(r) AS redacted_md5
          |FROM red ORDER BY doc_id""".stripMargin,
+
+    // ta28: the same hash-ordered holdout sample + in-order dot
+    // products; quantize-then-max matches Spark because floor is
+    // monotone.
+    "ta28_semantic_decon" -> {
+      val dotTH = graft.functions.Funcs.dotProductSql("t.embedding", "h.he")
+      val dotEE = graft.functions.Funcs.dotProductSql("embedding", "embedding")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, sqrt($dotEE) AS nrm
+         |  FROM embeddings
+         |), hold AS (
+         |  SELECT vec_id AS h_id, embedding AS he, nrm AS hn FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $SemDeconN
+         |), mc AS (
+         |  SELECT t.vec_id,
+         |    max(CAST(floor($dotTH / (t.nrm * h.hn) * 1e6 + 0.5)
+         |      AS BIGINT)) AS max_cos_u6
+         |  FROM e t CROSS JOIN hold h
+         |  WHERE t.vec_id NOT IN (SELECT h_id FROM hold)
+         |  GROUP BY 1
+         |)
+         |SELECT vec_id, max_cos_u6,
+         |  max_cos_u6 >= ${math.round(SemDeconTau * 1e6)} AS is_contam
+         |FROM mc ORDER BY vec_id""".stripMargin
+    },
 
     // the bin threshold re-derives ta02's quality score exactly; the
     // per-doc window runs only inside the boundary bin, like Spark's
