@@ -1156,6 +1156,66 @@ object TextAnalysis {
           round(min("v"), 6).as("min_v"), round(max("v"), 6).as("max_v"))
         .orderBy("dim")),
 
+    // em15: embedding WHITENING (per-dimension standardization) —
+    // the pre-index transform that makes dimensions commensurate
+    // before quantization/ANN (z_i = (x_i − μ_i)/σ_i): without it,
+    // high-variance dimensions dominate every distance and the PQ
+    // codebooks (em03–em06) waste bits on them. One corpus pass folds
+    // to D cells of integer nano-unit sums (n, Σx, Σx²) — em12's
+    // exact-sufficient-statistics discipline, order-free by
+    // construction — then μ/σ derive from the two longs with
+    // identical double arithmetic in both engines. The transform
+    // APPLIES per-row: the D-row stats collapse to one broadcast row
+    // of (μ, σ) arrays and every vector whitens with zip_with — no
+    // explode, embeddings never shuffle. Per vector the audit ships
+    // two order-free integer sums: Σ quantized z (should center on
+    // 0) and Σ quantized z² (should average ~1 per dim — the
+    // whiteness readout).
+    //
+    // Scale: stats shuffle D cells; the apply side is a
+    // BroadcastNestedLoopJoin of ONE row into a linear corpus scan,
+    // all inside per-row array math. σ = 0 dims whiten to z = 0 in
+    // both engines (degenerate-dimension guard, em13's rule).
+    "em15_whitening" -> ((s, d) => {
+      val cells = embeddings(s, d)
+        .select(posexplode(col("embedding")))
+        .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))
+        .select(col("i"),
+          floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("xq"),
+          floor(col("x").cast("double") * col("x").cast("double") * 1e9
+            + 0.5).cast("long").as("x2q"))
+        .groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("xq").as("s1"), sum("x2q").as("s2"))
+      val stats = cells
+        .withColumn("mu", col("s1").cast("double") / col("n") / 1e9)
+        .withColumn("sd", sqrt(col("s2").cast("double") / col("n") / 1e9
+          - col("mu") * col("mu")))
+      val one = stats
+        .agg(sort_array(collect_list(struct(col("i"), col("mu"),
+          col("sd")))).as("st"))
+        .select(transform(col("st"), t => t.getField("mu")).as("mu_a"),
+          transform(col("st"), t => t.getField("sd")).as("sd_a"))
+      embeddings(s, d).crossJoin(broadcast(one))
+        // materialize z in its own projection: both audit sums fan
+        // over it, and Catalyst does not CSE non-cheap aliases across
+        // collapsed projects (em02's lesson)
+        .select(col("vec_id"),
+          zip_with(
+            zip_with(col("embedding"), col("mu_a"),
+              (x, m) => x.cast("double") - m),
+            col("sd_a"),
+            (dx, sdv) => when(sdv === 0.0, lit(0.0)).otherwise(dx / sdv))
+            .as("z"))
+        .select(col("vec_id"),
+          aggregate(transform(col("z"),
+            z => floor(z * 1e6 + 0.5).cast("long")),
+            lit(0L), (a, v) => a + v).as("z_sum_u6"),
+          aggregate(transform(col("z"),
+            z => floor(z * z * 1e4 + 0.5).cast("long")),
+            lit(0L), (a, v) => a + v).as("z2_sum_u4"))
+        .orderBy("vec_id")
+    }),
+
     // em02: int8 symmetric quantization quality — per vector: scale =
     // max|x|/127, q_i = floor(x_i/scale + .5) (explicit formula, not
     // round(): engine round() semantics differ at .5 while floor(+.5)
@@ -1896,6 +1956,45 @@ object TextAnalysis {
         |  round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
         |  round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
         |FROM idx GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // em15: identical nano-unit sufficient statistics, identical
+    // double derivation of mu/sd, per-element whiten + the two
+    // order-free integer audit sums.
+    "em15_whitening" ->
+      """WITH idx AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS xq,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5)
+        |      AS BIGINT) AS x2q
+        |  FROM idx
+        |), st AS (
+        |  SELECT i, count(*) AS n, sum(xq) AS s1, sum(x2q) AS s2
+        |  FROM q GROUP BY i
+        |), ms AS (
+        |  SELECT i, CAST(s1 AS DOUBLE) / n / 1e9 AS mu,
+        |    sqrt(CAST(s2 AS DOUBLE) / n / 1e9
+        |      - (CAST(s1 AS DOUBLE) / n / 1e9)
+        |        * (CAST(s1 AS DOUBLE) / n / 1e9)) AS sd
+        |  FROM st
+        |), z AS (
+        |  SELECT x.vec_id,
+        |    CASE WHEN m.sd = 0 THEN 0.0
+        |      ELSE (CAST(x.embedding[x.i] AS DOUBLE) - m.mu) / m.sd
+        |    END AS zv
+        |  FROM idx x JOIN ms m ON m.i = x.i
+        |)
+        |SELECT vec_id,
+        |  CAST(sum(CAST(floor(zv * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS z_sum_u6,
+        |  CAST(sum(CAST(floor(zv * zv * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS z2_sum_u4
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "em13_drift_monitor" ->
       s"""WITH pe AS (
