@@ -482,4 +482,150 @@ class Round10OpsSpec extends AnyFunSuite {
       spark.read.parquet(v.getPath).count()).toMap
     assert(sizes(cur) == sizes.values.max)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dd23 span removal matches a brute-force first-wins rewrite, " +
+    "and the rebuilt corpus holds each segment content exactly once") {
+    val w = graft.dedup.Dedup.SpanW
+    val texts = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = texts.map { case (id, t) =>
+      val segs = t.grouped(w).toSeq
+      val kept = segs.filter(seg => seen.add(seg))
+      id -> (segs.length.toLong, (segs.length - kept.length).toLong,
+        kept.mkString)
+    }.toMap
+    val got = q("dd23_span_removal").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nSegs, nRemoved, newText) = expected(r.getLong(0))
+      assert(r.getLong(1) == nSegs)
+      assert(r.getLong(2) == nRemoved)
+      assert(r.getLong(3) == newText.length.toLong)
+      assert(r.getString(4) == md5Hex(newText))
+    }
+    // first-wins is a set election: kept instances = distinct contents
+    val distinctContents = texts.flatMap(_._2.grouped(w)).distinct.size
+    val keptTotal = got.map(r => r.getLong(1) - r.getLong(2)).sum
+    assert(keptTotal == distinctContents.toLong)
+  }
+
+  test("ta27 BPE encode matches the in-memory reference trainer's " +
+    "final type table, and token mass is conserved") {
+    // independent trainer: same reference implementation style as the
+    // ta26 spec (explicit sequence merge, no string-replace trick)
+    val words = Tables.documents(spark, d).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .map(w => w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toList)
+    var freq = words.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    (1 to graft.operators.TextAnalysis.BpeIters).foreach { _ =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f }
+      }
+      val ((l, r), _) = pairCounts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+      def merge(seq: List[String]): List[String] = seq match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest)
+        case a :: rest => a :: merge(rest)
+        case Nil => Nil
+      }
+      freq = freq.groupBy { case (seq, _) => merge(seq) }
+        .map { case (k, v) => k -> v.values.sum }
+    }
+    val corpusCount = scala.collection.mutable.Map[String, Long]()
+    val nTypes = scala.collection.mutable.Map[String, Long]()
+    freq.foreach { case (seq, f) =>
+      seq.foreach(sym => corpusCount(sym) = corpusCount.getOrElse(sym, 0L) + f)
+      seq.distinct.foreach(sym => nTypes(sym) = nTypes.getOrElse(sym, 0L) + 1)
+    }
+    val got = q("ta27_bpe_encode").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == corpusCount.keySet)
+    got.foreach { case (sym, (cc, nt)) =>
+      assert(cc == corpusCount(sym), s"corpus_count($sym)")
+      assert(nt == nTypes(sym), s"n_types($sym)")
+    }
+    // conservation: total symbol mass = total encoded corpus tokens
+    val totalMass = freq.map { case (seq, f) => seq.length * f }.sum
+    assert(got.values.map(_._1).sum == totalMass)
+  }
+
+  test("ta28 semantic decon matches brute-force max-cosines, the " +
+    "holdout is excluded, and the flag binds both ways") {
+    import graft.operators.TextAnalysis.{SemDeconN, SemDeconTau}
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val hold = vecs.sortBy { case (id, _) => (md5Hex(id.toString), id) }
+      .take(SemDeconN)
+    val holdIds = hold.map(_._1).toSet
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val expected = vecs.filterNot(v => holdIds(v._1)).map { case (id, e) =>
+      val nrm = math.sqrt(dot(e, e))
+      val mc = hold.map { case (_, h) =>
+        math.floor(dot(e, h) / (nrm * math.sqrt(dot(h, h))) * 1e6 + 0.5)
+          .toLong
+      }.max
+      id -> mc
+    }.toMap
+    val got = q("ta28_semantic_decon").collect()
+    assert(got.length == expected.size)
+    assert(got.forall(r => !holdIds(r.getLong(0))))
+    got.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)))
+      assert(r.getBoolean(2) ==
+        (r.getLong(1) >= math.round(SemDeconTau * 1e6)))
+    }
+    // non-degenerate on the fixture: the gate flags some, not all
+    assert(got.exists(_.getBoolean(2)) && got.exists(!_.getBoolean(2)))
+  }
+
+  test("em15 whitening: audit sums match a brute-force recompute and " +
+    "the whitened corpus is actually white (mean 0, unit variance)") {
+    val vecs = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = vecs.head._2.length
+    val n = vecs.length.toLong
+    val s1 = Array.fill(dim)(0L); val s2 = Array.fill(dim)(0L)
+    vecs.foreach { case (_, e) =>
+      e.indices.foreach { i =>
+        val x = e(i).toDouble
+        s1(i) += math.floor(x * 1e9 + 0.5).toLong
+        s2(i) += math.floor(x * x * 1e9 + 0.5).toLong
+      }
+    }
+    val mu = s1.map(_.toDouble / n / 1e9)
+    val sd = s2.indices.map(i =>
+      math.sqrt(s2(i).toDouble / n / 1e9 - mu(i) * mu(i))).toArray
+    val expected = vecs.map { case (id, e) =>
+      val z = e.indices.map(i =>
+        if (sd(i) == 0.0) 0.0 else (e(i).toDouble - mu(i)) / sd(i))
+      id -> (z.map(v => math.floor(v * 1e6 + 0.5).toLong).sum,
+        z.map(v => math.floor(v * v * 1e4 + 0.5).toLong).sum)
+    }.toMap
+    val got = q("em15_whitening").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (zs, z2) = expected(r.getLong(0))
+      assert(r.getLong(1) == zs, s"z_sum_u6(${r.getLong(0)})")
+      assert(r.getLong(2) == z2, s"z2_sum_u4(${r.getLong(0)})")
+    }
+    // whiteness: corpus-mean z per dim ~ 0, corpus-mean z^2 per dim ~ 1
+    val meanZ = got.map(_.getLong(1)).sum.toDouble / 1e6 / n / dim
+    val meanZ2 = got.map(_.getLong(2)).sum.toDouble / 1e4 / n / dim
+    assert(math.abs(meanZ) < 1e-3)
+    assert(math.abs(meanZ2 - 1.0) < 1e-2)
+  }
 }
