@@ -807,6 +807,48 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // mm15: KEYFRAME SELECTION — the frame-sampling step a video
+    // curation pipeline ships downstream (one representative frame
+    // per shot to the captioner/embedder, instead of every frame):
+    // mm10's cut flags segment each video into shots (running count
+    // of boundaries), and within each shot the keyframe is the frame
+    // with the highest mean brightness (frame_idx as the
+    // deterministic tie-break) — brightness compared in integer
+    // MILLI-units via exact integral division (sum·1000 div n), so
+    // the argmax is engine-exact with no float anywhere (mm10's
+    // cross-multiplication discipline). Output per shot: extent,
+    // frame count, and the elected keyframe with its score.
+    //
+    // Scale: payloads decode per-row in the same lazy frame walk as
+    // mm10 and never shuffle — only (doc_id, frame_idx, two longs,
+    // flag) rows reach the windows, and every window partitions by
+    // doc (or doc+shot): state is bounded by frames-per-video, the
+    // shuffle is one doc_id exchange reused by both window passes
+    // and the final aggregate.
+    "mm15_keyframes" -> ((s, d) => {
+      import s.implicits._
+      val wDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val frames = videoPayloads(s, d)
+        .mapPartitions(_.flatMap(shotBoundaries)).toDF()
+        .withColumn("shot_idx",
+          sum(col("is_boundary").cast("long")).over(wDoc))
+        .withColumn("mean_milli",
+          expr("brightness_sum * 1000 div n_bytes"))
+      val wShot = Window.partitionBy("doc_id", "shot_idx")
+        .orderBy(col("mean_milli").desc, col("frame_idx").asc)
+      frames
+        .withColumn("rn", row_number().over(wShot))
+        .groupBy("doc_id", "shot_idx")
+        .agg(min("frame_idx").as("start_frame"),
+          max("frame_idx").as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          max(when(col("rn") === 1, col("frame_idx")))
+            .as("key_frame_idx"),
+          max(when(col("rn") === 1, col("mean_milli")))
+            .as("key_mean_milli"))
+        .orderBy("doc_id", "shot_idx")
+    }),
+
     // mm09: IMAGE NEAR-DUP FINGERPRINTING — the multimodal twin of
     // dd01: perceptual average-hash (aHash) computed from the decoded
     // pixel plane of each real P6 payload, then a hash-equality group
@@ -1387,6 +1429,63 @@ object Multimodal {
         |  END AS is_boundary
         |FROM lagged
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mm15: mm10's generator + cut-rule CTEs, then the running-count
+    // shot assignment and the integer-milli argmax election.
+    "mm15_keyframes" ->
+      """WITH geom AS (
+        |  SELECT doc_id, length(text) AS cp, 1 + (doc_id % 7) AS nf
+        |  FROM documents
+        |), frames AS (
+        |  SELECT doc_id, f.f AS frame_idx,
+        |    3 + ((cp + f.f) % 13) AS width,
+        |    2 + ((doc_id + f.f) % 5) AS height
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0, nf - 1)) AS f(f)
+        |), sums AS (
+        |  SELECT doc_id, frame_idx,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(generate_series(0, 3 * width * height - 1),
+        |        i -> (doc_id * 31 + frame_idx * 17 + i * 7) % 256)),
+        |      (a, b) -> a + b) AS brightness_sum,
+        |    CAST(3 * width * height AS BIGINT) AS n_bytes
+        |  FROM frames
+        |), lagged AS (
+        |  SELECT doc_id, frame_idx, brightness_sum, n_bytes,
+        |    lag(brightness_sum) OVER w AS prev_sum,
+        |    lag(n_bytes) OVER w AS prev_n
+        |  FROM sums
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |), cutf AS (
+        |  SELECT doc_id, frame_idx, brightness_sum, n_bytes,
+        |    CASE WHEN prev_sum IS NULL THEN FALSE
+        |         ELSE abs(brightness_sum * prev_n
+        |             - prev_sum * n_bytes) * 20 > prev_sum * n_bytes
+        |    END AS is_boundary
+        |  FROM lagged
+        |), shots AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot_idx,
+        |    (brightness_sum * 1000) // n_bytes AS mean_milli
+        |  FROM cutf
+        |), rk AS (
+        |  SELECT doc_id, frame_idx, shot_idx, mean_milli,
+        |    row_number() OVER (PARTITION BY doc_id, shot_idx
+        |      ORDER BY mean_milli DESC, frame_idx) AS rn
+        |  FROM shots
+        |)
+        |SELECT doc_id, shot_idx,
+        |  CAST(min(frame_idx) AS INT) AS start_frame,
+        |  CAST(max(frame_idx) AS INT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(max(CASE WHEN rn = 1 THEN frame_idx END) AS INT)
+        |    AS key_frame_idx,
+        |  CAST(max(CASE WHEN rn = 1 THEN mean_milli END) AS BIGINT)
+        |    AS key_mean_milli
+        |FROM rk GROUP BY doc_id, shot_idx
+        |ORDER BY doc_id, shot_idx""".stripMargin,
 
     // recomputes the pixel generator, the ⌊8x/w⌋ grid assignment and
     // the integer cross-multiplied block-mean bits — in lockstep with
