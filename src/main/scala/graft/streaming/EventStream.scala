@@ -287,10 +287,16 @@ object EventStream {
     StructField("source", StringType), StructField("text", StringType),
     StructField("n_chars", LongType)))
 
-  /** The documents twin of [[runStream]]: a parquet file stream over
-    * the documents table, drained to a memory sink. */
-  private def runDocStream(spark: SparkSession, dir: String,
-      sinkName: String, outputMode: String = "append")
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** The table twin of [[runStream]]: a parquet file stream over one
+    * testdata table, drained to a memory sink. */
+  private def runTableStream(spark: SparkSession, dir: String,
+      table: String, schema: StructType,
+      sinkName: String, outputMode: String)
       (build: DataFrame => DataFrame): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -298,20 +304,29 @@ object EventStream {
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        srcDir.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
       val stream = build(
-        ss.readStream.schema(docsSchema).parquet(srcDir.toString))
+        ss.readStream.schema(schema).parquet(srcDir.toString))
       q = stream.writeStream.outputMode(outputMode)
         .format("memory").queryName(sinkName).start()
       q.processAllAvailable()
     } finally {
       if (q != null) try q.stop() catch { case _: Exception => }
-      java.nio.file.Files.deleteIfExists(srcDir.resolve("documents.parquet"))
+      java.nio.file.Files.deleteIfExists(
+        srcDir.resolve(s"$table.parquet"))
       java.nio.file.Files.deleteIfExists(srcDir)
     }
     ss.table(sinkName)
   }
+
+  /** The documents twin of [[runStream]]: a parquet file stream over
+    * the documents table, drained to a memory sink. */
+  private def runDocStream(spark: SparkSession, dir: String,
+      sinkName: String, outputMode: String = "append")
+      (build: DataFrame => DataFrame): DataFrame =
+    runTableStream(spark, dir, "documents", docsSchema, sinkName,
+      outputMode)(build)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // st01: the streaming twin of q11 — executed through a real
@@ -407,6 +422,53 @@ object EventStream {
           .join(hGrams.hint("merge"), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
       }.orderBy("doc_id")
+    }),
+
+    // st22: streaming SEMANTIC decontamination — ta28's embedding-
+    // cosine gate at ingest time, completing the batch↔stream
+    // symmetry the decon ladder already has for the n-gram rungs
+    // (ta16↔st10, ta23↔st17): arriving vectors score their max
+    // cosine against the static eval holdout as they land, so a
+    // paraphrased benchmark item is flagged before it ever enters
+    // the corpus. The holdout (vectors + norms) is stream-STATIC —
+    // fixed-size by construction, joined in as a broadcast on a
+    // constant key (the stream-static equi-join Structured Streaming
+    // supports); the per-id max runs in complete mode, and since
+    // each vec_id arrives exactly once the state converges to the
+    // batch answer under ANY batching — which is why ta28's oracle
+    // gates this stream verbatim.
+    //
+    // Scale: per-row N·D flops against a broadcast side, no stream
+    // state beyond the per-id max rows; at production the sink is a
+    // flag column on the ingest path (st08's shape), not a complete-
+    // mode table.
+    "st22_stream_semantic_decon" -> ((s, d) => {
+      import graft.functions.Funcs.dotProduct
+      import graft.operators.TextAnalysis.{SemDeconN, SemDeconTau}
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dotProduct(col("embedding"), col("embedding"))).as("nrm"))
+      val hold = e
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(SemDeconN)
+        .select(lit(1).as("k"), col("vec_id").as("h_id"),
+          col("embedding").as("he"), col("nrm").as("hn"))
+        .localCheckpoint() // feeds the anti-join AND the scan join
+      runTableStream(s, d, "embeddings", embeddingsSchema,
+        "st_sem_decon", outputMode = "complete") { df =>
+        df.join(hold.select(col("h_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotProduct(col("embedding"), col("embedding")))
+              .as("nrm"), lit(1).as("k"))
+          .join(broadcast(hold), Seq("k"))
+          .withColumn("cos_u6",
+            floor(dotProduct(col("embedding"), col("he"))
+              / (col("nrm") * col("hn")) * 1e6 + 0.5).cast("long"))
+          .groupBy("vec_id").agg(max("cos_u6").as("max_cos_u6"))
+          .withColumn("is_contam",
+            col("max_cos_u6") >= math.round(SemDeconTau * 1e6))
+      }.select("vec_id", "max_cos_u6", "is_contam").orderBy("vec_id")
     }),
 
     // st11: streaming HEAVY-HITTER maintenance — a count-min sketch
@@ -1191,6 +1253,12 @@ object EventStream {
          |FROM tg WHERE g IN (SELECT g FROM hg)
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // st22: the per-id max converges to the batch answer under any
+    // batching (each vec_id arrives once), so ta28's oracle gates
+    // the stream verbatim.
+    "st22_stream_semantic_decon" ->
+      graft.operators.TextAnalysis.oracles("ta28_semantic_decon"),
 
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
