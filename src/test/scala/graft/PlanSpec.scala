@@ -652,4 +652,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("ta28 semantic decon: the holdout scan is a broadcast NL join " +
+    "and the corpus never shuffles before the per-id max") {
+    val p = plan("ta28_semantic_decon")
+    // the eval holdout broadcasts; the corpus is scanned ONCE
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"ta28: holdout must broadcast into a linear scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"ta28: never a partitioned cartesian:\n$p")
+    // the per-id max partial-aggregates below its one exchange; the
+    // NL scan is its child (plans print top-down, so "below" = later)
+    val aggIdx = p.indexOf("partial_max(cos_u6")
+    assert(aggIdx >= 0, s"ta28: expected a partial max:\n$p")
+    assert(p.indexOf("BroadcastNestedLoopJoin") > aggIdx,
+      s"ta28: the NL scan must sit below the partial max:\n$p")
+  }
+
+  test("em15 whitening: stats collapse to one broadcast row; the " +
+    "apply side is per-row array math under a broadcast NL join") {
+    val p = plan("em15_whitening")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"em15: the (mu, sd) row must broadcast into the apply scan:\n$p")
+    assert(p.contains("zip_with"),
+      s"em15: whitening must stay per-row array math:\n$p")
+    // exactly one corpus-side scan feeds the NL join: no self-join
+    // of embeddings, no explode on the apply side
+    val applyIdx = p.indexOf("BroadcastNestedLoopJoin")
+    assert(!p.substring(0, applyIdx).contains("Generate"),
+      s"em15: apply side must not explode the corpus:\n$p")
+  }
 }
