@@ -138,6 +138,7 @@ object CurationIncremental {
     // pinned holdout + decontamination (candidates = gated survivors)
     TextAnalysis.benchSample(docs, BenchN).select("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/bench")
+    Commit.writeMarker(spark, s"$root/_BENCH", "bench")
     val bench = spark.read.parquet(s"$root/bench")
     val candToks = toks.join(gated, Seq("doc_id"), "left_semi")
     val finalIds = gated
@@ -170,7 +171,7 @@ object CurationIncremental {
     val next = ver + 1
     val keys = readVersioned(spark, root, "_KEYS")
     val bank = readVersioned(spark, root, "_BANK")
-    val bench = spark.read.parquet(s"$root/bench")
+    val bench = readVersioned(spark, root, "_BENCH")
 
     val docs = deltaDocs.localCheckpoint()
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
@@ -236,6 +237,64 @@ object CurationIncremental {
     Commit.writeMarker(spark, s"$root/_BANK", s"bank/v$next")
     Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
     stageDone("s11_merge_publish")
+  }
+
+  /** cu03: BENCHMARK-REFRESH decontamination — a new eval set lands
+    * AFTER publish (the normal cadence: benchmarks release faster
+    * than corpora re-curate). Production never re-curates: the
+    * published verdict stays authoritative for dedup and gates; the
+    * only new fact is the new holdout's gram set, so the refresh is
+    * ONE pass over the SURVIVING corpus text against the NEW grams
+    * (fixed-size broadcast, st10's rule — text re-read only for
+    * snapshot members via a semi-join), then a MERGE-delete publish
+    * of the next snapshot version and a marker roll of the bench
+    * bank. Old-holdout hits need no rescan — those docs are already
+    * out — and gram sets union, so
+    *
+    *   refresh(v_k, B_new) ≡ from-scratch(bench = B_old ∪ B_new)
+    *
+    * row-for-row; cu03's DuckDB oracle states exactly that
+    * equivalence (from-scratch curation with the doubled holdout).
+    * Snapshots and benches are never overwritten in place — each
+    * version is a new directory behind its marker (io09/io21's
+    * history discipline). */
+  def refreshBench(spark: SparkSession, root: String, docs: DataFrame,
+      extraN: Int,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    var mark = System.nanoTime()
+    def stageDone(name: String): Unit = {
+      val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
+      mark = now
+    }
+    val ver = Commit.readMarker(spark, s"$root/_SNAPSHOT")
+      .stripPrefix("snap").toLong
+    val next = ver + 1
+    val oldBench = readVersioned(spark, root, "_BENCH")
+    // the refreshed eval set: the NEXT extraN docs in the pinned
+    // hash order (a superset sample minus the old members)
+    val newBench = TextAnalysis.benchSample(docs, BenchN + extraN)
+      .join(oldBench.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("doc_id", "text")
+      .localCheckpoint() // feeds the gram explode AND the id delete
+    val snap = published(spark, root).localCheckpoint()
+    stageDone("s12_refresh_sample")
+
+    // one decon pass: text re-read ONLY for surviving snapshot ids,
+    // grams checked ONLY against the new holdout's gram set
+    val survToks = TextAnalysis.tokenized(
+      docs.join(snap.select("doc_id"), Seq("doc_id"), "left_semi"))
+    val removed = TextAnalysis.contaminatedIdsT(survToks, newBench)
+      .unionByName(newBench.select("doc_id")).distinct()
+      .localCheckpoint()
+    stageDone("s13_refresh_decon_scan")
+
+    snap.join(broadcast(removed), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/snap$next")
+    oldBench.unionByName(newBench).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/bench_r$next")
+    Commit.writeMarker(spark, s"$root/_BENCH", s"bench_r$next")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
+    stageDone("s14_refresh_publish")
   }
 
   /** cu02's tightened quality bar (vs [[MinQuality]] = 0.3; the
@@ -315,6 +374,20 @@ object CurationIncremental {
       val root = graft.io.JsonLines.stagingDir("curation_regate")
       curateBase(s, docs, root)
       regateQuality(s, root, RegateMinQuality)
+      published(s, root).orderBy("doc_id")
+    }),
+
+    // cu03: benchmark-refresh decontamination — curate, then a NEW
+    // eval set (the next BenchN docs in the pinned hash order) lands:
+    // one decon pass over the published snapshot vs the new grams
+    // only, MERGE-delete publish. The DuckDB oracle curates FROM
+    // SCRATCH with the doubled holdout, so the hash gate proves
+    // refresh ≡ recurate-with-the-union (see [[refreshBench]]).
+    "cu03_bench_refresh" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val root = graft.io.JsonLines.stagingDir("curation_refresh")
+      curateBase(s, docs, root)
+      refreshBench(s, root, docs, BenchN)
       published(s, root).orderBy("doc_id")
     }))
 
@@ -413,6 +486,66 @@ object CurationIncremental {
          |), bench AS (
          |  SELECT doc_id, text FROM documents
          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchN
+         |), bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - $g),
+         |    i -> array_to_string(toks[i : i + $g], ' ')))) AS g
+         |  FROM (SELECT $toksSql AS toks FROM bench)
+         |  WHERE len(toks) >= $ContamN
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - $g),
+         |      i -> array_to_string(toks[i : i + $g], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |          WHERE doc_id IN (SELECT doc_id FROM gated))
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM bg)
+         |), fin AS (
+         |  SELECT doc_id FROM gated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |)
+         |SELECT d.doc_id, d.lang, d.source, s.n_tokens, s.quality_score
+         |FROM fin f
+         |JOIN documents d USING (doc_id)
+         |JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // from-scratch curation with the DOUBLED holdout — cu02's CTE
+    // chain at the base quality bar, bench LIMIT 2N. Equality with
+    // the Spark side's refresh publish proves the bench-refresh
+    // theorem (gram sets union; old hits are already out).
+    "cu03_bench_refresh" -> {
+      import TextAnalysis.{toksSql, ContamN}
+      val g = ContamN - 1
+      s"""WITH keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), ${Dedup.sigCte},
+         |bands AS (
+         |  SELECT doc_id, j // ${Dedup.RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${Dedup.RowsPerBand}
+         |), dropped2 AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM keep1)
+         |    AND b.doc_id IN (SELECT doc_id FROM keep1)
+         |), keep2 AS (
+         |  SELECT doc_id FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)
+         |), ${TextAnalysis.scoredSqlCte},
+         |${TextAnalysis.repSqlCte},
+         |gated AS (
+         |  SELECT k.doc_id FROM keep2 k
+         |  JOIN scored s USING (doc_id) JOIN rep r USING (doc_id)
+         |  WHERE s.quality_score >= $MinQuality
+         |    AND s.predicted_lang IN (${Langs.map("'" + _ + "'").mkString(", ")})
+         |    AND r.dup_bigram_frac <= $MaxDupBigramFrac
+         |), bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT ${2 * BenchN}
          |), bg AS (
          |  SELECT DISTINCT unnest(list_distinct(list_transform(
          |    generate_series(1, len(toks) - $g),
