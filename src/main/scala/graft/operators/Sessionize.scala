@@ -233,6 +233,63 @@ object Sessionize {
       relational(events(s, d))
         .orderBy("user_id", "session_start_us")),
 
+    // q46: ASSOCIATION RULES (market-basket mining, the Apriori
+    // level-2 table): baskets are q13's sessions, items the distinct
+    // event types inside each; every item pair gets support,
+    // confidence and lift — the "users who did A also did B" readout
+    // behind recommendation and merchandising dashboards, and the
+    // discovery complement to q29's fixed funnel / q35's ordered
+    // transitions (association is ORDER-FREE co-occurrence). All
+    // three metrics ship as exact integers: counts are longs and
+    // conf/lift are integer floor-divisions in micro-units —
+    // n_ab·10⁶ div n_a and n_ab·N·10⁶ div (n_a·n_b) — so the gate
+    // needs no float anywhere. (At 100 TB the 10⁶ scaling bounds the
+    // dividend by n_ab·N·10⁶ — re-scale or go DECIMAL past ~10⁹
+    // baskets.)
+    //
+    // Scale: one user-keyed exchange builds sessions (q13's); the
+    // basket table is (user, sess, type) triples, deduped; the pair
+    // join is keyed on the basket id so pair work is Σ items²/basket
+    // (bounded by the type vocabulary); supports and the total are
+    // |types|- and 1-row broadcasts. The output is ≤|types|²/2 rows
+    // — corpus-independent.
+    "q46_association_rules" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val baskets = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag("ts_us", 1).over(w) > GapUs, 1)
+            .when(lag("ts_us", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("sess_no",
+          sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "sess_no", "event_type").distinct()
+        .localCheckpoint() // feeds supports, the pair join, the total
+      val tot = baskets.select("user_id", "sess_no").distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val itemN = baskets.groupBy("event_type")
+        .agg(count(lit(1)).as("n_item"))
+      val pairs = baskets.join(
+          baskets.select(col("user_id"), col("sess_no"),
+            col("event_type").as("item_b")),
+          Seq("user_id", "sess_no"))
+        .filter(col("event_type") < col("item_b"))
+        .groupBy(col("event_type").as("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(itemN.select(col("event_type").as("item_a"),
+          col("n_item").as("n_a"))), Seq("item_a"))
+        .join(broadcast(itemN.select(col("event_type").as("item_b"),
+          col("n_item").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("conf_u6", expr("n_ab * 1000000 div n_a"))
+        .withColumn("lift_u6",
+          expr("n_ab * n_baskets * 1000000 div (n_a * n_b)"))
+        .select("item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
+          "conf_u6", "lift_u6")
+        .orderBy("item_a", "item_b")
+    }),
+
     // q29: FUNNEL conversion over the sessionized stream — per
     // session, did view → click → purchase happen in first-occurrence
     // order? (t_view ≤ t_click ≤ t_purchase on each type's FIRST
@@ -398,6 +455,52 @@ object Sessionize {
     // q13's session numbering, two leads inside the session, counts,
     // rank over the bounded path table (shared builder with st16)
     "q39_top_paths" -> pathOracleSql(closedOnly = false),
+
+    // q46: q13's session numbering → distinct (basket, item) triples
+    // → self-join pairs + integer micro-unit floor divisions.
+    "q46_association_rules" ->
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events
+         |), flagged AS (
+         |  SELECT user_id, event_id, event_type, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+         |         WHEN ts_us - lag(ts_us) OVER w > $GapUs THEN 1
+         |         ELSE 0 END AS new_sess
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |), numbered AS (
+         |  SELECT user_id, event_type,
+         |    sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         |  FROM flagged
+         |), baskets AS (
+         |  SELECT DISTINCT user_id, sess_no, event_type FROM numbered
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM (
+         |    SELECT DISTINCT user_id, sess_no FROM baskets)
+         |), item AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+         |  FROM baskets GROUP BY 1
+         |), p AS (
+         |  SELECT a.event_type AS item_a, b.event_type AS item_b,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM baskets a JOIN baskets b
+         |    ON a.user_id = b.user_id AND a.sess_no = b.sess_no
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT item_a, item_b, n_ab,
+         |  ia.n_item AS n_a, ib.n_item AS n_b, tot.n_baskets,
+         |  (n_ab * 1000000) // ia.n_item AS conf_u6,
+         |  (n_ab * tot.n_baskets * 1000000)
+         |    // (ia.n_item * ib.n_item) AS lift_u6
+         |FROM p
+         |JOIN item ia ON ia.event_type = p.item_a
+         |JOIN item ib ON ib.event_type = p.item_b
+         |CROSS JOIN tot
+         |ORDER BY item_a, item_b""".stripMargin,
 
     "q29_funnel_conversion" ->
       s"""WITH base AS (
