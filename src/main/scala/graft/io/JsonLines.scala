@@ -476,6 +476,53 @@ object JsonLines {
     // shuffle-joins past the threshold — either way the fact table is
     // scanned once. The report is |checks| rows; nothing else
     // reaches the driver.
+    // io22: TABLE STATISTICS COLLECTION (ANALYZE) — the stats layer
+    // every optimizer and pruning index feeds on (io16's min/max
+    // pruning, CBO join ordering, NDV-driven broadcast decisions):
+    // per column of lineitem — row count, null count, exact NDV, and
+    // min/max rendered to a uniform string column. Every stat for
+    // every column comes out of ONE corpus pass: a single aggregate
+    // carries 4 buffers per column (count/NDV/min/max) plus the row
+    // count, then the 1-row result is unpivoted into |columns|
+    // presentation rows. Values with engine-divergent rendering
+    // never appear raw: timestamps ship as epoch micros and doubles
+    // as micro-units, both stringified from BIGINT.
+    //
+    // Scale: one scan, partial-aggregated map-side; the multi-NDV
+    // aggregate plans as Spark's expand (×|distinct specs| rows into
+    // the partial agg — the standard multi-distinct trade). At 100 TB
+    // you swap exact NDV for HLL registers (q19b's discipline, or
+    // approx_count_distinct) column by column; min/max/counts are
+    // already one-pass mergeable.
+    "io22_table_stats" -> ((s, d) => {
+      val li = lineitem(s, d)
+      // (name, aggregated column, BIGINT-safe string renderer)
+      val specs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_suppkey" -> col("l_suppkey"),
+        "l_linenumber" -> col("l_linenumber").cast("long"),
+        "l_returnflag" -> col("l_returnflag"),
+        "l_linestatus" -> col("l_linestatus"),
+        // parquet reads shipdate as NTZ; the repo pins the session
+        // to UTC, so the cast is instant-identity (Tables.scala note)
+        "l_shipdate_us" ->
+          unix_micros(col("l_shipdate").cast("timestamp")),
+        "l_quantity_u6" ->
+          floor(col("l_quantity") * 1e6 + 0.5).cast("long"))
+      val aggs = specs.flatMap { case (n, c) => Seq(
+        count(c).as(s"nn_$n"), count_distinct(c).as(s"nd_$n"),
+        min(c).cast("string").as(s"mn_$n"),
+        max(c).cast("string").as(s"mx_$n")) }
+      val one = li.agg(count(lit(1)).as("n_rows"),
+        aggs: _*).localCheckpoint() // 1 row; feeds |cols| selects
+      specs.map { case (n, _) =>
+        one.select(lit(n).as("column_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
+          col(s"nd_$n").as("n_distinct"),
+          col(s"mn_$n").as("min_repr"), col(s"mx_$n").as("max_repr"))
+      }.reduce(_ unionByName _).orderBy("column_name")
+    }),
+
     "io20_expectations" -> ((s, d) => {
       val ord = graft.Tables.orders(s, d)
       val li = graft.Tables.lineitem(s, d)
@@ -1184,6 +1231,35 @@ object JsonLines {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // io22: identical one-pass buffers, unpivoted with UNION ALL.
+    "io22_table_stats" -> {
+      val specs = Seq(
+        "l_orderkey" -> "l_orderkey",
+        "l_suppkey" -> "l_suppkey",
+        "l_linenumber" -> "CAST(l_linenumber AS BIGINT)",
+        "l_returnflag" -> "l_returnflag",
+        "l_linestatus" -> "l_linestatus",
+        "l_shipdate_us" -> "epoch_us(l_shipdate)",
+        "l_quantity_u6" -> "CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)")
+      val buf = specs.map { case (n, e) =>
+        s"""CAST(count($e) AS BIGINT) AS nn_$n,
+           |    CAST(count(DISTINCT $e) AS BIGINT) AS nd_$n,
+           |    CAST(min($e) AS VARCHAR) AS mn_$n,
+           |    CAST(max($e) AS VARCHAR) AS mx_$n""".stripMargin
+      }.mkString(",\n    ")
+      val rows = specs.map { case (n, _) =>
+        s"""SELECT '$n' AS column_name, n_rows,
+           |  n_rows - nn_$n AS n_nulls, nd_$n AS n_distinct,
+           |  mn_$n AS min_repr, mx_$n AS max_repr FROM one""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH one AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    $buf
+         |  FROM lineitem
+         |)
+         |SELECT * FROM ($rows) ORDER BY column_name""".stripMargin
+    },
 
     "io20_expectations" ->
       """WITH checks AS (
