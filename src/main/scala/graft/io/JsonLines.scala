@@ -476,6 +476,79 @@ object JsonLines {
     // shuffle-joins past the threshold — either way the fact table is
     // scanned once. The report is |checks| rows; nothing else
     // reaches the driver.
+    // io23: INCREMENTAL STATS MAINTENANCE — io22's ANALYZE kept
+    // current without rescanning the base: every buffer is chosen to
+    // be MERGEABLE (counts add, min/max combine, NDV as explicit HLL
+    // registers whose merge is per-bucket max — q19b's discipline;
+    // exact NDV is the one io22 stat with NO merge law, which is why
+    // production stats layers store the sketch). The query computes
+    // the buffers PER PARTITION (base 90% / delta 10% by the cu01
+    // cutoff rule), merges them with the aggregation the law
+    // prescribes, and the oracle recomputes everything from scratch
+    // over the unsplit table — equality IS the merge-law proof, for
+    // all five stats at once. Values flow as zero-padded string
+    // reprs so lexicographic min/max equals numeric order and one
+    // unpivoted stream serves every column.
+    //
+    // Scale: one scan per ingest unit, |columns|×m register cells +
+    // 4 scalars of state per column — the shape that lets a 100 TB
+    // table's stats update from each day's delta alone; register
+    // merge is max, so ANY batching of history gives the same
+    // registers (st09's merge-law argument applied to ANALYZE).
+    "io23_incremental_stats" -> ((s, d) => {
+      val m = 64
+      val rhoCase = "CASE " + (1 to 32).map(k =>
+        s"WHEN w >= ${1L << (32 - k)} THEN $k").mkString(" ") +
+        " ELSE 33 END"
+      val li = lineitem(s, d)
+      val cut = li.agg(expr("(max(l_orderkey) + 1) * 9 div 10").as("c"))
+      val rows = li.crossJoin(broadcast(cut))
+        .withColumn("part",
+          when(col("l_orderkey") < col("c"), lit(0)).otherwise(lit(1)))
+        .select(col("part"), explode(array(
+          struct(lit("l_orderkey").as("column_name"),
+            lpad(col("l_orderkey").cast("string"), 20, "0").as("repr")),
+          struct(lit("l_returnflag").as("column_name"),
+            col("l_returnflag").as("repr")),
+          struct(lit("l_quantity_u6").as("column_name"),
+            lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
+              .cast("string"), 20, "0").as("repr")))).as("cr"))
+        .select(col("part"), col("cr.column_name"), col("cr.repr"))
+        .localCheckpoint() // feeds the scalar buffers AND registers
+      val scalarParts = rows.groupBy("part", "column_name")
+        .agg(count(lit(1)).as("nr"), count(col("repr")).as("nn"),
+          min("repr").as("mn"), max("repr").as("mx"))
+      val mergedScalars = scalarParts.groupBy("column_name")
+        .agg(sum("nr").as("n_rows"),
+          (sum("nr") - sum("nn")).as("n_nulls"),
+          min("mn").as("min_repr"), max("mx").as("max_repr"))
+      val regParts = rows
+        .select(col("part"), col("column_name"),
+          md5(col("repr")).as("hx"))
+        .select(col("part"), col("column_name"),
+          (conv(substring(col("hx"), 1, 7), 16, 10).cast("long") % m)
+            .as("bucket"),
+          conv(substring(col("hx"), 8, 8), 16, 10).cast("long").as("w"))
+        .withColumn("rho", expr(rhoCase))
+        .groupBy("part", "column_name", "bucket")
+        .agg(max("rho").as("mj"))
+      val mergedRegs = regParts.groupBy("column_name", "bucket")
+        .agg(max("mj").as("mj"))
+      val spine = rows.select("column_name").distinct()
+        .select(col("column_name"),
+          explode(sequence(lit(0), lit(m - 1))).as("bucket"))
+      val hll = spine.join(mergedRegs, Seq("column_name", "bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+        .groupBy("column_name")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - mj)"))
+          .as("sum_pow33"),
+          sum(when(col("mj") > 0, 1L).otherwise(0L)).as("n_nonzero"))
+      mergedScalars.join(hll, Seq("column_name"))
+        .select("column_name", "n_rows", "n_nulls", "min_repr",
+          "max_repr", "sum_pow33", "n_nonzero")
+        .orderBy("column_name")
+    }),
+
     // io22: TABLE STATISTICS COLLECTION (ANALYZE) — the stats layer
     // every optimizer and pruning index feeds on (io16's min/max
     // pruning, CBO join ordering, NDV-driven broadcast decisions):
@@ -1231,6 +1304,56 @@ object JsonLines {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // io23: from scratch over the UNSPLIT table — the merge-law
+    // equivalence proof for all five buffers at once.
+    "io23_incremental_stats" -> {
+      val rhoCase = "CASE " + (1 to 32).map(k =>
+        s"WHEN w >= ${1L << (32 - k)} THEN $k").mkString(" ") +
+        " ELSE 33 END"
+      s"""WITH rows_ AS (
+         |  SELECT 'l_orderkey' AS column_name,
+         |    lpad(CAST(l_orderkey AS VARCHAR), 20, '0') AS repr
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_returnflag', l_returnflag FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_quantity_u6',
+         |    lpad(CAST(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)
+         |      AS VARCHAR), 20, '0')
+         |  FROM lineitem
+         |), sc AS (
+         |  SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count(repr) AS BIGINT) AS n_nulls,
+         |    min(repr) AS min_repr, max(repr) AS max_repr
+         |  FROM rows_ GROUP BY 1
+         |), b AS (
+         |  SELECT column_name,
+         |    ('0x' || substr(hx, 1, 7))::BIGINT % 64 AS bucket,
+         |    ('0x' || substr(hx, 8, 8))::BIGINT AS w
+         |  FROM (SELECT column_name, md5(repr) AS hx FROM rows_)
+         |), r AS (
+         |  SELECT column_name, bucket, max($rhoCase) AS mj
+         |  FROM b GROUP BY 1, 2
+         |), spine AS (
+         |  SELECT column_name, i AS bucket
+         |  FROM (SELECT DISTINCT column_name FROM rows_)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+         |), reg AS (
+         |  SELECT s.column_name, s.bucket, coalesce(r.mj, 0) AS mj
+         |  FROM spine s LEFT JOIN r USING (column_name, bucket)
+         |), agg AS (
+         |  SELECT column_name,
+         |    CAST(sum(1::BIGINT << (33 - mj)) AS BIGINT) AS sum_pow33,
+         |    CAST(sum(CASE WHEN mj > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nonzero
+         |  FROM reg GROUP BY 1
+         |)
+         |SELECT sc.column_name, n_rows, n_nulls, min_repr, max_repr,
+         |  sum_pow33, n_nonzero
+         |FROM sc JOIN agg USING (column_name)
+         |ORDER BY column_name""".stripMargin
+    },
 
     // io22: identical one-pass buffers, unpivoted with UNION ALL.
     "io22_table_stats" -> {

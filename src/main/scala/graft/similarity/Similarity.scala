@@ -1224,6 +1224,62 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // ss25: BINARY RESCORING — the serving pattern the 1-bit ladder
+    // rung exists for (binary quantization + rescoring, the
+    // 32×-compression recipe every vector store ships): em09's sign
+    // masks produce a Hamming shortlist of C candidates per query
+    // (16 bytes/vector first stage, pure integer), then ONLY those C
+    // rows fetch float vectors for the exact cosine top-k (ss14's
+    // re-rank discipline applied to the binary coarse stage instead
+    // of PQ/ADC). Completes the rescoring matrix: coarse ∈ {PQ adc
+    // (ss14), IVF-PQ served (ss18), binary Hamming (ss25)}.
+    //
+    // Scale: stage 1 streams 16 bytes/row under a broadcast of the
+    // query masks with a per-task top-C (WindowGroupLimit); stage 2
+    // touches C·|queries| vectors — corpus-independent — via one id
+    // equi-join; nothing float leaves stage 2's bounded frame.
+    "ss25_binary_rerank" -> ((s, d) => {
+      def sigHalf(off: Int) = expr(
+        s"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        s"IF(element_at(embedding, i + $off) >= 0.0, shiftleft(1L, i), 0L))")
+      val sigs = embeddings(s, d)
+        .select(col("vec_id"), sigHalf(1).as("sig_lo"),
+          sigHalf(33).as("sig_hi"))
+      val qs = sigs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("sig_lo").as("ql"),
+          col("sig_hi").as("qh"))
+      val wH = Window.partitionBy("query_id")
+        .orderBy(col("hamming").asc, col("neighbor_id").asc)
+      val shortlist = sigs
+        .select(col("vec_id").as("neighbor_id"), col("sig_lo"),
+          col("sig_hi"))
+        .crossJoin(broadcast(qs))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("hamming",
+          (bit_count(col("sig_lo").bitwiseXOR(col("ql"))) +
+            bit_count(col("sig_hi").bitwiseXOR(col("qh")))).cast("long"))
+        .withColumn("crank", row_number().over(wH))
+        .filter(col("crank") <= RerankC)
+        .select("query_id", "neighbor_id")
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val wCos = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          dot(s, col("qe"), col("embedding")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
     // ss22: RECIPROCAL-RANK FUSION of two shipped retrievers — the
     // standard hybrid-search merge (Cormack et al.'s RRF): each
     // retriever contributes 1/(60+rank) for its top-k list, summed
@@ -1525,6 +1581,49 @@ object Similarity {
          |  FROM scored
          |)
          |SELECT query_id, rank, neighbor_id, hamming FROM ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // ss25: em09's sign-mask CTEs for the Hamming shortlist, ss14's
+    // exact-cosine re-rank tail over the C survivors.
+    "ss25_binary_rerank" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(0, 31), i ->
+         |        CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+         |             ELSE 0::BIGINT END)), (a, b) -> a + b) AS sig_lo,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(0, 31), i ->
+         |        CASE WHEN embedding[i + 33] >= 0 THEN (1::BIGINT << i)
+         |             ELSE 0::BIGINT END)), (a, b) -> a + b) AS sig_hi
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(c.sig_lo, q.sig_lo)) +
+         |         bit_count(xor(c.sig_hi, q.sig_hi)) AS BIGINT) AS hamming
+         |  FROM sigs q JOIN sigs c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hamming ASC, neighbor_id ASC) AS crank
+         |    FROM scored)
+         |  WHERE crank <= $RerankC
+         |), exact AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cos
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM exact
+         |)
+         |SELECT query_id, rank, neighbor_id, cos FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 

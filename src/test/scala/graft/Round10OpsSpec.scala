@@ -628,4 +628,91 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(math.abs(meanZ) < 1e-3)
     assert(math.abs(meanZ2 - 1.0) < 1e-2)
   }
+
+  test("q46 association rules: confidence bounded, supports " +
+    "consistent, and the pair counts match a brute-force recompute") {
+    val got = q("q46_association_rules").collect()
+    assert(got.nonEmpty)
+    // brute force: sessionize in memory with the same 30-min gap
+    val evs = Tables.events(spark, d)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(e => (e._1, e._4, e._2))
+    val baskets = scala.collection.mutable.Map[(Long, Long),
+      scala.collection.mutable.Set[String]]()
+    var cur = (-1L, 0L); var lastTs = Long.MinValue; var lastUser = -1L
+    evs.foreach { case (u, _, t, ts) =>
+      if (u != lastUser || ts - lastTs > graft.operators.Sessionize.GapUs)
+        cur = (u, cur._2 + 1)
+      lastUser = u; lastTs = ts
+      baskets.getOrElseUpdate(cur,
+        scala.collection.mutable.Set[String]()) += t
+    }
+    val nB = baskets.size.toLong
+    val itemN = scala.collection.mutable.Map[String, Long]()
+    val pairN = scala.collection.mutable.Map[(String, String), Long]()
+    baskets.values.foreach { items =>
+      items.foreach(i => itemN(i) = itemN.getOrElse(i, 0L) + 1)
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairN((s(i), s(j))) = pairN.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    assert(got.length == pairN.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == pairN(key), s"n_ab$key")
+      assert(r.getLong(3) == itemN(key._1) && r.getLong(4) == itemN(key._2))
+      assert(r.getLong(5) == nB)
+      assert(r.getLong(6) == r.getLong(2) * 1000000L / r.getLong(3))
+      assert(r.getLong(6) <= 1000000L, "confidence is a probability")
+      assert(r.getLong(7) ==
+        r.getLong(2) * nB * 1000000L / (r.getLong(3) * r.getLong(4)))
+    }
+  }
+
+  test("mm15 keyframes: every keyframe lies inside its shot's extent " +
+    "and carries the shot's max integer-milli brightness") {
+    val frames = q("mm10_shot_boundaries").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // shot assignment: running count of cut flags per doc
+    val byDoc = frames.groupBy(_._1).view.mapValues(_.sortBy(_._2))
+    val shots = scala.collection.mutable.Map[(Long, Long),
+      scala.collection.mutable.ArrayBuffer[(Int, Long)]]()
+    byDoc.foreach { case (doc, fs) =>
+      var shot = 0L
+      fs.foreach { case (_, idx, sum, n, cut) =>
+        if (cut) shot += 1
+        shots.getOrElseUpdate((doc, shot),
+          scala.collection.mutable.ArrayBuffer[(Int, Long)]()) +=
+          ((idx, sum * 1000 / n))
+      }
+    }
+    val got = q("mm15_keyframes").collect()
+    assert(got.length == shots.size)
+    got.foreach { r =>
+      val fs = shots((r.getLong(0), r.getLong(1)))
+      val (startF, endF) = (fs.map(_._1).min, fs.map(_._1).max)
+      assert(r.getInt(2) == startF && r.getInt(3) == endF)
+      assert(r.getLong(4) == fs.length.toLong)
+      val best = fs.maxBy { case (idx, mm) => (mm, -idx) }
+      assert(r.getInt(5) == best._1, s"keyframe of ${(r.getLong(0), r.getLong(1))}")
+      assert(r.getLong(6) == best._2)
+    }
+  }
+
+  test("cu03 refresh with an EMPTY new eval set is a published no-op " +
+    "(same verdict rows, version advanced)") {
+    val docs = Tables.documents(spark, d)
+    val root = graft.io.JsonLines.stagingDir("curation_refresh_noop")
+    CurationIncremental.curateBase(spark, docs, root)
+    val v0 = CurationIncremental.published(spark, root)
+      .collect().map(_.toString).sorted
+    CurationIncremental.refreshBench(spark, root, docs, extraN = 0)
+    val v1 = CurationIncremental.published(spark, root)
+      .collect().map(_.toString).sorted
+    assert(v1.sameElements(v0), "no new eval items => no removals")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_SNAPSHOT") == "snap1")
+  }
 }
