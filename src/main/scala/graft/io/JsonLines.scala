@@ -553,47 +553,59 @@ object JsonLines {
     // every optimizer and pruning index feeds on (io16's min/max
     // pruning, CBO join ordering, NDV-driven broadcast decisions):
     // per column of lineitem — row count, null count, exact NDV, and
-    // min/max rendered to a uniform string column. Every stat for
-    // every column comes out of ONE corpus pass: a single aggregate
-    // carries 4 buffers per column (count/NDV/min/max) plus the row
-    // count, then the 1-row result is unpivoted into |columns|
-    // presentation rows. Values with engine-divergent rendering
-    // never appear raw: timestamps ship as epoch micros and doubles
-    // as micro-units, both stringified from BIGINT.
+    // min/max as zero-padded string reprs (lexicographic order =
+    // numeric order, io23's rule). ONE corpus scan unpivots every
+    // column into a (column_name, repr) stream; counts and min/max
+    // fold in one hash aggregate and NDV in a distinct + count —
+    // both keyed on column_name, both map-side combining. This shape
+    // replaced a first draft built on one aggregate with |columns|
+    // count_distinct buffers: that plans as Spark's Expand
+    // (×(|cols|+1) row multiplication into a single partial agg) and
+    // measured 10.4 s at sf0.1 vs 4.6 s for io23's unpivot doing
+    // strictly more work — the expand's row blowup loses to two lean
+    // column-keyed shuffles (recorded in BASELINE.md's log). Values
+    // with engine-divergent rendering never appear raw: timestamps
+    // ship as epoch micros, doubles as micro-units, both padded from
+    // BIGINT.
     //
-    // Scale: one scan, partial-aggregated map-side; the multi-NDV
-    // aggregate plans as Spark's expand (×|distinct specs| rows into
-    // the partial agg — the standard multi-distinct trade). At 100 TB
-    // you swap exact NDV for HLL registers (q19b's discipline, or
-    // approx_count_distinct) column by column; min/max/counts are
-    // already one-pass mergeable.
+    // Scale: one scan; shuffle 1 carries distinct (column, value)
+    // pairs (Σ NDV rows after map-side dedup), shuffle 2 carries
+    // |columns| aggregate rows. At 100 TB swap exact NDV for HLL
+    // registers per high-card column — io23 IS that variant, with
+    // the mergeable-buffer law proven.
     "io22_table_stats" -> ((s, d) => {
       val li = lineitem(s, d)
-      // (name, aggregated column, BIGINT-safe string renderer)
-      val specs: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-        "l_orderkey" -> col("l_orderkey"),
-        "l_suppkey" -> col("l_suppkey"),
-        "l_linenumber" -> col("l_linenumber").cast("long"),
-        "l_returnflag" -> col("l_returnflag"),
-        "l_linestatus" -> col("l_linestatus"),
-        // parquet reads shipdate as NTZ; the repo pins the session
-        // to UTC, so the cast is instant-identity (Tables.scala note)
-        "l_shipdate_us" ->
-          unix_micros(col("l_shipdate").cast("timestamp")),
-        "l_quantity_u6" ->
-          floor(col("l_quantity") * 1e6 + 0.5).cast("long"))
-      val aggs = specs.flatMap { case (n, c) => Seq(
-        count(c).as(s"nn_$n"), count_distinct(c).as(s"nd_$n"),
-        min(c).cast("string").as(s"mn_$n"),
-        max(c).cast("string").as(s"mx_$n")) }
-      val one = li.agg(count(lit(1)).as("n_rows"),
-        aggs: _*).localCheckpoint() // 1 row; feeds |cols| selects
-      specs.map { case (n, _) =>
-        one.select(lit(n).as("column_name"), col("n_rows"),
-          (col("n_rows") - col(s"nn_$n")).as("n_nulls"),
-          col(s"nd_$n").as("n_distinct"),
-          col(s"mn_$n").as("min_repr"), col(s"mx_$n").as("max_repr"))
-      }.reduce(_ unionByName _).orderBy("column_name")
+      val rows = li.select(explode(array(
+          struct(lit("l_orderkey").as("column_name"),
+            lpad(col("l_orderkey").cast("string"), 20, "0").as("repr")),
+          struct(lit("l_suppkey").as("column_name"),
+            lpad(col("l_suppkey").cast("string"), 20, "0").as("repr")),
+          struct(lit("l_linenumber").as("column_name"),
+            lpad(col("l_linenumber").cast("string"), 20, "0").as("repr")),
+          struct(lit("l_returnflag").as("column_name"),
+            col("l_returnflag").as("repr")),
+          struct(lit("l_linestatus").as("column_name"),
+            col("l_linestatus").as("repr")),
+          // parquet reads shipdate as NTZ; the repo pins the session
+          // to UTC, so the cast is instant-identity (Tables.scala)
+          struct(lit("l_shipdate_us").as("column_name"),
+            lpad(unix_micros(col("l_shipdate").cast("timestamp"))
+              .cast("string"), 20, "0").as("repr")),
+          struct(lit("l_quantity_u6").as("column_name"),
+            lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
+              .cast("string"), 20, "0").as("repr")))).as("cr"))
+        .select(col("cr.column_name"), col("cr.repr"))
+        .localCheckpoint() // feeds the scalar aggregate AND the NDV
+      val sc = rows.groupBy("column_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("repr"))).as("n_nulls"),
+          min("repr").as("min_repr"), max("repr").as("max_repr"))
+      val nd = rows.filter(col("repr").isNotNull).distinct()
+        .groupBy("column_name").agg(count(lit(1)).as("n_distinct"))
+      sc.join(nd, Seq("column_name"))
+        .select("column_name", "n_rows", "n_nulls", "n_distinct",
+          "min_repr", "max_repr")
+        .orderBy("column_name")
     }),
 
     "io20_expectations" -> ((s, d) => {
@@ -1355,33 +1367,39 @@ object JsonLines {
          |ORDER BY column_name""".stripMargin
     },
 
-    // io22: identical one-pass buffers, unpivoted with UNION ALL.
+    // io22: the same unpivoted (column, padded-repr) stream, folded
+    // with a scalar aggregate + a distinct count per column.
     "io22_table_stats" -> {
       val specs = Seq(
-        "l_orderkey" -> "l_orderkey",
-        "l_suppkey" -> "l_suppkey",
-        "l_linenumber" -> "CAST(l_linenumber AS BIGINT)",
+        "l_orderkey" -> "lpad(CAST(l_orderkey AS VARCHAR), 20, '0')",
+        "l_suppkey" -> "lpad(CAST(l_suppkey AS VARCHAR), 20, '0')",
+        "l_linenumber" -> "lpad(CAST(l_linenumber AS VARCHAR), 20, '0')",
         "l_returnflag" -> "l_returnflag",
         "l_linestatus" -> "l_linestatus",
-        "l_shipdate_us" -> "epoch_us(l_shipdate)",
-        "l_quantity_u6" -> "CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)")
-      val buf = specs.map { case (n, e) =>
-        s"""CAST(count($e) AS BIGINT) AS nn_$n,
-           |    CAST(count(DISTINCT $e) AS BIGINT) AS nd_$n,
-           |    CAST(min($e) AS VARCHAR) AS mn_$n,
-           |    CAST(max($e) AS VARCHAR) AS mx_$n""".stripMargin
-      }.mkString(",\n    ")
-      val rows = specs.map { case (n, _) =>
-        s"""SELECT '$n' AS column_name, n_rows,
-           |  n_rows - nn_$n AS n_nulls, nd_$n AS n_distinct,
-           |  mn_$n AS min_repr, mx_$n AS max_repr FROM one""".stripMargin
+        "l_shipdate_us" ->
+          "lpad(CAST(epoch_us(l_shipdate) AS VARCHAR), 20, '0')",
+        "l_quantity_u6" ->
+          ("lpad(CAST(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) " +
+            "AS VARCHAR), 20, '0')"))
+      val unioned = specs.map { case (n, e) =>
+        s"SELECT '$n' AS column_name, $e AS repr FROM lineitem"
       }.mkString(" UNION ALL ")
-      s"""WITH one AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
-         |    $buf
-         |  FROM lineitem
+      s"""WITH rows_ AS (
+         |  $unioned
+         |), sc AS (
+         |  SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(count(*) - count(repr) AS BIGINT) AS n_nulls,
+         |    min(repr) AS min_repr, max(repr) AS max_repr
+         |  FROM rows_ GROUP BY 1
+         |), nd AS (
+         |  SELECT column_name, CAST(count(DISTINCT repr) AS BIGINT)
+         |    AS n_distinct
+         |  FROM rows_ WHERE repr IS NOT NULL GROUP BY 1
          |)
-         |SELECT * FROM ($rows) ORDER BY column_name""".stripMargin
+         |SELECT sc.column_name, n_rows, n_nulls, n_distinct,
+         |  min_repr, max_repr
+         |FROM sc JOIN nd USING (column_name)
+         |ORDER BY column_name""".stripMargin
     },
 
     "io20_expectations" ->
