@@ -653,6 +653,20 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q46 association rules: the pair join is keyed on the basket " +
+    "id and supports broadcast — never a cartesian pair blowup") {
+    val p = plan("q46_association_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"q46: pair work must stay basket-keyed:\n$p")
+    // the self-join carries the session key (basket id); the only
+    // non-equi join is the 1-row basket-total cross
+    assert(p.contains("sess_no"),
+      s"q46: expected the basket key in the pair join:\n$p")
+    val nl = p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin")
+    assert(nl <= 1, s"q46: only the 1-row total may cross-join:\n$p")
+  }
+
   test("ta28 semantic decon: the holdout scan is a broadcast NL join " +
     "and the corpus never shuffles before the per-id max") {
     val p = plan("ta28_semantic_decon")
