@@ -48,6 +48,32 @@ object TextAnalysis {
   private[graft] val SemDeconN   = 100
   private[graft] val SemDeconTau = 0.35
 
+  /** em15/em16's per-dimension whitening parameters as ONE broadcast
+    * row of (μ, σ) arrays, derived from integer nano-unit sufficient
+    * statistics (em12's discipline — order-free by construction;
+    * μ/σ come from two BIGINTs via identical double arithmetic in
+    * both engines). */
+  private[graft] def whiteningParams(s: SparkSession, d: String)
+      : DataFrame = {
+    val cells = embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))
+      .select(col("i"),
+        floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("xq"),
+        floor(col("x").cast("double") * col("x").cast("double") * 1e9
+          + 0.5).cast("long").as("x2q"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s1"), sum("x2q").as("s2"))
+    cells
+      .withColumn("mu", col("s1").cast("double") / col("n") / 1e9)
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("n") / 1e9
+        - col("mu") * col("mu")))
+      .agg(sort_array(collect_list(struct(col("i"), col("mu"),
+        col("sd")))).as("st"))
+      .select(transform(col("st"), t => t.getField("mu")).as("mu_a"),
+        transform(col("st"), t => t.getField("sd")).as("sd_a"))
+  }
+
   /** ta18's nested-fraction count: fraction j = hash buckets < j, so
     * each sample contains the previous one. 8 log-spaced-enough points
     * for a log-log fit; the bucket spine is generated, so empty
@@ -1177,25 +1203,7 @@ object TextAnalysis {
     // all inside per-row array math. σ = 0 dims whiten to z = 0 in
     // both engines (degenerate-dimension guard, em13's rule).
     "em15_whitening" -> ((s, d) => {
-      val cells = embeddings(s, d)
-        .select(posexplode(col("embedding")))
-        .withColumnsRenamed(Map("pos" -> "i", "col" -> "x"))
-        .select(col("i"),
-          floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("xq"),
-          floor(col("x").cast("double") * col("x").cast("double") * 1e9
-            + 0.5).cast("long").as("x2q"))
-        .groupBy("i")
-        .agg(count(lit(1)).as("n"), sum("xq").as("s1"), sum("x2q").as("s2"))
-      val stats = cells
-        .withColumn("mu", col("s1").cast("double") / col("n") / 1e9)
-        .withColumn("sd", sqrt(col("s2").cast("double") / col("n") / 1e9
-          - col("mu") * col("mu")))
-      val one = stats
-        .agg(sort_array(collect_list(struct(col("i"), col("mu"),
-          col("sd")))).as("st"))
-        .select(transform(col("st"), t => t.getField("mu")).as("mu_a"),
-          transform(col("st"), t => t.getField("sd")).as("sd_a"))
-      embeddings(s, d).crossJoin(broadcast(one))
+      embeddings(s, d).crossJoin(broadcast(whiteningParams(s, d)))
         // materialize z in its own projection: both audit sums fan
         // over it, and Catalyst does not CSE non-cheap aliases across
         // collapsed projects (em02's lesson)

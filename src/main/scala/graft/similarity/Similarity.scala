@@ -1224,6 +1224,66 @@ object Similarity {
         .orderBy("query_id", "rank")
     }),
 
+    // em16: WHITENED-RETRIEVAL RECALL — does em15's whitening change
+    // who your neighbors are? Per query: the exact top-k in RAW
+    // cosine space vs the exact top-k in WHITENED cosine space,
+    // reported as the overlap — the eval you run before switching an
+    // index to a preprocessed space (em08's nested-prefix recall,
+    // pointed at the whitening transform instead of truncation). Low
+    // overlap means the transform re-ranks the space and every
+    // downstream threshold (dd19's τ, ss06's calibration) must be
+    // re-derived; high overlap means the variance rescale was mostly
+    // isotropic for this corpus.
+    //
+    // Scale: two ss01-shaped linear scans under broadcasts (queries;
+    // the 1-row (μ, σ) arrays) with per-task top-k; the overlap join
+    // touches 2·k·|queries| rows. Nothing new shuffles.
+    "em16_whitened_recall" -> ((s, d) => {
+      val one = graft.operators.TextAnalysis.whiteningParams(s, d)
+      val base = embeddings(s, d).crossJoin(broadcast(one))
+        .select(col("vec_id"), col("embedding"),
+          zip_with(
+            zip_with(col("embedding"), col("mu_a"),
+              (x, m) => x.cast("double") - m),
+            col("sd_a"),
+            (dx, sdv) => when(sdv === 0.0, lit(0.0)).otherwise(dx / sdv))
+            .as("wv"))
+        .localCheckpoint() // feeds both ranking passes + both q sides
+      def topkOf(vecCol: String, outName: String): DataFrame = {
+        val e = base.select(col("vec_id"), col(vecCol).as("v"))
+          .select(col("vec_id"), col("v"),
+            sqrt(dotProduct(col("v"), col("v"))).as("nrm"))
+        val q = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+          .crossJoin(broadcast(q))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", round(
+            dotProduct(col("qv"), col("v"))
+              / (col("qn") * col("nrm")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("neighbor_id").as(outName))
+      }
+      val raw = topkOf("embedding", "raw_id")
+      val wht = topkOf("wv", "wht_id")
+      val overlap = raw.join(wht,
+          raw("query_id") === wht("query_id") &&
+            raw("raw_id") === wht("wht_id"))
+        .groupBy(raw("query_id").as("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      raw.select("query_id").distinct()
+        .join(overlap, Seq("query_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("recall_u6",
+          expr(s"n_overlap * 1000000 div $TopK"))
+        .select("query_id", "n_overlap", "recall_u6")
+        .orderBy("query_id")
+    }),
+
     // ss25: BINARY RESCORING — the serving pattern the 1-bit ladder
     // rung exists for (binary quantization + rescoring, the
     // 32×-compression recipe every vector store ships): em09's sign
@@ -1583,6 +1643,67 @@ object Similarity {
          |SELECT query_id, rank, neighbor_id, hamming FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
+
+    // em16: em15's nano-unit stats → (μ, σ) lists → per-vector
+    // whiten; two brute rankings (raw vs whitened cosine) and the
+    // per-query top-k overlap.
+    "em16_whitened_recall" ->
+      s"""WITH idx AS (
+         |  SELECT vec_id, embedding,
+         |    unnest(generate_series(1, len(embedding))) AS i
+         |  FROM embeddings
+         |), st AS (
+         |  SELECT i, count(*) AS n,
+         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5)
+         |      AS BIGINT)) AS s1,
+         |    sum(CAST(floor(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5)
+         |      AS BIGINT)) AS s2
+         |  FROM idx GROUP BY i
+         |), ms AS (
+         |  SELECT i, CAST(s1 AS DOUBLE) / n / 1e9 AS mu,
+         |    sqrt(CAST(s2 AS DOUBLE) / n / 1e9
+         |      - (CAST(s1 AS DOUBLE) / n / 1e9)
+         |        * (CAST(s1 AS DOUBLE) / n / 1e9)) AS sd
+         |  FROM st
+         |), lists AS (
+         |  SELECT list(mu ORDER BY i) AS mu_l, list(sd ORDER BY i) AS sd_l
+         |  FROM ms
+         |), wv AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, len(embedding)), i ->
+         |      CASE WHEN sd_l[i] = 0 THEN 0.0
+         |           ELSE (CAST(embedding[i] AS DOUBLE) - mu_l[i])
+         |             / sd_l[i] END) AS w
+         |  FROM embeddings CROSS JOIN lists
+         |), raw_ranked AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cosSql("q.embedding", "c.embedding")} DESC,
+         |      c.vec_id ASC) AS rank
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), wht_ranked AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${cosSql("q.w", "c.w")} DESC, c.vec_id ASC) AS rank
+         |  FROM wv q JOIN wv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), ov AS (
+         |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM raw_ranked r JOIN wht_ranked w
+         |    ON r.query_id = w.query_id AND r.neighbor_id = w.neighbor_id
+         |  WHERE r.rank <= $TopK AND w.rank <= $TopK
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id,
+         |  coalesce(ov.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  (coalesce(ov.n_overlap, CAST(0 AS BIGINT)) * 1000000)
+         |    // $TopK AS recall_u6
+         |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+         |      WHERE vec_id < $NumQueries) q
+         |LEFT JOIN ov USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // ss25: em09's sign-mask CTEs for the Hamming shortlist, ss14's
     // exact-cosine re-rank tail over the C survivors.

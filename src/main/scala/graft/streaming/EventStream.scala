@@ -580,6 +580,78 @@ object EventStream {
         .orderBy("event_type")
     }),
 
+    // st23: STREAMING STATS MAINTENANCE — io23's mergeable ANALYZE
+    // buffers kept live over an ingest stream, the third member of
+    // the merge-law family (st09 MinHash min-merge, st21 histogram
+    // add-merge, st23 stats: counts ADD, min/max COMBINE, HLL
+    // registers MAX). Because every buffer's merge operator IS its
+    // streaming combine, per-microbatch partial aggregation in
+    // complete mode converges to the batch answer under ANY batching
+    // — so io23's from-scratch DuckDB oracle gates the stream
+    // verbatim (the same argument st21 used for its registers).
+    // Structured Streaming allows one aggregation per query, so the
+    // scalars and the registers run as two streams over the same
+    // source; the |columns|- and |columns|×m-row results are
+    // rebuilt in the caller session (st11's bounded-collect rule)
+    // and assembled exactly like the batch query.
+    "st23_stream_table_stats" -> ((s, d) => {
+      import s.implicits._
+      val m = 64
+      val rhoCase = "CASE " + (1 to 32).map(k =>
+        s"WHEN w >= ${1L << (32 - k)} THEN $k").mkString(" ") +
+        " ELSE 33 END"
+      val liSchema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_returnflag", StringType),
+        StructField("l_quantity", DoubleType)))
+      def unpivot(df: DataFrame): DataFrame = df.select(explode(array(
+          struct(lit("l_orderkey").as("column_name"),
+            lpad(col("l_orderkey").cast("string"), 20, "0").as("repr")),
+          struct(lit("l_returnflag").as("column_name"),
+            col("l_returnflag").as("repr")),
+          struct(lit("l_quantity_u6").as("column_name"),
+            lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
+              .cast("string"), 20, "0").as("repr")))).as("cr"))
+        .select(col("cr.column_name"), col("cr.repr"))
+      val sc = runTableStream(s, d, "lineitem", liSchema,
+        "st_stats_scalars", "complete") { df =>
+        unpivot(df).groupBy("column_name")
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("repr"))).as("n_nulls"),
+            min("repr").as("min_repr"), max("repr").as("max_repr"))
+      }
+      val regsRaw = runTableStream(s, d, "lineitem", liSchema,
+        "st_stats_regs", "complete") { df =>
+        unpivot(df)
+          .select(col("column_name"), md5(col("repr")).as("hx"))
+          .select(col("column_name"),
+            (conv(substring(col("hx"), 1, 7), 16, 10).cast("long") % m)
+              .as("bucket"),
+            conv(substring(col("hx"), 8, 8), 16, 10).cast("long")
+              .as("w"))
+          .withColumn("rho", expr(rhoCase))
+          .groupBy("column_name", "bucket").agg(max("rho").as("mj"))
+      }
+      val scalars = sc.collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getString(3), r.getString(4))).toSeq
+        .toDF("column_name", "n_rows", "n_nulls", "min_repr", "max_repr")
+      val regs = regsRaw.collect().map(r => (r.getString(0),
+          r.getLong(1), r.getInt(2))).toSeq
+        .toDF("column_name", "bucket", "mj")
+      val spine = scalars.select(col("column_name"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+      val hll = spine.join(regs, Seq("column_name", "bucket"), "left")
+        .withColumn("mj", coalesce(col("mj"), lit(0)))
+        .groupBy("column_name")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - mj)"))
+          .as("sum_pow33"),
+          sum(when(col("mj") > 0, 1L).otherwise(0L)).as("n_nonzero"))
+      scalars.join(hll, Seq("column_name"))
+        .select("column_name", "n_rows", "n_nulls", "min_repr",
+          "max_repr", "sum_pow33", "n_nonzero")
+        .orderBy("column_name")
+    }),
+
     // st02: streaming deduplication — the source is staged TWICE (two
     // files with identical rows), and `dropDuplicatesWithinWatermark`
     // on event_id collapses them back to one row each; the oracle is
@@ -1259,6 +1331,12 @@ object EventStream {
     // the stream verbatim.
     "st22_stream_semantic_decon" ->
       graft.operators.TextAnalysis.oracles("ta28_semantic_decon"),
+
+    // st23: every buffer's merge operator is its streaming combine
+    // (counts add, min/max combine, registers max), so the batch
+    // from-scratch oracle gates the stream verbatim.
+    "st23_stream_table_stats" ->
+      graft.io.JsonLines.oracles("io23_incremental_stats"),
 
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
