@@ -702,6 +702,22 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("io22 from-scratch ANALYZE and io23's merged buffers agree on " +
+    "every shared column's scalar stats (the merge law, cross-query)") {
+    val full = q("io22_table_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(4), r.getString(5))).toMap
+    val merged = q("io23_incremental_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    // io23 maintains 3 of io22's 7 columns; on those the two paths
+    // must agree exactly (rows, nulls, min, max)
+    merged.keys.foreach { c =>
+      assert(full.contains(c), s"io22 must cover $c")
+      assert(full(c) == merged(c), s"stats($c): ${full(c)} vs ${merged(c)}")
+    }
+  }
+
   test("cu03 refresh with an EMPTY new eval set is a published no-op " +
     "(same verdict rows, version advanced)") {
     val docs = Tables.documents(spark, d)
