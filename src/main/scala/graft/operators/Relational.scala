@@ -250,9 +250,15 @@ object Relational {
       val b = ev.agg(min("value"), max("value")).head()
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       val width = (hi - lo) / bins
+      // Degenerate-range guard: all-equal values (hi == lo) make
+      // width 0 and (v - lo)/0 = NaN → null bins. Guard the DIVISOR
+      // only — the edge read keeps the true width, so hi == lo puts
+      // every row in bin 0 and the estimate lo + 1·0 = lo, the exact
+      // answer. Mirrored in the oracle SQL.
+      val binW = math.max(width, java.lang.Double.MIN_NORMAL)
       val w = Window.partitionBy("event_type").orderBy("bin")
       val cum = ev
-        .withColumn("bin", least(floor((col("value") - lo) / width),
+        .withColumn("bin", least(floor((col("value") - lo) / binW),
           lit(bins - 1)).cast("long"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
         .withColumn("cum", sum("c").over(w))
@@ -1441,11 +1447,13 @@ object Relational {
     "q45_hist_quantiles" ->
       """WITH b AS (
         |  SELECT min(value) AS lo, max(value) AS hi,
-        |    (max(value) - min(value)) / 256 AS width
+        |    (max(value) - min(value)) / 256 AS width,
+        |    greatest((max(value) - min(value)) / 256,
+        |      2.2250738585072014e-308) AS bin_w
         |  FROM events
         |), regs AS (
         |  SELECT event_type,
-        |    least(CAST(floor((value - lo) / width) AS BIGINT), 255) AS bin,
+        |    least(CAST(floor((value - lo) / bin_w) AS BIGINT), 255) AS bin,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM events CROSS JOIN b
         |  GROUP BY 1, 2

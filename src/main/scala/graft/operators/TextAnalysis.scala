@@ -132,9 +132,13 @@ object TextAnalysis {
       .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
       .localCheckpoint()
     val out = Seq.newBuilder[(Long, String, String, Long, Long)]
-    (1 to BpeIters).foreach { k =>
+    var exhausted = false
+    (1 to BpeIters).foreach { k => if (!exhausted) {
       val sy = split(trim(col("seq"), sep), s"$sep$sep")
-      val best = words
+      // take(1) not head(): a degenerate corpus where every word type
+      // is a single symbol leaves no pair — stop with the merges so
+      // far instead of throwing.
+      val bestOpt = words
         .select(col("f"), sy.as("sy"))
         .where(size(col("sy")) >= 2)
         .withColumn("i", explode(sequence(lit(0), size(col("sy")) - 2)))
@@ -143,7 +147,10 @@ object TextAnalysis {
           element_at(col("sy"), col("i") + 2).as("rsym"))
         .groupBy("lsym", "rsym").agg(sum("f").as("cnt"))
         .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
-        .limit(1).head()
+        .take(1).headOption
+      if (bestOpt.isEmpty) { exhausted = true }
+      else {
+      val best = bestOpt.get
       val (l, r, cnt) =
         (best.getString(0), best.getString(1), best.getLong(2))
       words = words.withColumn("seq",
@@ -155,7 +162,8 @@ object TextAnalysis {
           .as("sym"))
         .agg(count_distinct(col("sym"))).head().getLong(0)
       out += ((k.toLong, l, r, cnt, vocabAfter))
-    }
+      }
+    }}
     (out.result(), words)
   }
 

@@ -239,13 +239,33 @@ object EventStream {
     * Streaming's own accept/drop rule, audited instead of silent),
     * commit the one-row audit through st12's idempotent sink, then
     * advance the marker to max(wm, batch max). Replay-safe: the
-    * audit-marker guard skips a re-delivered batch before any state
-    * is read, and the watermark advance is a max — idempotent even
-    * if a crash lands between sink commit and marker write. */
+    * audit-marker guard skips a re-delivered batch, but still
+    * re-advances _WM to max(current, batch max) first — the max
+    * makes the re-advance idempotent and closes the crash window
+    * between sink commit and marker write (without it, a crash
+    * there would leave every later batch classifying against a
+    * stale watermark). Empty microbatches (Structured Streaming
+    * delivers them) are short-circuited before any state is touched:
+    * no audit row, no watermark movement. */
   private[graft] def lateAuditBatch(ss: SparkSession, root: String,
       out: String, df: DataFrame, id: Long): Boolean = {
-    if (graft.io.Commit.exists(ss, s"$out/_committed_$id")) return false
     val wmMarker = s"$root/_WM"
+    if (graft.io.Commit.exists(ss, s"$out/_committed_$id")) {
+      // Replayed batch: the audit row is already committed, but the
+      // watermark advance may have been lost to a crash. Re-advance
+      // (max = idempotent) before skipping.
+      val bmax = df.agg(max(col("ts_us"))).head().get(0)
+      if (bmax != null) {
+        val cur: Long =
+          if (graft.io.Commit.exists(ss, wmMarker))
+            graft.io.Commit.readMarker(ss, wmMarker).toLong
+          else Long.MinValue
+        val adv = math.max(cur, bmax.asInstanceOf[Long])
+        graft.io.Commit.writeMarker(ss, wmMarker, adv.toString)
+      }
+      return false
+    }
+    if (df.isEmpty) return false
     val wmIn: Option[Long] =
       if (graft.io.Commit.exists(ss, wmMarker))
         Some(graft.io.Commit.readMarker(ss, wmMarker).toLong)
@@ -555,10 +575,14 @@ object EventStream {
         .head()
       val (lo, hi) = (b.getDouble(0), b.getDouble(1))
       val width = (hi - lo) / 256
+      // q45's degenerate-range guard (all-equal values → width 0 →
+      // NaN bins): guard the divisor only, keep width for the edge
+      // read so hi == lo yields est = lo exactly. Mirrored in SQL.
+      val binW = math.max(width, java.lang.Double.MIN_NORMAL)
       val regs = runStream(s, d, "st_quantile_regs", copies = 1,
         outputMode = "complete") { df =>
           df.withColumn("bin",
-              least(floor((col("value") - lo) / width), lit(255))
+              least(floor((col("value") - lo) / binW), lit(255))
                 .cast("long"))
             .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
         }
@@ -1229,11 +1253,13 @@ object EventStream {
     "st21_stream_quantiles" ->
       """WITH b AS (
         |  SELECT min(value) AS lo, max(value) AS hi,
-        |    (max(value) - min(value)) / 256 AS width
+        |    (max(value) - min(value)) / 256 AS width,
+        |    greatest((max(value) - min(value)) / 256,
+        |      2.2250738585072014e-308) AS bin_w
         |  FROM events
         |), regs AS (
         |  SELECT event_type,
-        |    least(CAST(floor((value - lo) / width) AS BIGINT), 255) AS bin,
+        |    least(CAST(floor((value - lo) / bin_w) AS BIGINT), 255) AS bin,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM events CROSS JOIN b
         |  GROUP BY 1, 2
