@@ -58,6 +58,16 @@ object Dedup {
     * token operating point, char-denominated here). */
   private[graft] val SpanLadder = Seq(16, 32, 64, 128, 256)
 
+  /** dd24 content-defined-chunking geometry: the boundary decision
+    * hashes a [[CdcHashW]]-char gram and cuts after it when the hash
+    * ≡ 0 (mod [[CdcDiv]]) — expected segment length = CdcDiv chars
+    * (matching dd23's fixed [[SpanW]]=64), and the decision depends
+    * ONLY on the local gram content, never on the offset, which is
+    * the whole point: a span duplicated at ANY shift reproduces its
+    * interior boundaries and therefore its segment digests. */
+  private[graft] val CdcHashW = 16
+  private[graft] val CdcDiv   = 64
+
   /** Deterministic fixed-size sample: hash-ordered top-N over the id.
     * Plans as per-partition TakeOrdered + an N-row merge — one scan,
     * no corpus shuffle — and the SQL oracle reproduces it with
@@ -1036,6 +1046,89 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // dd24: OFFSET-ROBUST duplicate-span removal — dd23 with
+    // content-defined segmentation. dd23's segments are 0-anchored
+    // (k·W offsets in each doc's OWN coordinate system), so a span
+    // duplicated at a 1-char shift never shares a segment digest and
+    // the removal pass is blind to it — dd22's stride-1 census SEES
+    // such duplicates but dd23 cannot cut them. Here segment
+    // boundaries are placed by CONTENT (Rabin/CDC: cut after every
+    // [[CdcHashW]]-gram whose hash ≡ 0 mod [[CdcDiv]], the
+    // rsync/LBFS rule), so the segmentation is offset-invariant: the
+    // interior of a duplicated span chunks identically wherever it
+    // lands, its segment digests collide across docs, and dd23's
+    // first-wins election + rebuild apply unchanged. Only the (up to
+    // CdcHashW+CdcDiv chars of) span edges — where the cut depends on
+    // bytes outside the span — can survive, the standard CDC edge
+    // effect. Output schema = dd23's (totals, removed, rebuilt
+    // length + md5).
+    //
+    // Scale (dd23's late-materialization shape, one extra linear
+    // pass): the boundary pass explodes stride-1 grams but shuffles
+    // NOTHING of them — the gram hash is computed and filtered in the
+    // scan stage, and only (doc_id, cut_pos) ints reach the per-doc
+    // boundary aggregate. Segment digests are computed AFTER the one
+    // doc_id equi-join of the int boundary arrays back to the text
+    // (payload through exactly one join, dd23's rule), so shuffles
+    // carry (digest, doc_id, k) and int arrays only. Per-doc state is
+    // len/CdcDiv expected boundaries — linear, bounded by max doc
+    // size exactly like dd23's len/W segments.
+    "dd24_cdc_span_removal" -> ((s, d) => {
+      val wh = CdcHashW
+      val dv = CdcDiv
+      val docs = documents(s, d)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .localCheckpoint() // feeds cuts, the segment join, the rebuild
+      val cuts = docs
+        .filter(col("len") >= wh)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), col("len") - (wh - 1))).as("i"),
+          col("text"))
+        .filter(md5Long(expr(s"substring(text, i, $wh)"), 7) % dv === 0)
+        .select(col("doc_id"), (col("i") + (wh - 1)).as("pos"))
+      // sentinels 0 and len; distinct folds a content cut that lands
+      // exactly on len into the sentinel (no empty segment)
+      val bounds = cuts
+        .unionByName(docs.select(col("doc_id"), lit(0L).as("pos")))
+        .unionByName(docs.select(col("doc_id"), col("len").as("pos")))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("bs"))
+      val inst = docs.join(bounds, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("bs"),
+          explode(sequence(lit(0), size(col("bs")) - 2)).as("j"))
+        .select(col("doc_id"), col("j").cast("long").as("k"),
+          element_at(col("bs"), col("j") + 1).as("st"),
+          (element_at(col("bs"), col("j") + 2)
+            - element_at(col("bs"), col("j") + 1)).as("wd"),
+          col("text"))
+        .select(col("doc_id"), col("k"), col("st"), col("wd"),
+          substring(md5(col("text").substr((col("st") + 1).cast("int"),
+            col("wd").cast("int"))), 1, 16).as("h"))
+        .localCheckpoint() // feeds the first-wins aggregate AND flags
+      val firsts = inst.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("k"))).as("wit"))
+      val keptKs = inst.join(firsts, Seq("h"))
+        .withColumn("kept", col("doc_id") === col("wit.doc_id") &&
+          col("k") === col("wit.k"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+          sort_array(collect_list(when(col("kept"),
+            struct(col("k"), col("st"), col("wd"))))).as("ks"))
+      docs.join(keptKs, Seq("doc_id"))
+        .withColumn("new_text", concat_ws("",
+          transform(col("ks"), t =>
+            col("text").substr((t.getField("st") + 1).cast("int"),
+              t.getField("wd").cast("int")))))
+        .select(col("doc_id"), col("n_segs"), col("n_removed"),
+          length(col("new_text")).cast("long").as("new_len"),
+          md5(col("new_text")).as("new_md5"))
+        .orderBy("doc_id")
+    }),
+
     // dd16: canonical-REPRESENTATIVE selection — the "which duplicate
     // do we KEEP" decision that turns dd07's group ids into an
     // actionable keep/drop list: per near-dup group, the member with
@@ -1606,6 +1699,54 @@ object Dedup {
          |    row_number() OVER (PARTITION BY substr(md5(seg), 1, 16)
          |      ORDER BY doc_id, k) = 1 AS kept
          |  FROM segs
+         |), reb AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_segs,
+         |    CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_removed,
+         |    coalesce(string_agg(seg, '' ORDER BY k)
+         |      FILTER (WHERE kept), '') AS new_text
+         |  FROM flags GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_segs, n_removed,
+         |  CAST(length(new_text) AS BIGINT) AS new_len,
+         |  md5(new_text) AS new_md5
+         |FROM reb ORDER BY doc_id""".stripMargin,
+
+    // dd24: content-defined boundaries (gram-hash mod divisor), then
+    // dd23's election (row_number over the digest ≡ min(struct)) and
+    // ordered filtered string_agg rebuild on the variable segments.
+    "dd24_cdc_span_removal" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE length(text) >= 1
+         |), cuts AS (
+         |  SELECT doc_id, i + ${CdcHashW - 1} AS pos FROM (
+         |    SELECT doc_id, text,
+         |      unnest(generate_series(1, length(text) - ${CdcHashW - 1}))
+         |        AS i
+         |    FROM docs WHERE len >= $CdcHashW)
+         |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT),
+         |      $CdcHashW)), 1, 7))::BIGINT % $CdcDiv = 0
+         |), bounds AS (
+         |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos FROM (
+         |    SELECT doc_id, pos FROM cuts
+         |    UNION ALL SELECT doc_id, 0 FROM docs
+         |    UNION ALL SELECT doc_id, len FROM docs)
+         |), segs AS (
+         |  SELECT doc_id, row_number() OVER w - 1 AS k, pos AS st,
+         |    lead(pos) OVER w - pos AS wd
+         |  FROM bounds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |), inst AS (
+         |  SELECT s.doc_id, s.k, s.st,
+         |    substr(d.text, CAST(s.st + 1 AS INT), CAST(s.wd AS INT))
+         |      AS seg
+         |  FROM segs s JOIN docs d USING (doc_id)
+         |  WHERE s.wd IS NOT NULL
+         |), flags AS (
+         |  SELECT doc_id, k, seg,
+         |    row_number() OVER (PARTITION BY substr(md5(seg), 1, 16)
+         |      ORDER BY doc_id, k) = 1 AS kept
+         |  FROM inst
          |), reb AS (
          |  SELECT doc_id,
          |    CAST(count(*) AS BIGINT) AS n_segs,

@@ -1,0 +1,118 @@
+package graft
+
+import java.security.MessageDigest
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the round-11 work. The headline is dd24's
+  * offset-robustness theorem: a span duplicated at a 1-char shift is
+  * invisible to dd23's 0-anchored segmentation (proved here — zero
+  * removals) but is cut by dd24's content-defined segmentation, and
+  * dd24's output matches a brute-force reimplementation of the CDC
+  * rule + first-wins rewrite computed in plain Scala, independent of
+  * both engines the driver compares.
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** First 7 hex digits of md5 as a long — Funcs.md5Long(c, 7). */
+  private def md5Long7(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(7), 16)
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r11").toString
+    rows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Brute-force dd24 segmentation: cut after every CdcHashW-gram
+    * whose 7-hex md5 prefix is ≡ 0 mod CdcDiv; sentinels 0 and len. */
+  private def cdcSegments(t: String): Seq[String] = {
+    val wh = graft.dedup.Dedup.CdcHashW
+    val dv = graft.dedup.Dedup.CdcDiv
+    val cuts = (1 to t.length - wh + 1)
+      .filter(i => md5Long7(t.substring(i - 1, i - 1 + wh)) % dv == 0)
+      .map(_ + wh - 1)
+    val bs = (Seq(0) ++ cuts ++ Seq(t.length)).distinct.sorted
+    bs.zip(bs.tail).map { case (a, b) => t.substring(a, b) }
+  }
+
+  test("dd24 removes a 1-char-shifted duplicated span that dd23's " +
+    "aligned segmentation provably cannot cut, and matches the " +
+    "brute-force CDC first-wins rewrite") {
+    val rnd = new scala.util.Random(20260815)
+    def rs(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rs(600)
+    // offsets 100 vs 101: S starts at different positions mod 64, so
+    // no 64-aligned segment of doc 2 can equal one of doc 1's
+    val docA = rs(100) + shared + rs(80)
+    val docB = rs(101) + shared + rs(90)
+    val dir = writeDocs(Seq((1L, docA), (2L, docB)))
+
+    // dd23 is blind to the shift: zero removals in either doc
+    val dd23 = SparkEntry.queries("dd23_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(dd23(1L).getLong(2) == 0L)
+    assert(dd23(2L).getLong(2) == 0L)
+
+    // dd24 cuts it: doc 1 (first occurrence) keeps everything, doc 2
+    // loses the interior of the shared span — only the CDC edge
+    // effect (segments whose boundary decision reads bytes outside
+    // the span) can survive
+    val dd24 = SparkEntry.queries("dd24_cdc_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(dd24(1L).getLong(2) == 0L)
+    assert(dd24(2L).getLong(2) > 0L)
+    val removedChars = docB.length - dd24(2L).getLong(3)
+    assert(removedChars >= shared.length / 2,
+      s"expected most of the ${shared.length}-char shared span " +
+        s"removed, got $removedChars chars")
+
+    // exact parity with the independent in-memory rewrite
+    val seen = scala.collection.mutable.Set[String]()
+    Seq((1L, docA), (2L, docB)).foreach { case (id, t) =>
+      val segs = cdcSegments(t)
+      val kept = segs.filter(seen.add)
+      val row = dd24(id)
+      assert(row.getLong(1) == segs.length.toLong)
+      assert(row.getLong(2) == (segs.length - kept.length).toLong)
+      assert(row.getLong(3) == kept.mkString.length.toLong)
+      assert(row.getString(4) == md5hex(kept.mkString))
+    }
+  }
+
+  test("dd24 segmentation is offset-invariant: the shared span's " +
+    "interior chunks identically at both shifts") {
+    val rnd = new scala.util.Random(7)
+    def rs(n: Int): String =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = rs(600)
+    val edge = graft.dedup.Dedup.CdcHashW + graft.dedup.Dedup.CdcDiv
+    // interior segments = those fully inside the span, at least one
+    // full gram away from either edge so their boundary decisions
+    // never read pad bytes
+    def interiorSegs(t: String, start: Int): Set[String] = {
+      var off = 0
+      cdcSegments(t).flatMap { seg =>
+        val s0 = off; off += seg.length
+        if (s0 >= start + edge && s0 + seg.length <= start + shared.length - edge)
+          Some(seg)
+        else None
+      }.toSet
+    }
+    val a = rs(37) + shared + rs(50)
+    val b = rs(38) + shared + rs(61)
+    val ia = interiorSegs(a, 37)
+    val ib = interiorSegs(b, 38)
+    assert(ia.nonEmpty)
+    assert(ia == ib)
+  }
+}
