@@ -352,6 +352,19 @@ class PlanSpec extends AnyFunSuite {
       s"io13: both box predicates must push to the scan:\n$scanLines\n$p")
   }
 
+  test("ta15 tokenizes the corpus once — every consumer reads the " +
+    "checkpointed token arrays") {
+    // bigram counts, context counts, the scoring join, AND the vocab
+    // count all derive from one materialized tokenization, so the
+    // final plan must contain NO FileScan — a parquet scan here
+    // would mean some consumer re-tokenizes the corpus (the round-10
+    // verdict's double-tokenization finding)
+    val p = plan("ta15_bigram_logprob")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 0,
+      s"ta15: expected zero corpus scans in the final plan, got $scans:\n$p")
+  }
+
   test("ss21 pagerank iterations ride checkpoints — no corpus re-scan") {
     // every iteration input (edges, nodes, outdeg, prior ranks) is
     // localCheckpoint'ed, so the final plan must contain NO FileScan:
