@@ -167,6 +167,140 @@ object TextAnalysis {
     (out.result(), words)
   }
 
+  /** ta26b batched-merge geometry: up to [[BpeBatchB]] merges accepted
+    * per round, [[BpeBatchRounds]] rounds. The fixture corpus has 31
+    * word types / 138 type chars at every SF, so its merge ceiling is
+    * 107 and acceptance averages ~1.6/round (a tiny vocab makes top
+    * pairs interact constantly); on a Heaps-law production vocab the
+    * per-round acceptance — and so the round reduction vs sequential
+    * — is far higher. Nothing in the algorithm depends on either
+    * constant. */
+  private[graft] val BpeBatchRounds = 32
+  private[graft] val BpeBatchB     = 16
+
+  /** One candidate row of a batched-BPE round: a pair, its count, and
+    * the two bounds the parity gate needs — the largest count of any
+    * pair ENDING at this pair's left symbol (maxInL) and STARTING at
+    * its right symbol (maxOutR). */
+  private[graft] case class BpeCand(l: String, r: String, cnt: Long,
+      maxInL: Long, maxOutR: Long)
+
+  /** ta26b's acceptance walk — the theorem that makes batched merges
+    * EXACTLY the sequential trainer's output, not an approximation.
+    * Walk the candidates in sequential-preference order (cnt desc,
+    * lsym, rsym) and accept a prefix; STOP (don't skip) at the first
+    * candidate that either
+    *
+    *  1. shares a symbol with an accepted pair — merging (a,b) can
+    *     only DECREASE counts of pairs touching a or b, so a skipped
+    *     interacting pair might still outrank later candidates at the
+    *     sequential trainer's next step; stopping keeps the accepted
+    *     set a clean prefix of the preference order; or
+    *  2. fails the created-pair bound: merging (a,b) creates pairs
+    *     (x, ab) with count ≤ min(cnt(x,a), cnt(a,b)) ≤
+    *     min(maxIn(a), cnt(a,b)), and (ab, y) ≤ min(maxOut(b),
+    *     cnt(a,b)) — if the candidate's count is strictly above every
+    *     such bound, no pair created by earlier accepted merges can
+    *     outrank it.
+    *
+    * With both gates, accepted merge k IS the sequential argmax at
+    * step k: counts of non-accepted pairs never increase, created
+    * pairs are strictly dominated, and the accepted pair's own count
+    * is untouched by the earlier non-interacting merges. Proven
+    * end-to-end by Round11OpsSpec against an independent in-memory
+    * sequential trainer. */
+  private[graft] def bpeBatchAccept(cands: Seq[BpeCand]): Seq[BpeCand] = {
+    val acc = scala.collection.mutable.ListBuffer[BpeCand]()
+    var stopped = false
+    cands.foreach { c =>
+      if (!stopped) {
+        val bad = acc.exists { p =>
+          c.l == p.l || c.l == p.r || c.r == p.l || c.r == p.r ||
+            c.cnt <= math.max(math.min(p.maxInL, p.cnt),
+              math.min(p.maxOutR, p.cnt))
+        }
+        if (bad) stopped = true else acc += c
+      }
+    }
+    acc.toSeq
+  }
+
+  /** ta26b/ta27 batched BPE trainer: [[bpeTrained]]'s exact greedy
+    * semantics at a production round count — one driver round-trip
+    * per ROUND of up to [[BpeBatchB]] merges instead of per merge
+    * (the round-10 verdict's "32k Spark jobs" gap). Per round: pair
+    * counts + the two bound tables feed a B-row collect; the parity
+    * gate ([[bpeBatchAccept]]) picks the provably-sequential prefix;
+    * all accepted merges apply in ONE type-table projection (chained
+    * boundary-wrapped replaces — non-interacting merges commute, and
+    * each replace is the same left-to-right greedy the sequential
+    * trainer uses). Lineage is truncated every few rounds rather than
+    * every round — the rewrite is a projection, so a handful of
+    * chained rounds recompute in one map pass. Returns (round, idx,
+    * lsym, rsym, pair_count) rows and the final encoded type table
+    * (ta27's input). */
+  private[graft] def bpeBatchTrained(s: SparkSession, d: String)
+      : (Seq[(Long, Long, String, String, Long)], DataFrame) = {
+    val sep = BpeSep
+    var words = documents(s, d)
+      .select(explode(tokens(col("text"))).as("word"))
+      .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
+        .as("seq"))
+      .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var exhausted = false
+    var sinceCkpt = 0
+    (1 to BpeBatchRounds).foreach { round =>
+      if (!exhausted) {
+        val sy = split(trim(col("seq"), sep), s"$sep$sep")
+        val pairs = words
+          .select(col("f"), sy.as("sy"))
+          .where(size(col("sy")) >= 2)
+          .withColumn("i",
+            explode(sequence(lit(0), size(col("sy")) - 2)))
+          .select(col("f"),
+            element_at(col("sy"), col("i") + 1).as("lsym"),
+            element_at(col("sy"), col("i") + 2).as("rsym"))
+          .groupBy("lsym", "rsym").agg(sum("f").as("cnt"))
+        val bIn = pairs.groupBy(col("rsym").as("ls"))
+          .agg(max("cnt").as("mi"))
+        val bOut = pairs.groupBy(col("lsym").as("rs"))
+          .agg(max("cnt").as("mo"))
+        val top = pairs
+          .orderBy(col("cnt").desc, col("lsym"), col("rsym"))
+          .limit(BpeBatchB)
+          .join(bIn, col("lsym") === col("ls"), "left")
+          .join(bOut, col("rsym") === col("rs"), "left")
+          .select(col("lsym"), col("rsym"), col("cnt"),
+            coalesce(col("mi"), lit(0L)).as("mi"),
+            coalesce(col("mo"), lit(0L)).as("mo"))
+          .collect() // ≤ B rows by construction — bounded
+          .map(r => BpeCand(r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(c => (-c.cnt, c.l, c.r)).toSeq
+        if (top.isEmpty) { exhausted = true }
+        else {
+          val acc = bpeBatchAccept(top)
+          acc.zipWithIndex.foreach { case (c, i) =>
+            out += ((round.toLong, (i + 1).toLong, c.l, c.r, c.cnt))
+          }
+          val newSeq = acc.foldLeft(col("seq")) { (e, c) =>
+            replace(e, lit(sep + c.l + sep + sep + c.r + sep),
+              lit(sep + c.l + c.r + sep))
+          }
+          words = words.select(newSeq.as("seq"), col("f"))
+          sinceCkpt += 1
+          if (sinceCkpt >= 8) {
+            words = words.localCheckpoint(); sinceCkpt = 0
+          }
+        }
+      }
+    }
+    if (sinceCkpt > 0) words = words.localCheckpoint()
+    (out.result(), words)
+  }
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -1059,8 +1193,36 @@ object TextAnalysis {
         .orderBy("iter")
     }),
 
+    // ta26b: BATCHED BPE TRAINING — ta26's exact greedy semantics at
+    // a production round count. The sequential trainer pays one
+    // driver round-trip (argmax collect) PER MERGE — a 32k-merge
+    // production tokenizer would be 32k Spark jobs, a non-starter.
+    // Here each round collects the top-B candidate pairs WITH the
+    // created-pair bounds and accepts the longest prefix the parity
+    // gate can PROVE equals the sequential trainer's next merges
+    // (see bpeBatchAccept — counts of non-accepted pairs never rise,
+    // created pairs are strictly dominated, accepted pairs don't
+    // interact), then applies the whole batch in one type-table
+    // projection. Output: the merge table (round, idx, lsym, rsym,
+    // pair_count) — flattening it in (round, idx) order gives
+    // EXACTLY the sequential merge list, which is the spec'd theorem
+    // and why a closed-form oracle exists at all.
+    //
+    // Scale: rounds, not merges, hit the driver; each round is one
+    // B-row collect over the Heaps-bounded type table. On this
+    // fixture's 31-type vocab acceptance is ~1.6/round (top pairs of
+    // a tiny vocab interact constantly; ceiling 107 merges); a real
+    // corpus vocabulary accepts closer to B, cutting driver rounds
+    // by ~B. The trainer itself shuffles only (pair, count) rows.
+    "ta26b_bpe_batch_merges" -> ((s, d) => {
+      import s.implicits._
+      val (merges, _) = bpeBatchTrained(s, d)
+      merges.toDF("round", "idx", "lsym", "rsym", "pair_count")
+        .orderBy("round", "idx")
+    }),
+
     // ta27: BPE ENCODING — the APPLICATION half of the tokenizer
-    // story ta26 trains: run the trained merge table over the corpus
+    // story ta26/ta26b train: run the trained merge table over the corpus
     // and report the resulting token (symbol) distribution — per
     // final symbol, its corpus occurrence count and the number of
     // word TYPES it appears in. This is what "tokenize the corpus
@@ -1077,9 +1239,11 @@ object TextAnalysis {
     // adds one |types|-bounded explode + hash aggregate on top of
     // the training chain. At 100 TB the type table is Heaps-law-
     // bounded (ta18) and the symbol vocabulary is merge-table-
-    // bounded — both corpus-independent.
+    // bounded — both corpus-independent. Round 11: encodes with the
+    // BATCHED trainer's table (ta26b) — the full ~50-merge tokenizer
+    // this corpus supports, not ta26's 3-merge demonstration.
     "ta27_bpe_encode" -> ((s, d) => {
-      val (_, words) = bpeTrained(s, d)
+      val (_, words) = bpeBatchTrained(s, d)
       words
         .select(col("seq"), col("f"),
           explode(split(trim(col("seq"), BpeSep), s"$BpeSep$BpeSep"))
@@ -1621,6 +1785,61 @@ object TextAnalysis {
   }
 
   private[graft] val toksSql = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+  /** One batched-BPE oracle round (shared by ta26b and ta27): pair
+    * counts → top-B candidates in sequential-preference order → the
+    * closed-form parity gate (interaction OR created-pair bound vs
+    * every earlier candidate; accepted = prefix before the first bad
+    * row) → the batch applied via a list_reduce fold of
+    * boundary-wrapped replaces (chr(30) splits find/replace inside
+    * one list element — symbols cannot contain it). Every CTE is
+    * MATERIALIZED: stages reference their predecessor repeatedly and
+    * inlining would blow up exponentially across the chain. */
+  private def bpeBatchStageSql(k: Int): String = {
+    val prev = s"w${k - 1}"
+    val b = BpeBatchB
+    s"""p$k AS MATERIALIZED (
+       |  SELECT list_extract(sy, i) AS lsym,
+       |    list_extract(sy, i + 1) AS rsym,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+       |    FROM (SELECT f, string_split(trim(seq, chr(31)),
+       |      chr(31) || chr(31)) AS sy FROM $prev))
+       |  GROUP BY 1, 2
+       |), c$k AS MATERIALIZED (
+       |  SELECT lsym, rsym, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, lsym, rsym) AS rn
+       |  FROM p$k ORDER BY cnt DESC, lsym, rsym LIMIT $b
+       |), bad$k AS MATERIALIZED (
+       |  SELECT c.rn AS rn, max(CASE WHEN
+       |      c.lsym = p.lsym OR c.lsym = p.rsym OR c.rsym = p.lsym
+       |      OR c.rsym = p.rsym
+       |      OR c.cnt <= greatest(
+       |        least(coalesce(bi.mi, 0), p.cnt),
+       |        least(coalesce(bo.mo, 0), p.cnt))
+       |    THEN 1 ELSE 0 END) AS bad
+       |  FROM c$k c JOIN c$k p ON p.rn < c.rn
+       |  LEFT JOIN (SELECT rsym AS s, max(cnt) AS mi
+       |    FROM p$k GROUP BY 1) bi ON bi.s = p.lsym
+       |  LEFT JOIN (SELECT lsym AS s, max(cnt) AS mo
+       |    FROM p$k GROUP BY 1) bo ON bo.s = p.rsym
+       |  GROUP BY c.rn
+       |), a$k AS MATERIALIZED (
+       |  SELECT lsym, rsym, cnt, rn FROM c$k
+       |  WHERE rn < coalesce(
+       |    (SELECT min(rn) FROM bad$k WHERE bad = 1), ${b + 1})
+       |), w$k AS MATERIALIZED (
+       |  SELECT list_reduce(list_prepend(seq, coalesce(tr.trs, [])),
+       |      (acc, x) -> replace(acc, split_part(x, chr(30), 1),
+       |        split_part(x, chr(30), 2))) AS seq, f
+       |  FROM $prev CROSS JOIN (
+       |    SELECT list(chr(31) || lsym || chr(31) || chr(31) ||
+       |      rsym || chr(31) || chr(30) || chr(31) || lsym ||
+       |      rsym || chr(31) ORDER BY rn) AS trs
+       |    FROM a$k) tr
+       |)""".stripMargin
+  }
 
   /** Shared ta23/st17 oracle CTEs (`holdout` → `hg` holdout grams →
     * `tg` per-train-doc distinct grams) — one fragment for both the
@@ -2440,32 +2659,41 @@ object TextAnalysis {
          |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
     },
 
-    // ta27: the same unrolled merge stages as ta26; encoding is then
-    // one symbol explode + aggregate over the FINAL type table.
+    // ta26b: one unrolled stage PER ROUND — each stage recomputes
+    // pair counts, ranks the top-B candidates, replays the parity
+    // gate in closed form (bad(i) checks candidate i against EVERY
+    // earlier candidate — valid because accepted rows are exactly
+    // the prefix before the first bad row, so every earlier row a
+    // live candidate compares against IS accepted), and applies the
+    // accepted batch with a list_reduce fold of boundary-wrapped
+    // replaces. MATERIALIZED is load-bearing: each stage references
+    // its predecessor several times, and CTE inlining would expand
+    // the 32-stage chain exponentially.
+    "ta26b_bpe_batch_merges" -> {
+      val stages = (1 to BpeBatchRounds).map(bpeBatchStageSql)
+        .mkString(", ")
+      val rows = (1 to BpeBatchRounds).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           |  CAST(rn AS BIGINT) AS idx, lsym, rsym,
+           |  cnt AS pair_count FROM a$k""".stripMargin)
+        .mkString(" UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)',
+         |    chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |), $stages
+         |SELECT * FROM ($rows) ORDER BY round, idx""".stripMargin
+    },
+
+    // ta27: the unrolled BATCHED merge stages (ta26b's full trained
+    // table); encoding is then one symbol explode + aggregate over
+    // the FINAL type table.
     "ta27_bpe_encode" -> {
-      def stage(k: Int): String = {
-        val prev = s"w${k - 1}"
-        s"""p$k AS (
-           |  SELECT list_extract(sy, i) AS lsym,
-           |    list_extract(sy, i + 1) AS rsym,
-           |    CAST(sum(f) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
-           |    FROM (SELECT f, string_split(trim(seq, chr(31)),
-           |      chr(31) || chr(31)) AS sy FROM $prev))
-           |  GROUP BY 1, 2
-           |), b$k AS (
-           |  SELECT lsym, rsym, cnt FROM p$k
-           |  ORDER BY cnt DESC, lsym, rsym LIMIT 1
-           |), w$k AS (
-           |  SELECT replace(seq,
-           |    chr(31) || b.lsym || chr(31) || chr(31) || b.rsym || chr(31),
-           |    chr(31) || b.lsym || b.rsym || chr(31)) AS seq, f
-           |  FROM $prev CROSS JOIN b$k b
-           |)""".stripMargin
-      }
-      val stages = (1 to BpeIters).map(stage).mkString(", ")
-      s"""WITH w0 AS (
+      val stages = (1 to BpeBatchRounds).map(bpeBatchStageSql)
+        .mkString(", ")
+      s"""WITH w0 AS MATERIALIZED (
          |  SELECT regexp_replace(word, '(.)',
          |    chr(31) || '\\1' || chr(31), 'g') AS seq,
          |    CAST(count(*) AS BIGINT) AS f
@@ -2475,7 +2703,7 @@ object TextAnalysis {
          |  SELECT seq, f,
          |    unnest(string_split(trim(seq, chr(31)),
          |      chr(31) || chr(31))) AS sym
-         |  FROM w$BpeIters
+         |  FROM w$BpeBatchRounds
          |)
          |SELECT sym, CAST(sum(f) AS BIGINT) AS corpus_count,
          |  CAST(count(DISTINCT seq) AS BIGINT) AS n_types

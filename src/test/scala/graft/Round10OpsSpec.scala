@@ -518,15 +518,20 @@ class Round10OpsSpec extends AnyFunSuite {
 
   test("ta27 BPE encode matches the in-memory reference trainer's " +
     "final type table, and token mass is conserved") {
-    // independent trainer: same reference implementation style as the
-    // ta26 spec (explicit sequence merge, no string-replace trick)
+    // ta27 now encodes with the BATCHED trainer's table (round 11);
+    // by the ta26b parity theorem (Round11OpsSpec) that equals the
+    // SEQUENTIAL trainer run for the same total merge count — so the
+    // independent reference here stays the plain sequential trainer
+    // (explicit sequence merge, no string-replace trick), run for
+    // ta26b's total accepted merges.
+    val nMerges = q("ta26b_bpe_batch_merges").count().toInt
     val words = Tables.documents(spark, d).select("text").collect()
       .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
       .map(w => w.codePoints().toArray
         .map(cp => new String(Character.toChars(cp))).toList)
     var freq = words.groupBy(identity).map { case (k, v) =>
       k -> v.length.toLong }
-    (1 to graft.operators.TextAnalysis.BpeIters).foreach { _ =>
+    (1 to nMerges).foreach { _ =>
       val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
       freq.foreach { case (seq, f) =>
         seq.zip(seq.tail).foreach { p =>

@@ -106,6 +106,73 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(fast.last.getLong(1) > 0L)
   }
 
+  test("ta26b batched merges, flattened in (round, idx) order, equal " +
+    "the sequential trainer's merge sequence exactly") {
+    // the parity theorem end-to-end: an independent in-memory
+    // SEQUENTIAL trainer (explicit sequence merge, recomputing the
+    // argmax after every single merge) must produce the same (lsym,
+    // rsym, pair_count) sequence as the batched trainer's flattened
+    // merge table — not similar token tables, the SAME merges in the
+    // SAME order with the SAME counts
+    val d = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("ta26b_bpe_batch_merges")(spark, d)
+      .collect()
+      .map(r => (r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty)
+    // well above ta26's 3-merge demonstration: the full table the
+    // 32-round budget trains on this corpus
+    assert(got.length >= 40, s"expected a deep merge table, got ${got.length}")
+
+    var freq = Tables.documents(spark, d).select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .map(w => w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toList)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ref = scala.collection.mutable.ListBuffer[(String, String, Long)]()
+    (1 to got.length).foreach { _ =>
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f }
+      }
+      val ((l, r), c) = pairCounts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.head
+      ref += ((l, r, c))
+      def merge(seq: List[String]): List[String] = seq match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: merge(rest)
+        case a :: rest => a :: merge(rest)
+        case Nil => Nil
+      }
+      freq = freq.groupBy { case (seq, _) => merge(seq) }
+        .map { case (k, v) => k -> v.values.sum }
+    }
+    assert(got == ref.toSeq)
+  }
+
+  test("ta26b acceptance gate: interaction STOPS the batch (not " +
+    "skip), and the created-pair bound rejects a dominated candidate") {
+    import graft.operators.TextAnalysis.{BpeCand, bpeBatchAccept}
+    // interaction: #2 shares a symbol with #1 — the batch must stop
+    // AT it, not skip past it to #3 (a skipped pair's count may still
+    // outrank #3 at the sequential trainer's next step)
+    val stopAt = bpeBatchAccept(Seq(
+      BpeCand("a", "b", 100, 5, 5),
+      BpeCand("b", "c", 90, 5, 5),
+      BpeCand("x", "y", 50, 5, 5)))
+    assert(stopAt.map(c => (c.l, c.r)) == Seq(("a", "b")))
+    // created-pair bound: merging (a,b) with maxIn(a)=80 can create a
+    // pair counting up to 80 — a later candidate at 60 is NOT provably
+    // the next argmax and must stop the batch, while one at 95 is safe
+    val bounded = bpeBatchAccept(Seq(
+      BpeCand("a", "b", 100, 80, 10),
+      BpeCand("x", "y", 60, 5, 5)))
+    assert(bounded.map(c => (c.l, c.r)) == Seq(("a", "b")))
+    val safe = bpeBatchAccept(Seq(
+      BpeCand("a", "b", 100, 80, 10),
+      BpeCand("x", "y", 95, 5, 5)))
+    assert(safe.map(c => (c.l, c.r)) == Seq(("a", "b"), ("x", "y")))
+  }
+
   test("dd24 segmentation is offset-invariant: the shared span's " +
     "interior chunks identically at both shifts") {
     val rnd = new scala.util.Random(7)
