@@ -42,6 +42,16 @@ def main():
     pipelines = {k: v for k, v in medians.items()
                  if k.startswith("pipeline_")
                  and not re.match(r"pipeline_.*_s\d+_", k)}
+    # round-11 self-adjudication columns: medians of the per-run
+    # task-attributed GC time and peak single-task execution memory
+    # (absent in pre-round-11 run files — carried only when present)
+    def aux_medians(key):
+        acc = {}
+        for r in runs:
+            for k, v in r.get(key, {}).items():
+                acc.setdefault(k, []).append(v)
+        return {k: round(statistics.median(v), 1)
+                for k, v in sorted(acc.items())}
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
@@ -55,6 +65,9 @@ def main():
         "runs_per_query": {k: len(v) for k, v in sorted(per.items())
                            if len(v) != len(runs)},
         "per_query_median_sec": medians,
+        "per_query_median_gc_ms": aux_medians("gc_ms"),
+        "per_query_median_peak_task_mem_mb":
+            aux_medians("peak_task_mem_mb"),
     }
     json.dump(artifact, open(out, "w"), indent=1)
     print(f"{out}: {n_q} queries, sum-of-medians {q_sum}s, "
