@@ -88,6 +88,62 @@ object JsonLines {
     (merged, root)
   }
 
+  /** io19b's staged base + SCHEMA-EVOLVING CDC batch: the delta
+    * carries a column the base never had (tok_count) — the most
+    * common production CDC event (an upstream adds a field). Returns
+    * (base, cdcKeys, cdcRows, root). The CDC derivation reuses
+    * io19's deterministic rules so the two merges stay comparable;
+    * only the evolution is new. */
+  private[graft] def evolveMergeParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, String) = {
+    import org.apache.spark.sql.functions._
+    val root = stagingDir("merge_evolve")
+    graft.Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/snap0")
+    val base = s.read.parquet(s"$root/snap0")
+    val dels = base.filter(col("doc_id") % 11 === 3).select("doc_id")
+    val upds = base
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 3)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val ins = base.filter(col("doc_id") % 13 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ingested revision of "),
+          col("doc_id").cast("string")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cdcRows = upds.unionByName(ins)
+      .withColumn("tok_count",
+        size(graft.functions.Funcs.tokens(col("text"))).cast("long"))
+    val cdcKeys = dels.unionByName(cdcRows.select("doc_id"))
+    (base, cdcKeys, cdcRows, root)
+  }
+
+  /** Evolve-on-merge: the output schema is the UNION of base and CDC
+    * schemas, and base survivors get explicit NULL backfill for the
+    * new column — Delta/Iceberg's evolve-on-merge law, spelled as
+    * `unionByName(allowMissingColumns)`. */
+  private[graft] def evolveOnMerge(base: DataFrame, cdcKeys: DataFrame,
+      cdcRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    base.join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+      .unionByName(cdcRows, allowMissingColumns = true)
+  }
+
+  /** The other spelling of the same law: first ALTER the base
+    * (backfill the new column as typed NULLs), then run io19's plain
+    * schema-aligned merge. Round11OpsSpec proves the two spellings
+    * produce identical snapshots row-for-row — the merge-law
+    * extension the schema change must not break. */
+  private[graft] def backfillThenMerge(base: DataFrame,
+      cdcKeys: DataFrame, cdcRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    base.withColumn("tok_count", lit(null).cast("long"))
+      .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+      .unionByName(cdcRows)
+  }
+
   /** Null sentinel for the CSV round trip. CSV has no native null: by
     * default Spark writes null as an empty field AND reads empty
     * fields back as null, which conflates null with the empty string.
@@ -449,6 +505,47 @@ object JsonLines {
       snap.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("lang")
+    }),
+
+    // io19b: MERGE WITH SCHEMA EVOLUTION — io19's CDC apply when the
+    // delta batch ADDS a column (the most common production CDC
+    // event; Delta/Iceberg treat evolve-on-merge as core, and the
+    // round-10 verdict named it the remaining lakehouse gap). The
+    // merge law extends with explicit NULL-backfill semantics: the
+    // published snapshot's schema is the union of base and CDC
+    // schemas, base survivors carry typed NULLs in the new column,
+    // CDC rows carry their values. The readout proves all of it
+    // through the on-disk snapshot: n_backfilled counts the NULLs
+    // (exactly the surviving base rows per lang), the new column's
+    // sum/min/max show the stats layer picking the column up (the
+    // io22/io23 buffers — count/nulls/min/max — apply to an evolved
+    // column unchanged because NULL-skipping IS their law), and the
+    // text checksum pins delete/update/insert byte-exactly.
+    //
+    // Scale: identical to io19 — the one wide op is the base
+    // anti-join on CDC keys (broadcast at CDC-batch size); the
+    // backfill is a zero-cost projection, never a base rewrite
+    // (copy-on-write evolution rewrites METADATA, not data files —
+    // the NULL column materializes only in rows the merge rewrites
+    // anyway). Round11OpsSpec proves evolve-on-merge ≡
+    // backfill-then-merge row-for-row.
+    "io19b_merge_evolve" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val (base, cdcKeys, cdcRows, root) = evolveMergeParts(s, d)
+      evolveOnMerge(base, cdcKeys, cdcRows)
+        .write.mode("overwrite").parquet(s"$root/snap1")
+      Commit.writeMarker(s, s"$root/_SNAPSHOT", "snap1")
+      val snap = s.read.parquet(
+        s"$root/" + Commit.readMarker(s, s"$root/_SNAPSHOT"))
+      snap.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok_count").isNull, 1L).otherwise(0L))
+            .as("n_backfilled"),
+          sum(coalesce(col("tok_count"), lit(0L))).as("sum_tok"),
+          min("tok_count").as("min_tok"),
+          max("tok_count").as("max_tok"),
           sum(md5Long(col("text"), 7)).as("sum_md57"))
         .orderBy("lang")
     }),
@@ -1313,6 +1410,40 @@ object JsonLines {
         |)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // io19b: io19's relational replay with the evolving column — CDC
+    // rows compute tok_count, survivors carry a typed NULL.
+    "io19b_merge_evolve" ->
+      """WITH dels AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 = 3
+        |), upds AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, lang, source
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |), ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'ingested revision of ' || CAST(doc_id AS VARCHAR) AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 13 = 1
+        |), cdc AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> length(t) > 0)) AS BIGINT) AS tok_count
+        |  FROM (SELECT * FROM upds UNION ALL SELECT * FROM ins)
+        |), merged AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CAST(NULL AS BIGINT) AS tok_count
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+        |    AND doc_id NOT IN (SELECT doc_id FROM cdc)
+        |  UNION ALL SELECT * FROM cdc
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) - count(tok_count) AS BIGINT) AS n_backfilled,
+        |  CAST(coalesce(sum(tok_count), 0) AS BIGINT) AS sum_tok,
+        |  min(tok_count) AS min_tok, max(tok_count) AS max_tok,
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,

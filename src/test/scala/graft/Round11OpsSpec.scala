@@ -173,6 +173,35 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(safe.map(c => (c.l, c.r)) == Seq(("a", "b"), ("x", "y")))
   }
 
+  test("io19b evolve-on-merge equals backfill-then-merge row for row") {
+    // the schema-evolution merge law has two spellings — evolve the
+    // schema during the merge (union of schemas, NULL backfill on
+    // base survivors) or ALTER-backfill the base first and run the
+    // plain schema-aligned merge — and they must be the same
+    // operation, not two operations that happen to agree on
+    // aggregates
+    val d = "/root/testdata/sf0.001"
+    val (base, cdcKeys, cdcRows, _) =
+      graft.io.JsonLines.evolveMergeParts(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars", "tok_count")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+      .sortBy(_._1).toSeq
+    val evolved = rows(
+      graft.io.JsonLines.evolveOnMerge(base, cdcKeys, cdcRows))
+    val backfilled = rows(
+      graft.io.JsonLines.backfillThenMerge(base, cdcKeys, cdcRows))
+    assert(evolved.nonEmpty)
+    assert(evolved == backfilled)
+    // the evolution is real: surviving base rows are NULL-backfilled,
+    // CDC rows carry values
+    assert(evolved.exists(_._6.isEmpty))
+    assert(evolved.exists(_._6.isDefined))
+  }
+
   test("dd24 segmentation is offset-invariant: the shared span's " +
     "interior chunks identically at both shifts") {
     val rnd = new scala.util.Random(7)
