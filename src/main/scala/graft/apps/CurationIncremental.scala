@@ -260,6 +260,20 @@ object CurationIncremental {
     * history discipline). */
   def refreshBench(spark: SparkSession, root: String, docs: DataFrame,
       extraN: Int,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    refreshWave(spark, root, docs,
+      TextAnalysis.benchSample(docs, BenchN + extraN)
+        .select("doc_id", "text"), onStage)
+
+  /** One refresh WAVE against an INCOMING eval-set frame — cu03's
+    * core factored out so cu04 can drive it per landing microbatch.
+    * The incoming frame is anti-joined against the current bench
+    * bank, so waves compose: refresh(refresh(v, B1), B2) ≡
+    * refresh(v, B1 ∪ B2) ≡ from-scratch(bench = B_old ∪ B1 ∪ B2) by
+    * cu03's equivalence applied inductively — which is exactly how
+    * cu04's stream is hash-gated by a from-scratch batch oracle. */
+  def refreshWave(spark: SparkSession, root: String, docs: DataFrame,
+      incoming: DataFrame,
       onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     var mark = System.nanoTime()
     def stageDone(name: String): Unit = {
@@ -270,9 +284,8 @@ object CurationIncremental {
       .stripPrefix("snap").toLong
     val next = ver + 1
     val oldBench = readVersioned(spark, root, "_BENCH")
-    // the refreshed eval set: the NEXT extraN docs in the pinned
-    // hash order (a superset sample minus the old members)
-    val newBench = TextAnalysis.benchSample(docs, BenchN + extraN)
+    // the genuinely-new members of the incoming eval set
+    val newBench = incoming
       .join(oldBench.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
       .localCheckpoint() // feeds the gram explode AND the id delete
@@ -295,6 +308,20 @@ object CurationIncremental {
     Commit.writeMarker(spark, s"$root/_BENCH", s"bench_r$next")
     Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
     stageDone("s14_refresh_publish")
+  }
+
+  /** cu04's idempotent per-microbatch wrapper around [[refreshWave]]
+    * (st12's sink discipline): a redelivered wave is skipped before
+    * any marker moves — the refresh rolls _SNAPSHOT/_BENCH versions,
+    * which must happen exactly once per wave. Empty microbatches are
+    * short-circuited (Structured Streaming delivers them). */
+  private[graft] def refreshWaveBatch(ss: SparkSession, root: String,
+      docs: DataFrame, df: DataFrame, id: Long): Boolean = {
+    if (Commit.exists(ss, s"$root/_refresh_committed_$id")) return false
+    if (df.isEmpty) return false
+    refreshWave(ss, root, docs, df)
+    Commit.writeMarker(ss, s"$root/_refresh_committed_$id", "done")
+    true
   }
 
   /** cu02's tightened quality bar (vs [[MinQuality]] = 0.3; the
@@ -389,6 +416,76 @@ object CurationIncremental {
       curateBase(s, docs, root)
       refreshBench(s, root, docs, BenchN)
       published(s, root).orderBy("doc_id")
+    }),
+
+    // cu04: STREAMING BENCH-REFRESH — cu03's refresh as a live stream
+    // over LANDING eval sets, completing the cu batch/stream matrix
+    // (cu01 incremental corpus / cu03 batch refresh / cu04 streaming
+    // refresh). Three eval-set waves (consecutive slices of the
+    // pinned hash order) land as files; each microbatch drives one
+    // refreshWave through the idempotent marker sink (st12's
+    // discipline — replay of a committed wave is skipped before any
+    // version rolls). The hash gate is the merge-law trick: waves
+    // compose (refresh(refresh(v,B1),B2) ≡ refresh(v, B1∪B2)), and
+    // cu03's own theorem turns the composition into from-scratch
+    // curation with the UNION holdout — so the batch oracle (cu03's
+    // SQL with the quadrupled holdout) gates the stream verbatim.
+    //
+    // Scale: per wave, exactly cu03's one decon pass (new grams
+    // broadcast, text re-read only for surviving snapshot members);
+    // stream state is the marker set — nothing else persists between
+    // waves. Arrival order is pinned by mtime (st20's discipline):
+    // refresh versions must roll in landing order.
+    "cu04_stream_bench_refresh" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val root = graft.io.JsonLines.stagingDir("curation_refresh_stream")
+      val fs = Commit.fileSystem(s)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = graft.Tables.documents(ss, d)
+      curateBase(ss, docs, root)
+      val waves = 3
+      fs.mkdirs(new Path(s"$root/landing"))
+      (1 to waves).foreach { k =>
+        TextAnalysis.benchSample(docs, BenchN * (k + 1))
+          .join(TextAnalysis.benchSample(docs, BenchN * k)
+            .select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("doc_id", "text")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/stage/w$k")
+        val part = fs.listStatus(new Path(s"$root/stage/w$k"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        fs.rename(part, new Path(s"$root/landing/w$k.parquet"))
+        // arrival order = mtime order (FileStreamSource's sort key)
+        fs.setTimes(new Path(s"$root/landing/w$k.parquet"),
+          60000L * (k + 1), -1)
+      }
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$root/landing")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            refreshWaveBatch(ss, root, docs, df, id); ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      val ver = Commit.readMarker(ss, s"$root/_SNAPSHOT")
+        .stripPrefix("snap").toLong
+      require(ver >= waves,
+        s"expected $waves refresh versions to have rolled, got $ver")
+      published(ss, root).orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -517,7 +614,19 @@ object CurationIncremental {
     // chain at the base quality bar, bench LIMIT 2N. Equality with
     // the Spark side's refresh publish proves the bench-refresh
     // theorem (gram sets union; old hits are already out).
-    "cu03_bench_refresh" -> {
+    "cu03_bench_refresh" -> refreshOracleSql(2 * BenchN),
+
+    // cu04: the SAME from-scratch equivalence with the union of all
+    // three landed waves — base BenchN + 3×BenchN = the quadrupled
+    // holdout. That this one query gates a three-wave STREAM is the
+    // merge-law trick (see the query's doc comment).
+    "cu04_stream_bench_refresh" -> refreshOracleSql(4 * BenchN))
+
+  /** The refresh-equivalence oracle, parameterized by the total
+    * holdout size: from-scratch curation where the bench sample is
+    * the first `benchLimit` docs of the pinned hash order. cu03 uses
+    * 2×BenchN (one refresh), cu04 4×BenchN (three streamed waves). */
+  private def refreshOracleSql(benchLimit: Int): String = {
       import TextAnalysis.{toksSql, ContamN}
       val g = ContamN - 1
       s"""WITH keep1 AS (
@@ -545,7 +654,7 @@ object CurationIncremental {
          |    AND r.dup_bigram_frac <= $MaxDupBigramFrac
          |), bench AS (
          |  SELECT doc_id, text FROM documents
-         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT ${2 * BenchN}
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $benchLimit
          |), bg AS (
          |  SELECT DISTINCT unnest(list_distinct(list_transform(
          |    generate_series(1, len(toks) - $g),
@@ -571,5 +680,5 @@ object CurationIncremental {
          |JOIN documents d USING (doc_id)
          |JOIN scored s USING (doc_id)
          |ORDER BY doc_id""".stripMargin
-    })
+  }
 }

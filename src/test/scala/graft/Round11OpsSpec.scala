@@ -202,6 +202,31 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(evolved.exists(_._6.isDefined))
   }
 
+  test("cu04 wave sink is replay-safe: a committed wave is skipped " +
+    "and no version rolls twice") {
+    import graft.apps.CurationIncremental
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cu04_replay").toString
+    CurationIncremental.curateBase(spark, docs, root)
+    val wave = graft.operators.TextAnalysis
+      .benchSample(docs, 2 * CurationIncremental.BenchN)
+      .select("doc_id", "text")
+    assert(CurationIncremental.refreshWaveBatch(spark, root, docs, wave, 0L))
+    def ver = graft.io.Commit.readMarker(spark, s"$root/_SNAPSHOT")
+      .stripPrefix("snap").toLong
+    val after = ver
+    assert(after == 1L)
+    // redelivery of the committed wave: skipped before any marker moves
+    assert(!CurationIncremental.refreshWaveBatch(spark, root, docs, wave, 0L))
+    assert(ver == after)
+    // and an empty microbatch is short-circuited the same way
+    assert(!CurationIncremental.refreshWaveBatch(spark, root, docs,
+      wave.limit(0), 7L))
+    assert(ver == after)
+  }
+
   test("dd24 segmentation is offset-invariant: the shared span's " +
     "interior chunks identically at both shifts") {
     val rnd = new scala.util.Random(7)
