@@ -139,6 +139,34 @@ object EventStream {
     * mode("overwrite") the very directory it reads. The guard makes
     * the publish idempotent at the I/O level, not just the merge
     * algebra (Round10OpsSpec replays a batch through this path). */
+  /** st24's per-batch EVOLVE-merge: st18's version-keyed upsert when
+    * the CDC stream carries a column the published table never had —
+    * io19b's NULL-backfill law applied per microbatch. The schema
+    * union happens on the FIRST merge (narrow published snapshot ∪
+    * wide batch via unionByName(allowMissingColumns)); every later
+    * batch merges schema-aligned through the identical code path, so
+    * there is no special case to get wrong. Same replay guard as
+    * st18 (snapshot marker already at snap<id> ⇒ skip); requires a
+    * published base — an evolving CDC stream with no table to evolve
+    * is a staging bug, not a case to paper over. */
+  private[graft] def upsertEvolveBatch(ss: SparkSession, out: String,
+      df: DataFrame, id: Long): Boolean = {
+    val marker = s"$out/_SNAPSHOT"
+    require(graft.io.Commit.exists(ss, marker),
+      s"st24 evolve-merge needs a published base snapshot at $out")
+    if (graft.io.Commit.readMarker(ss, marker) == s"snap$id") return false
+    val cur = ss.read.parquet(
+      s"$out/" + graft.io.Commit.readMarker(ss, marker))
+    val all = cur.unionByName(df, allowMissingColumns = true)
+    val cols = all.columns.map(col)
+    all.groupBy("doc_id")
+      .agg(max_by(struct(cols: _*), col("version")).as("r"))
+      .select("r.*")
+      .write.mode("overwrite").parquet(s"$out/snap$id")
+    graft.io.Commit.writeMarker(ss, marker, s"snap$id")
+    true
+  }
+
   private[graft] def upsertDocBatch(ss: SparkSession, out: String,
       df: DataFrame, id: Long): Boolean = {
     val marker = s"$out/_SNAPSHOT"
@@ -1035,6 +1063,91 @@ object EventStream {
     // touches novel survivors only, the bank is a keys-only table,
     // and the 100 TB base corpus is never re-read — the entire point
     // of incremental ingest.
+    // st24: STREAMING MERGE WITH SCHEMA EVOLUTION — io19b's
+    // NULL-backfill law per microbatch, completing io19b's
+    // batch/stream matrix exactly as st18 twins io19: a narrow base
+    // table is published by a batch job, then CDC waves that carry a
+    // NEW column (the upstream added a field) land as a stream and
+    // each microbatch evolve-merges into the published snapshot.
+    // Determinism is st18's discipline — the merge is version-keyed
+    // max_by, so ANY arrival order of the waves converges to the
+    // same table and the closed-form oracle (latest version per key
+    // over base ∪ all waves, base rows NULL in the new column)
+    // hash-gates the stream verbatim. The readout is io19b's: the
+    // backfill count, the new column's stats living beside it, and
+    // the text checksum pinning the upsert semantics byte-exactly.
+    //
+    // Scale: per microbatch one key-grouped merge (st18's shape —
+    // production prunes to matched files; copy-on-write here); the
+    // evolution itself is a projection-level schema union, zero
+    // extra passes. Replay-safe via the snapshot-marker guard.
+    "st24_stream_merge_evolve" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_stream_evolve").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs0 = graft.Tables.documents(ss, d)
+        .select("doc_id", "text", "lang", "source")
+      val out = s"$root/tbl"
+      // the NARROW base, published by a batch job before the stream
+      docs0.withColumn("version", lit(1L))
+        .write.mode("overwrite").parquet(s"$out/snapbase")
+      graft.io.Commit.writeMarker(ss, s"$out/_SNAPSHOT", "snapbase")
+      val tok = size(graft.functions.Funcs.tokens(col("text")))
+        .cast("long")
+      val w1 = docs0.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .withColumn("version", lit(2L))
+        .withColumn("tok_count", tok)
+      val w2 = docs0.filter(col("doc_id") % 21 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev3]")))
+        .withColumn("version", lit(3L))
+        .withColumn("tok_count", tok)
+        .unionByName(docs0.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("ingested revision of "),
+              col("doc_id").cast("string")).as("text"),
+            col("lang"), col("source"))
+          .withColumn("version", lit(1L))
+          .withColumn("tok_count", tok))
+      Seq(w1, w2).foreach(
+        _.coalesce(1).write.mode("append").parquet(s"$root/src"))
+      var batches = 0
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(w1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            upsertEvolveBatch(ss, out, df, id)
+            batches += 1
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 2, s"expected multiple evolve batches, got $batches")
+      val snap = s.read.parquet(
+        s"$out/" + graft.io.Commit.readMarker(s, s"$out/_SNAPSHOT"))
+      snap.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok_count").isNull, 1L).otherwise(0L))
+            .as("n_backfilled"),
+          sum(coalesce(col("tok_count"), lit(0L))).as("sum_tok"),
+          min("tok_count").as("min_tok"),
+          max("tok_count").as("max_tok"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("lang")
+    }),
+
     "st19_stream_ingest_curate" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val root = java.nio.file.Paths.get(
@@ -1228,6 +1341,51 @@ object EventStream {
          |WHERE doc_id NOT IN (SELECT doc_id FROM bench)
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // st24: closed-form — latest version per key over base ∪ both
+    // waves; base rows carry a typed NULL in the evolved column
+    // (io19b's readout, st18's version-keyed determinism argument)
+    "st24_stream_merge_evolve" -> {
+      def tokOf(e: String) =
+        s"CAST(len(list_filter(string_split($e, ' '), " +
+          "t -> length(t) > 0)) AS BIGINT)"
+      s"""WITH base AS (
+         |  SELECT doc_id, text, lang, source, 1 AS version,
+         |    CAST(NULL AS BIGINT) AS tok_count
+         |  FROM documents
+         |), w1 AS (
+         |  SELECT doc_id, text, lang, source, 2 AS version,
+         |    ${tokOf("text")} AS tok_count
+         |  FROM (SELECT doc_id, text || ' [rev2]' AS text, lang, source
+         |        FROM documents WHERE doc_id % 7 = 0)
+         |), w2 AS (
+         |  SELECT doc_id, text, lang, source, 3 AS version,
+         |    ${tokOf("text")} AS tok_count
+         |  FROM (SELECT doc_id, text || ' [rev3]' AS text, lang, source
+         |        FROM documents WHERE doc_id % 21 = 0)
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, source, 1 AS version,
+         |    ${tokOf("text")} AS tok_count
+         |  FROM (SELECT doc_id + 1000000 AS doc_id,
+         |          'ingested revision of ' || CAST(doc_id AS VARCHAR)
+         |            AS text, lang, source
+         |        FROM documents WHERE doc_id % 13 = 1)
+         |), u AS (
+         |  SELECT * FROM base UNION ALL SELECT * FROM w1
+         |  UNION ALL SELECT * FROM w2
+         |), fin AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u)
+         |  WHERE rn = 1
+         |)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) - count(tok_count) AS BIGINT) AS n_backfilled,
+         |  CAST(coalesce(sum(tok_count), 0) AS BIGINT) AS sum_tok,
+         |  min(tok_count) AS min_tok, max(tok_count) AS max_tok,
+         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+         |    AS sum_md57
+         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "st18_stream_upsert" ->
