@@ -225,6 +225,17 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(!CurationIncremental.refreshWaveBatch(spark, root, docs,
       wave.limit(0), 7L))
     assert(ver == after)
+    // cross-query lock (the io22⇔io23 discipline): the stream's
+    // one-wave state IS cu03's batch refresh — published snapshot
+    // after this single wave equals the cu03 entry row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[Number](3).longValue /* n_tokens */)).toSeq
+    val streamed = rows(CurationIncremental.published(spark, root))
+    val batch = rows(SparkEntry.queries("cu03_bench_refresh")(spark, d))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("st24 evolve-merge batch evolves the snapshot schema, " +
