@@ -201,9 +201,23 @@ object Bench {
     listener.drain() // discard warm-up attribution
     val gcMs = scala.collection.mutable.LinkedHashMap[String, Long]()
     val peakMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // listener-bus posts are async; quiesce (bounded) at each window
+    // edge so query N's trailing onTaskEnd events are attributed to N,
+    // not N+1 — without it the columns are best-effort attribution.
+    // listenerBus is private[spark]; reflection keeps this a bench-only
+    // concern, and a missing method degrades to the async behavior.
+    val quiesce: () => Unit =
+      try {
+        val m = spark.sparkContext.getClass.getMethod("listenerBus")
+        val bus = m.invoke(spark.sparkContext)
+        val wait = bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        () => { try wait.invoke(bus, java.lang.Long.valueOf(2000L))
+                catch { case _: Throwable => () }; () }
+      } catch { case _: Throwable => () => () }
     def windowed[T](name: String)(f: => T): T = {
-      listener.drain()
+      quiesce(); listener.drain()
       val r = f
+      quiesce()
       val (gc, peak) = listener.drain()
       gcMs(name) = gc
       peakMb(name) = math.rint(peak / 1048576.0 * 10) / 10

@@ -312,13 +312,35 @@ object CurationIncremental {
 
   /** cu04's idempotent per-microbatch wrapper around [[refreshWave]]
     * (st12's sink discipline): a redelivered wave is skipped before
-    * any marker moves — the refresh rolls _SNAPSHOT/_BENCH versions,
-    * which must happen exactly once per wave. Empty microbatches are
-    * short-circuited (Structured Streaming delivers them). */
+    * any marker moves. The refresh rolls _SNAPSHOT/_BENCH versions;
+    * the guard is TWO-PHASE so "exactly one version per wave" holds
+    * across the crash window between publish and commit marker: a
+    * started marker records the snapshot version seen BEFORE the
+    * wave ran, and a replay that finds the snapshot already past
+    * that version knows the wave's refreshWave completed — it writes
+    * the missing committed marker and skips, instead of rolling an
+    * extra (content-identical) version. The one remaining window is
+    * a crash INSIDE refreshWave after its _BENCH roll — there the
+    * replay re-runs the wave (its incoming frame anti-joins to
+    * empty, so content is unchanged) and version numbering alone can
+    * exceed the wave count: at-least-once with idempotent content.
+    * Empty microbatches are short-circuited (Structured Streaming
+    * delivers them). */
   private[graft] def refreshWaveBatch(ss: SparkSession, root: String,
       docs: DataFrame, df: DataFrame, id: Long): Boolean = {
     if (Commit.exists(ss, s"$root/_refresh_committed_$id")) return false
     if (df.isEmpty) return false
+    val started = s"$root/_refresh_started_$id"
+    val curVer = Commit.readMarker(ss, s"$root/_SNAPSHOT")
+      .stripPrefix("snap").toLong
+    if (Commit.exists(ss, started) &&
+        curVer > Commit.readMarker(ss, started).toLong) {
+      // the wave's refresh completed before the crash; only the
+      // committed marker is missing — write it, never re-roll
+      Commit.writeMarker(ss, s"$root/_refresh_committed_$id", "done")
+      return false
+    }
+    Commit.writeMarker(ss, started, curVer.toString)
     refreshWave(ss, root, docs, df)
     Commit.writeMarker(ss, s"$root/_refresh_committed_$id", "done")
     true

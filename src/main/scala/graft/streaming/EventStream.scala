@@ -267,30 +267,33 @@ object EventStream {
     * Streaming's own accept/drop rule, audited instead of silent),
     * commit the one-row audit through st12's idempotent sink, then
     * advance the marker to max(wm, batch max). Replay-safe: the
-    * audit-marker guard skips a re-delivered batch, but still
-    * re-advances _WM to max(current, batch max) first — the max
-    * makes the re-advance idempotent and closes the crash window
-    * between sink commit and marker write (without it, a crash
-    * there would leave every later batch classifying against a
-    * stale watermark). Empty microbatches (Structured Streaming
-    * delivers them) are short-circuited before any state is touched:
-    * no audit row, no watermark movement. */
+    * audit-marker guard skips a re-delivered batch, but first closes
+    * the crash window between sink commit and marker write — the
+    * committed 1-row audit already CARRIES wm_out_us (the exact value
+    * _WM should hold after this batch), so the replay path reads that
+    * single row back instead of re-aggregating the whole batch, and
+    * touches the marker only when it is actually behind (the common
+    * no-crash replay is two marker reads + a 1-row file read, no
+    * batch-sized job and no marker rewrite). Empty microbatches
+    * (Structured Streaming delivers them) are short-circuited before
+    * any state is touched: no audit row, no watermark movement. */
   private[graft] def lateAuditBatch(ss: SparkSession, root: String,
       out: String, df: DataFrame, id: Long): Boolean = {
     val wmMarker = s"$root/_WM"
     if (graft.io.Commit.exists(ss, s"$out/_committed_$id")) {
       // Replayed batch: the audit row is already committed, but the
-      // watermark advance may have been lost to a crash. Re-advance
-      // (max = idempotent) before skipping.
-      val bmax = df.agg(max(col("ts_us"))).head().get(0)
-      if (bmax != null) {
-        val cur: Long =
-          if (graft.io.Commit.exists(ss, wmMarker))
-            graft.io.Commit.readMarker(ss, wmMarker).toLong
-          else Long.MinValue
-        val adv = math.max(cur, bmax.asInstanceOf[Long])
-        graft.io.Commit.writeMarker(ss, wmMarker, adv.toString)
-      }
+      // watermark advance may have been lost to a crash. Recover it
+      // from the committed audit row itself (1 row by construction)
+      // and re-advance only if the current marker is behind.
+      val cur: Long =
+        if (graft.io.Commit.exists(ss, wmMarker))
+          graft.io.Commit.readMarker(ss, wmMarker).toLong
+        else Long.MinValue
+      val committedWm = ss.read.schema(lateAuditSchema)
+        .parquet(s"$out/batch=$id")
+        .agg(max(col("wm_out_us"))).head().getLong(0)
+      if (committedWm > cur)
+        graft.io.Commit.writeMarker(ss, wmMarker, committedWm.toString)
       return false
     }
     if (df.isEmpty) return false
