@@ -68,6 +68,21 @@ object Dedup {
   private[graft] val CdcHashW = 16
   private[graft] val CdcDiv   = 64
 
+  /** dd24 segment-length clamps — the LBFS/rsync [min, max] rule the
+    * pure mod-divisor cut MUST carry in a web corpus: on low-entropy
+    * runs (separator walls, `====` banners, repeated whitespace) a
+    * character whose gram hashes ≡ 0 cuts at EVERY position — 1-char
+    * segments, an n_segs = len blowup, and a first-wins election that
+    * rewrites that character corpus-wide. The clamp is the standard
+    * greedy: a content cut closer than [[CdcMin]] to the last kept
+    * boundary is SKIPPED (never cut), and a gap longer than [[CdcMax]]
+    * gets forced cuts every CdcMax chars (so a zero-cut run still
+    * chunks). Values follow LBFS's min = expected/4, max = 4×expected
+    * around the CdcDiv = 64 operating point. Only the final segment
+    * (ends at len) may be shorter than CdcMin — the standard edge. */
+  private[graft] val CdcMin = 16L
+  private[graft] val CdcMax = 256L
+
   /** Deterministic fixed-size sample: hash-ordered top-N over the id.
     * Plans as per-partition TakeOrdered + an N-row merge — one scan,
     * no corpus shuffle — and the SQL oracle reproduces it with
@@ -1014,8 +1029,14 @@ object Dedup {
     // first-wins election + rebuild apply unchanged. Only the (up to
     // CdcHashW+CdcDiv chars of) span edges — where the cut depends on
     // bytes outside the span — can survive, the standard CDC edge
-    // effect. Output schema = dd23's (totals, removed, rebuilt
-    // length + md5).
+    // effect. Segment lengths carry the LBFS [CdcMin, CdcMax] clamp
+    // (see the constants — without it a low-entropy run whose gram
+    // hashes ≡ 0 shreds into 1-char segments and the election
+    // rewrites that character corpus-wide); the clamp trades a
+    // bounded edge effect (thinning near a kept boundary depends on
+    // the boundary's position) for bounded segment geometry, exactly
+    // the trade rsync/LBFS ship. Output schema = dd23's (totals,
+    // removed, rebuilt length + md5).
     //
     // Scale (dd23's late-materialization shape, one extra linear
     // pass): the boundary pass explodes stride-1 grams but shuffles
@@ -1046,14 +1067,40 @@ object Dedup {
           col("text"))
         .filter(md5Long(expr(s"substring(text, i, $wh)"), 7) % dv === 0)
         .select(col("doc_id"), (col("i") + (wh - 1)).as("pos"))
-      // sentinels 0 and len; distinct folds a content cut that lands
-      // exactly on len into the sentinel (no empty segment)
-      val bounds = cuts
-        .unionByName(docs.select(col("doc_id"), lit(0L).as("pos")))
-        .unionByName(docs.select(col("doc_id"), col("len").as("pos")))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("pos"))).as("bs"))
+      // [CdcMin, CdcMax] clamp (see the constants): one left-to-right
+      // fold per doc over the sorted content cuts + the len sentinel —
+      // skip a cut closer than CdcMin to the last kept boundary, force
+      // cuts every CdcMax across longer gaps, always end at len (the
+      // one segment allowed shorter than CdcMin). The fold is a
+      // per-row array aggregate over ~len/CdcDiv ints — no extra scan,
+      // no extra shuffle vs the unclamped sentinel union.
+      val (mn, mx) = (CdcMin, CdcMax)
+      val clampFold =
+        s"""aggregate(
+           |  concat(filter(cs, x -> x < len), array(len)),
+           |  array(CAST(0 AS BIGINT)),
+           |  (acc, p) -> concat(
+           |    acc,
+           |    CASE WHEN (p - element_at(acc, -1) - 1) div $mx > 0
+           |         THEN sequence(element_at(acc, -1) + $mx,
+           |                       element_at(acc, -1) +
+           |                         ((p - element_at(acc, -1) - 1) div $mx)
+           |                           * $mx,
+           |                       $mx)
+           |         ELSE CAST(array() AS ARRAY<BIGINT>) END,
+           |    CASE WHEN p = len OR
+           |              p - (element_at(acc, -1) +
+           |                ((p - element_at(acc, -1) - 1) div $mx) * $mx)
+           |                >= $mn
+           |         THEN array(p)
+           |         ELSE CAST(array() AS ARRAY<BIGINT>) END))""".stripMargin
+      val bounds = docs.select(col("doc_id"), col("len"))
+        .join(cuts.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("cs")),
+          Seq("doc_id"), "left")
+        .withColumn("cs",
+          coalesce(col("cs"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+        .select(col("doc_id"), expr(clampFold).as("bs"))
       val inst = docs.join(bounds, Seq("doc_id"))
         .select(col("doc_id"), col("text"), col("bs"),
           explode(sequence(lit(0), size(col("bs")) - 2)).as("j"))
@@ -1871,30 +1918,50 @@ object Dedup {
          |  md5(new_text) AS new_md5
          |FROM reb ORDER BY doc_id""".stripMargin,
 
-    // dd24: content-defined boundaries (gram-hash mod divisor), then
-    // dd23's election (row_number over the digest ≡ min(struct)) and
-    // ordered filtered string_agg rebuild on the variable segments.
+    // dd24: content-defined boundaries (gram-hash mod divisor) under
+    // the LBFS [CdcMin, CdcMax] clamp — the same left-to-right fold
+    // the Spark side runs (list_reduce with a BIGINT[] accumulator:
+    // skip cuts closer than min to the last kept boundary, force cuts
+    // every max across longer gaps, always end at len) — then dd23's
+    // election (row_number over the digest ≡ min(struct)) and ordered
+    // filtered string_agg rebuild on the variable segments.
     "dd24_cdc_span_removal" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
          |  FROM documents WHERE length(text) >= 1
          |), cuts AS (
-         |  SELECT doc_id, i + ${CdcHashW - 1} AS pos FROM (
+         |  SELECT doc_id, CAST(i + ${CdcHashW - 1} AS BIGINT) AS pos FROM (
          |    SELECT doc_id, text,
          |      unnest(generate_series(1, length(text) - ${CdcHashW - 1}))
          |        AS i
          |    FROM docs WHERE len >= $CdcHashW)
          |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT),
          |      $CdcHashW)), 1, 7))::BIGINT % $CdcDiv = 0
-         |), bounds AS (
-         |  SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos FROM (
-         |    SELECT doc_id, pos FROM cuts
-         |    UNION ALL SELECT doc_id, 0 FROM docs
-         |    UNION ALL SELECT doc_id, len FROM docs)
+         |), carr AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS cs FROM cuts
+         |  GROUP BY doc_id
+         |), bnd AS (
+         |  SELECT d.doc_id, list_reduce(
+         |    list_prepend([0]::BIGINT[], list_transform(
+         |      list_append(list_filter(coalesce(c.cs, CAST([] AS BIGINT[])),
+         |        x -> x < d.len), d.len), x -> [x])),
+         |    (a, b) -> list_concat(list_concat(a,
+         |      CASE WHEN (b[1] - a[-1] - 1) // $CdcMax > 0
+         |           THEN generate_series(a[-1] + $CdcMax,
+         |             a[-1] + ((b[1] - a[-1] - 1) // $CdcMax) * $CdcMax,
+         |             $CdcMax)
+         |           ELSE CAST([] AS BIGINT[]) END),
+         |      CASE WHEN b[1] = d.len OR
+         |                b[1] - (a[-1] +
+         |                  ((b[1] - a[-1] - 1) // $CdcMax) * $CdcMax)
+         |                  >= $CdcMin
+         |           THEN b ELSE CAST([] AS BIGINT[]) END)) AS bs
+         |  FROM docs d LEFT JOIN carr c USING (doc_id)
          |), segs AS (
-         |  SELECT doc_id, row_number() OVER w - 1 AS k, pos AS st,
-         |    lead(pos) OVER w - pos AS wd
-         |  FROM bounds WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS k, bs[j] AS st,
+         |    bs[j + 1] - bs[j] AS wd
+         |  FROM (SELECT doc_id, bs,
+         |    unnest(generate_series(1, len(bs) - 1)) AS j FROM bnd)
          |), inst AS (
          |  SELECT s.doc_id, s.k, s.st,
          |    substr(d.text, CAST(s.st + 1 AS INT), CAST(s.wd AS INT))

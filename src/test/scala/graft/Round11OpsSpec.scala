@@ -33,15 +33,29 @@ class Round11OpsSpec extends AnyFunSuite {
   }
 
   /** Brute-force dd24 segmentation: cut after every CdcHashW-gram
-    * whose 7-hex md5 prefix is ≡ 0 mod CdcDiv; sentinels 0 and len. */
+    * whose 7-hex md5 prefix is ≡ 0 mod CdcDiv, then the LBFS
+    * [CdcMin, CdcMax] clamp as an explicit left-to-right greedy —
+    * skip a cut closer than min to the last kept boundary, force
+    * cuts every max across longer gaps, always end at len.
+    * (Round12OpsSpec re-derives the same greedy independently for
+    * its degenerate-doc properties.) */
   private def cdcSegments(t: String): Seq[String] = {
     val wh = graft.dedup.Dedup.CdcHashW
     val dv = graft.dedup.Dedup.CdcDiv
+    val mn = graft.dedup.Dedup.CdcMin
+    val mx = graft.dedup.Dedup.CdcMax
     val cuts = (1 to t.length - wh + 1)
       .filter(i => md5Long7(t.substring(i - 1, i - 1 + wh)) % dv == 0)
-      .map(_ + wh - 1)
-    val bs = (Seq(0) ++ cuts ++ Seq(t.length)).distinct.sorted
-    bs.zip(bs.tail).map { case (a, b) => t.substring(a, b) }
+      .map(i => (i + wh - 1).toLong).filter(_ < t.length)
+    val acc = scala.collection.mutable.ArrayBuffer(0L)
+    (cuts :+ t.length.toLong).foreach { p =>
+      val last = acc.last
+      val n = (p - last - 1) / mx
+      (1L to n).foreach(j => acc += last + j * mx)
+      if (p == t.length || p - (last + n * mx) >= mn) acc += p
+    }
+    acc.zip(acc.tail).map { case (a, b) =>
+      t.substring(a.toInt, b.toInt) }.toSeq
   }
 
   test("dd24 removes a 1-char-shifted duplicated span that dd23's " +
@@ -268,30 +282,39 @@ class Round11OpsSpec extends AnyFunSuite {
       spark, out, wide, 0L))
   }
 
-  test("dd24 segmentation is offset-invariant: the shared span's " +
-    "interior chunks identically at both shifts") {
+  test("dd24 segmentation is offset-invariant after re-sync: the " +
+    "shared span chunks identically at both shifts from the first " +
+    "common kept boundary, reached within one clamp period") {
+    // With the [min,max] clamp the greedy's state is the last KEPT
+    // boundary, so the first boundaries inside the span can depend on
+    // pre-span content; but the moment both runs keep the SAME
+    // relative boundary, every later decision sees identical state +
+    // identical content ⇒ identical chunking. The theorem is
+    // therefore suffix invariance from the first common boundary,
+    // and that boundary arrives within ~one max-length segment.
     val rnd = new scala.util.Random(7)
     def rs(n: Int): String =
       (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
     val shared = rs(600)
     val edge = graft.dedup.Dedup.CdcHashW + graft.dedup.Dedup.CdcDiv
-    // interior segments = those fully inside the span, at least one
-    // full gram away from either edge so their boundary decisions
-    // never read pad bytes
-    def interiorSegs(t: String, start: Int): Set[String] = {
-      var off = 0
-      cdcSegments(t).flatMap { seg =>
-        val s0 = off; off += seg.length
-        if (s0 >= start + edge && s0 + seg.length <= start + shared.length - edge)
-          Some(seg)
-        else None
-      }.toSet
+    // kept boundaries relative to the span start, restricted to the
+    // interior (a full gram away from either edge, so every boundary
+    // decision reads span bytes only)
+    def relBounds(t: String, start: Int): Seq[Long] = {
+      var off = 0L
+      cdcSegments(t).map { seg => off += seg.length; off }
+        .map(_ - start)
+        .filter(p => p >= edge && p <= shared.length - edge)
     }
-    val a = rs(37) + shared + rs(50)
-    val b = rs(38) + shared + rs(61)
-    val ia = interiorSegs(a, 37)
-    val ib = interiorSegs(b, 38)
-    assert(ia.nonEmpty)
-    assert(ia == ib)
+    val ba = relBounds(rs(37) + shared + rs(50), 37)
+    val bb = relBounds(rs(38) + shared + rs(61), 38)
+    val common = ba.toSet.intersect(bb.toSet)
+    assert(common.nonEmpty)
+    val rp = common.min
+    assert(rp <= edge + graft.dedup.Dedup.CdcMax +
+      graft.dedup.Dedup.CdcMin)
+    val sa = ba.filter(_ >= rp)
+    assert(sa.length >= 3) // suffix equality is not vacuous
+    assert(sa == bb.filter(_ >= rp))
   }
 }

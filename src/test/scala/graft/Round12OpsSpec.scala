@@ -38,4 +38,78 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(!CurationIncremental.refreshWaveBatch(spark, root, docs, wave, 0L))
     assert(ver == 1L)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dd24 [min,max] clamp: a degenerate every-position-cut doc and " +
+    "a zero-cut doc both chunk inside the clamp band, and neither is " +
+    "rewritten away") {
+    import graft.dedup.Dedup.{CdcDiv, CdcHashW, CdcMax, CdcMin}
+    import spark.implicits._
+    // '´'×16 hashes ≡ 0 mod CdcDiv (every gram position is a content
+    // cut — the separator-wall case the clamp exists for); 'z'×16
+    // does not (no content cut at all — the forced-cut case)
+    def md5Long7(s: String) = java.lang.Long.parseLong(
+      md5hex(s).take(7), 16)
+    assert(md5Long7("´" * CdcHashW) % CdcDiv == 0L)
+    assert(md5Long7("z" * CdcHashW) % CdcDiv != 0L)
+    val wall = "´" * 600
+    val flat = "z" * 600
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dd24_clamp").toString
+    Seq((1L, wall, "en", "web", 600L), (2L, flat, "en", "web", 600L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dd24_cdc_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // independent greedy (the per-step formulation, not the engine's
+    // fold): next boundary = first content cut >= last+min if within
+    // last+max, else forced last+max, else len
+    def segments(t: String): Seq[String] = {
+      val cuts = (1 to t.length - CdcHashW + 1)
+        .filter(i => md5Long7(t.substring(i - 1, i - 1 + CdcHashW))
+          % CdcDiv == 0)
+        .map(i => (i + CdcHashW - 1).toLong).filter(_ < t.length)
+      val bs = scala.collection.mutable.ArrayBuffer(0L)
+      while (bs.last < t.length) {
+        val l = bs.last
+        val c = cuts.find(_ >= l + CdcMin)
+        bs += (c match {
+          case Some(p) if p - l <= CdcMax => p
+          case _ => if (t.length - l <= CdcMax) t.length.toLong
+                    else l + CdcMax
+        })
+      }
+      bs.zip(bs.tail).map { case (a, b) =>
+        t.substring(a.toInt, b.toInt) }.toSeq
+    }
+    Seq(1L -> wall, 2L -> flat).foreach { case (id, t) =>
+      val segs = segments(t)
+      // clamp band: every segment <= max, every non-final >= min —
+      // the 1-char-shred and the unbounded-segment failure are both
+      // structurally impossible
+      assert(segs.forall(_.length <= CdcMax))
+      assert(segs.init.forall(_.length >= CdcMin))
+      val kept = {
+        val seen = scala.collection.mutable.Set[String]()
+        segs.filter(seen.add)
+      }
+      val row = rows(id)
+      assert(row.getLong(1) == segs.length.toLong)
+      assert(row.getLong(2) == (segs.length - kept.length).toLong)
+      assert(row.getLong(3) == kept.mkString.length.toLong)
+      assert(row.getString(4) == md5hex(kept.mkString))
+      // self-repetition dedupes WITHIN the doc (that is correct span
+      // removal), but the survivor keeps at least a full min-sized
+      // segment — never the 1-char residue the unclamped rule left
+      assert(row.getLong(3) >= CdcMin)
+    }
+    // the wall doc chunks at the min spacing, the flat doc at max
+    assert(rows(1L).getLong(1) == (600L + CdcMin - 1) / CdcMin)
+    assert(rows(2L).getLong(1) == (600L + CdcMax - 1) / CdcMax)
+  }
 }
