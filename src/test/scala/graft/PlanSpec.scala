@@ -365,6 +365,24 @@ class PlanSpec extends AnyFunSuite {
       s"ta15: expected zero corpus scans in the final plan, got $scans:\n$p")
   }
 
+  test("ta29 encodes from the shipped artifact — no trainer stages " +
+    "in the plan") {
+    // the encode path must be: corpus type fold + the artifact's
+    // replace chain + per-source counts + the final rollup — exactly
+    // 3 aggregates, no pair-count stage (lsym/rsym), and no
+    // checkpoint scar (an ExistingRDD scan would mean the trainer's
+    // materialized state leaked into the encode plan)
+    val df = SparkEntry.queries("ta29_bpe_encode_artifact")(spark, d)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val aggs = "Aggregate".r.findAllMatchIn(opt).length
+    assert(aggs == 3, s"ta29: expected 3 aggregates, got $aggs:\n$opt")
+    assert(!opt.contains("lsym"),
+      s"ta29: trainer pair-count stage leaked into the encode plan:\n$opt")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("ExistingRDD"),
+      s"ta29: checkpointed trainer state in the encode plan:\n$phys")
+  }
+
   test("ss21 pagerank iterations ride checkpoints — no corpus re-scan") {
     // every iteration input (edges, nodes, outdeg, prior ranks) is
     // localCheckpoint'ed, so the final plan must contain NO FileScan:

@@ -112,4 +112,21 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows(1L).getLong(1) == (600L + CdcMin - 1) / CdcMin)
     assert(rows(2L).getLong(1) == (600L + CdcMax - 1) / CdcMax)
   }
+
+  test("ta29/ta27 encode-from-artifact reproduces the trainer's own " +
+    "final type table exactly (replace-chain composition law)") {
+    import graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    // trainer's final table (the in-query retrain ta27 used to run)
+    val trained = rows(TextAnalysis.bpeBatchTrained(spark, d)._2)
+    // artifact path: published merge table + one chained projection
+    val art = rows(TextAnalysis.encodeFromArtifact(spark, d))
+    assert(trained.nonEmpty)
+    assert(art == trained)
+    // and the publish is idempotent: a second call reuses the marker
+    val root = TextAnalysis.publishedBpeMerges(spark, d)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_MERGES")
+      == "merges_v1")
+  }
 }
