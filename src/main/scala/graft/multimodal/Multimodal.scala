@@ -181,6 +181,69 @@ object Multimodal {
     ResizedImg(r.doc_id, w2, h2, sum)
   }
 
+  /** mm16: REAL PNG encoder — the same deterministic pixel generator
+    * rendered through `javax.imageio` (pure JDK, zero new
+    * dependencies): filtered, zlib-compressed, CRC-checked IDAT
+    * chunks, not a homegrown container. Pixels land in a
+    * TYPE_3BYTE_BGR raster (written bytes are B,G,R per pixel;
+    * the generator is R,G,B-ordered, hence the index swizzle). */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var p = 0
+    while (p < w * h) {
+      data(p * 3) = pixelByte(docId, p * 3 + 2).toByte // B
+      data(p * 3 + 1) = pixelByte(docId, p * 3 + 1).toByte // G
+      data(p * 3 + 2) = pixelByte(docId, p * 3).toByte // R
+      p += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException("no PNG writer available")
+    baos.toByteArray
+  }
+
+  /** Synthetic PNG media table — [[mediaPayloads]]' geometry with the
+    * payload encoded as a genuine PNG instead of PPM. */
+  def pngPayloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h) = imgDims(id, text.codePointCount(0, text.length))
+        MediaRecord(id, encodePng(id, w, h))
+      }
+  }
+
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, checksum: Long)
+
+  /** mm16 worker: REAL PNG decode (ImageIO — zlib inflate, filter
+    * reconstruction, CRC validation) + the mm02 feature set. Decode
+    * failures throw loudly, they never produce garbage features. */
+  def decodePngFeatures(r: MediaRecord): PngFeatures = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"PNG decode failed for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    PngFeatures(r.doc_id, w, h, w * h, sum)
+  }
+
   final case class ImgAHash(doc_id: Long, width: Int, height: Int,
       ahash_hi: Long, ahash_lo: Long)
 
@@ -743,6 +806,26 @@ object Multimodal {
       import s.implicits._
       mediaPayloads(s, d)
         .mapPartitions(_.map(decodeFeatures))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // mm16: the mm02 round trip through a REAL-WORLD container —
+    // PNG via javax.imageio (pure JDK): the encoder emits filtered
+    // zlib-compressed CRC-checked IDAT chunks, the decoder inflates
+    // and reconstructs, and the oracle recomputes the GENERATOR
+    // arithmetic — so the hash gate proves a genuine
+    // compress→decompress→filter-reconstruct cycle is pixel-exact,
+    // upgrading the mm family's image evidence from
+    // synthetic-container (PPM's raw plane) to the container web
+    // corpora actually carry. Same scale shape as mm02: payloads
+    // never shuffle, one-record→one-record partition map, only
+    // small features flow downstream. Round12OpsSpec additionally
+    // proves decoded RGB == generator byte-for-byte per pixel.
+    "mm16_png_decode" -> ((s, d) => {
+      import s.implicits._
+      pngPayloads(s, d)
+        .mapPartitions(_.map(decodePngFeatures))
         .toDF()
         .orderBy("doc_id")
     }),
@@ -1654,6 +1737,24 @@ object Multimodal {
         |  FROM documents
         |)
         |SELECT doc_id, width, height, 255 AS max_val,
+        |  width * height AS n_pixels,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(generate_series(0, 3 * width * height - 1),
+        |      i -> (doc_id * 31 + i * 7) % 256)),
+        |    (a, b) -> a + b) AS checksum
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    // mm16: identical generator arithmetic to mm02 (PNG is lossless,
+    // so the decoded plane must equal the generator exactly); no
+    // max_val column — PNG carries bit depth, not a PPM maxval.
+    "mm16_png_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS width,
+        |    3 + (doc_id % 17) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
         |  width * height AS n_pixels,
         |  list_reduce(list_prepend(0::BIGINT,
         |    list_transform(generate_series(0, 3 * width * height - 1),

@@ -129,4 +129,39 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(graft.io.Commit.readMarker(spark, s"$root/_MERGES")
       == "merges_v1")
   }
+
+  test("mm16 PNG round trip: ImageIO decode reproduces the pixel " +
+    "generator byte-for-byte, per pixel and channel") {
+    import graft.multimodal.Multimodal
+    // odd/even ids, non-square dims, incl. a width below the aHash
+    // grid — the geometries the fixture actually produces
+    for ((id, w, h) <- Seq((0L, 4, 3), (7L, 17, 10), (123L, 32, 19))) {
+      val png = Multimodal.encodePng(id, w, h)
+      // a real container, not a raw plane: PNG magic + IHDR
+      assert(png.take(8).map(_ & 0xFF).toSeq ==
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val p = (y * w + x) * 3
+        assert(((rgb >> 16) & 0xFF) == Multimodal.pixelByte(id, p))
+        assert(((rgb >> 8) & 0xFF) == Multimodal.pixelByte(id, p + 1))
+        assert((rgb & 0xFF) == Multimodal.pixelByte(id, p + 2))
+      }
+      // and the worker's feature set over the same payload
+      val f = Multimodal.decodePngFeatures(
+        Multimodal.MediaRecord(id, png))
+      assert(f.width == w && f.height == h && f.n_pixels == w * h)
+      assert(f.checksum == (0 until 3 * w * h)
+        .map(i => Multimodal.pixelByte(id, i).toLong).sum)
+    }
+    // a corrupted payload fails loudly, never yields garbage features
+    val bad = Multimodal.encodePng(1L, 8, 8)
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5A).toByte
+    intercept[Exception] {
+      Multimodal.decodePngFeatures(Multimodal.MediaRecord(1L, bad))
+    }
+  }
 }
