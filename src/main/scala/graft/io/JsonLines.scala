@@ -144,6 +144,77 @@ object JsonLines {
       .unionByName(cdcRows)
   }
 
+  /** io19c's staged base + WIDEN+RENAME CDC batch — the other two
+    * core Delta/Iceberg evolve cases beside io19b's add-column: the
+    * base snapshot is written in the INT era with the language column
+    * named `lang`; the CDC batch arrives in the NEW schema (`n_chars`
+    * widened int → long, `lang` renamed `language`). Returns (base,
+    * cdcKeys, cdcRows, root); CDC derivation reuses io19's
+    * deterministic rules so the three merges stay comparable. */
+  private[graft] def widenRenameParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, String) = {
+    import org.apache.spark.sql.functions._
+    val root = stagingDir("merge_widen_rename")
+    graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars").cast("int").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$root/snap0")
+    val base = s.read.parquet(s"$root/snap0")
+    val dels = base.filter(col("doc_id") % 11 === 3).select("doc_id")
+    val upds = base
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 3)
+      .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      .select(col("doc_id"), col("text"), col("lang").as("language"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+    val ins = base.filter(col("doc_id") % 13 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("ingested revision of "),
+          col("doc_id").cast("string")).as("text"),
+        col("lang").as("language"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "language", "source", "n_chars")
+    val cdcRows = upds.unionByName(ins)
+    val cdcKeys = dels.unionByName(cdcRows.select("doc_id"))
+    (base, cdcKeys, cdcRows, root)
+  }
+
+  /** The FIELD-ID MAPPING read of an old-era data file: rename is
+    * metadata (an alias projection at read time — data files keep the
+    * old column name, the table schema maps the field id to the new
+    * one) and int → long widening is a cast the parquet reader
+    * applies per value. Zero data files rewritten — exactly how
+    * Delta/Iceberg ship both evolve cases. */
+  private[graft] def mapOldEra(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    base.select(col("doc_id"), col("text"),
+      col("lang").as("language"), col("source"),
+      col("n_chars").cast("long").as("n_chars"))
+  }
+
+  /** Widen+rename evolve-on-merge: old-era base rows read through the
+    * mapping, then io19's plain schema-aligned merge. */
+  private[graft] def widenRenameOnMerge(base: DataFrame,
+      cdcKeys: DataFrame, cdcRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    mapOldEra(base).join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+      .unionByName(cdcRows)
+  }
+
+  /** The migration spelling of the same law: physically REWRITE the
+    * base into the new schema first (the copy-on-write route a
+    * format without field-id metadata is forced into), then the
+    * plain merge. Round12OpsSpec proves mapping ≡ migration
+    * row-for-row — the equivalence that makes the zero-rewrite
+    * mapping safe to ship. */
+  private[graft] def migrateThenMerge(s: SparkSession, base: DataFrame,
+      cdcKeys: DataFrame, cdcRows: DataFrame, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    mapOldEra(base).write.mode("overwrite").parquet(s"$root/snap0_migrated")
+    s.read.parquet(s"$root/snap0_migrated")
+      .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+      .unionByName(cdcRows)
+  }
+
   /** Null sentinel for the CSV round trip. CSV has no native null: by
     * default Spark writes null as an empty field AND reads empty
     * fields back as null, which conflates null with the empty string.
@@ -548,6 +619,44 @@ object JsonLines {
           max("tok_count").as("max_tok"),
           sum(md5Long(col("text"), 7)).as("sum_md57"))
         .orderBy("lang")
+    }),
+
+    // io19c: MERGE WITH TYPE WIDENING + COLUMN RENAME — the other two
+    // core evolve cases (Delta/Iceberg treat add/widen/rename as one
+    // feature; io19b covered add). The base snapshot is an INT-era
+    // file with the column named `lang`; the CDC batch arrives with
+    // n_chars widened to LONG and the column renamed `language`.
+    // Neither case is NULL-backfill: rename is FIELD-ID MAPPING (an
+    // alias projection at read time — base data files are never
+    // rewritten) and widening is a per-value cast the reader applies
+    // (int → long is exact, so min/max/sum stats computed in the int
+    // era stay valid after the cast — the merge law io22/io23's
+    // buffers need, proven in Round12OpsSpec). The readout groups by
+    // the RENAMED column and aggregates the WIDENED one through the
+    // on-disk snapshot; the text checksum pins delete/update/insert
+    // byte-exactly, and schema_match in the driver gate pins the
+    // widened LONG type end-to-end.
+    //
+    // Scale: identical to io19 — the one wide op is the base
+    // anti-join on broadcast CDC keys; the mapping projection is
+    // zero-cost metadata at 100 TB (no data file rewrite), vs the
+    // migration spelling's full copy-on-write rewrite that
+    // Round12OpsSpec proves it equal to.
+    "io19c_merge_widen_rename" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val (base, cdcKeys, cdcRows, root) = widenRenameParts(s, d)
+      widenRenameOnMerge(base, cdcKeys, cdcRows)
+        .write.mode("overwrite").parquet(s"$root/snap1")
+      Commit.writeMarker(s, s"$root/_SNAPSHOT", "snap1")
+      val snap = s.read.parquet(
+        s"$root/" + Commit.readMarker(s, s"$root/_SNAPSHOT"))
+      snap.groupBy("language")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("language")
     }),
 
     // io20: DATA-QUALITY EXPECTATIONS — the declarative constraint
@@ -1447,6 +1556,42 @@ object JsonLines {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // io19c: io19's relational replay with the mapped rename (lang →
+    // language) and the int → long widening applied as the read-time
+    // cast on base rows; CDC rows carry the new schema natively.
+    "io19c_merge_widen_rename" ->
+      """WITH dels AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 11 = 3
+        |), upds AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text,
+        |    lang AS language, source,
+        |    CAST(length(text || ' [rev2]') AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |), ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'ingested revision of ' || CAST(doc_id AS VARCHAR) AS text,
+        |    lang AS language, source,
+        |    CAST(length('ingested revision of '
+        |      || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 13 = 1
+        |), cdc AS (
+        |  SELECT * FROM upds UNION ALL SELECT * FROM ins
+        |), merged AS (
+        |  SELECT doc_id, text, lang AS language, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+        |    AND doc_id NOT IN (SELECT doc_id FROM cdc)
+        |  UNION ALL SELECT * FROM cdc
+        |)
+        |SELECT language, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM merged GROUP BY language ORDER BY language""".stripMargin,
 
     // io23: from scratch over the UNSPLIT table — the merge-law
     // equivalence proof for all five buffers at once.

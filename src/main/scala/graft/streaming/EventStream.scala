@@ -167,6 +167,39 @@ object EventStream {
     true
   }
 
+  /** st25's per-batch WIDEN+RENAME merge: st24's version-keyed upsert
+    * when the CDC stream carries io19c's other two evolve cases —
+    * the published base is an INT-era table with the column named
+    * `lang`, the stream's rows carry `language` + LONG n_chars. An
+    * old-era snapshot is read through the field-id mapping (alias +
+    * widening cast — a projection, never a rewrite); after the first
+    * merge the snapshot is new-era and the mapping branch is a
+    * no-op, so every later batch flows through the identical code
+    * path. Same replay guard as st18/st24. */
+  private[graft] def upsertWidenRenameBatch(ss: SparkSession, out: String,
+      df: DataFrame, id: Long): Boolean = {
+    val marker = s"$out/_SNAPSHOT"
+    require(graft.io.Commit.exists(ss, marker),
+      s"st25 widen+rename merge needs a published base snapshot at $out")
+    if (graft.io.Commit.readMarker(ss, marker) == s"snap$id") return false
+    val cur0 = ss.read.parquet(
+      s"$out/" + graft.io.Commit.readMarker(ss, marker))
+    val cur =
+      if (cur0.columns.contains("lang"))
+        cur0.select(col("doc_id"), col("text"),
+          col("lang").as("language"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("version"))
+      else cur0
+    val all = cur.unionByName(df)
+    val cols = all.columns.map(col)
+    all.groupBy("doc_id")
+      .agg(max_by(struct(cols: _*), col("version")).as("r"))
+      .select("r.*")
+      .write.mode("overwrite").parquet(s"$out/snap$id")
+    graft.io.Commit.writeMarker(ss, marker, s"snap$id")
+    true
+  }
+
   private[graft] def upsertDocBatch(ss: SparkSession, out: String,
       df: DataFrame, id: Long): Boolean = {
     val marker = s"$out/_SNAPSHOT"
@@ -1151,6 +1184,90 @@ object EventStream {
         .orderBy("lang")
     }),
 
+    // st25: STREAMING MERGE WITH TYPE WIDENING + COLUMN RENAME —
+    // io19c's two evolve cases per microbatch, completing the evolve
+    // batch/stream matrix (io19b↔st24 = add-column, io19c↔st25 =
+    // widen+rename). The published base is an INT-era table whose
+    // language column is still named `lang`; CDC waves land in the
+    // NEW schema (language, LONG n_chars) and each microbatch merges
+    // through the field-id mapping (alias + widening cast on the
+    // old-era snapshot read — a projection, never a rewrite). st18's
+    // version-keyed max_by makes arrival order irrelevant, so the
+    // closed-form latest-version-per-key oracle over base ∪ waves
+    // (base read through the same mapping) gates the stream
+    // verbatim; schema_match pins the widened LONG + renamed column
+    // end-to-end through the on-disk snapshot.
+    //
+    // Scale: st24's shape — one key-grouped merge per microbatch;
+    // the mapping is metadata-level at 100 TB (the int-era files are
+    // never rewritten; after the first merge the snapshot is
+    // new-era and the branch is a no-op).
+    "st25_stream_merge_widen_rename" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_widen").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs0 = graft.Tables.documents(ss, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = s"$root/tbl"
+      // the INT-era base with the OLD column name, published by a
+      // batch job before the stream
+      docs0.withColumn("n_chars", col("n_chars").cast("int"))
+        .withColumn("version", lit(1L))
+        .write.mode("overwrite").parquet(s"$out/snapbase")
+      graft.io.Commit.writeMarker(ss, s"$out/_SNAPSHOT", "snapbase")
+      def newEra(df: DataFrame, ver: Long): DataFrame = df
+        .select(col("doc_id"), col("text"),
+          col("lang").as("language"), col("source"),
+          length(col("text")).cast("long").as("n_chars"),
+          lit(ver).as("version"))
+      val w1 = newEra(docs0.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]"))), 2L)
+      val w2 = newEra(docs0.filter(col("doc_id") % 21 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev3]"))), 3L)
+        .unionByName(newEra(docs0.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("ingested revision of "),
+              col("doc_id").cast("string")).as("text"),
+            col("lang"), col("source"), col("n_chars")), 1L))
+      Seq(w1, w2).foreach(
+        _.coalesce(1).write.mode("append").parquet(s"$root/src"))
+      var batches = 0
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(w1.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            upsertWidenRenameBatch(ss, out, df, id)
+            batches += 1
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 2,
+        s"expected multiple widen+rename batches, got $batches")
+      val snap = s.read.parquet(
+        s"$out/" + graft.io.Commit.readMarker(s, s"$out/_SNAPSHOT"))
+      snap.groupBy("language")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(md5Long(col("text"), 7)).as("sum_md57"))
+        .orderBy("language")
+    }),
+
     "st19_stream_ingest_curate" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val root = java.nio.file.Paths.get(
@@ -1390,6 +1507,48 @@ object EventStream {
          |    AS sum_md57
          |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // st25: latest version per key over base ∪ waves, the base read
+    // through the SAME field-id mapping the stream merge applies
+    // (lang → language alias + the exact int → long widening cast).
+    "st25_stream_merge_widen_rename" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang AS language, source,
+        |    CAST(n_chars AS BIGINT) AS n_chars, 1 AS version
+        |  FROM documents
+        |), w1 AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text, lang AS language,
+        |    source, CAST(length(text || ' [rev2]') AS BIGINT) AS n_chars,
+        |    2 AS version
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), w2 AS (
+        |  SELECT doc_id, text || ' [rev3]' AS text, lang AS language,
+        |    source, CAST(length(text || ' [rev3]') AS BIGINT) AS n_chars,
+        |    3 AS version
+        |  FROM documents WHERE doc_id % 21 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'ingested revision of ' || CAST(doc_id AS VARCHAR) AS text,
+        |    lang AS language, source,
+        |    CAST(length('ingested revision of '
+        |      || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars,
+        |    1 AS version
+        |  FROM documents WHERE doc_id % 13 = 1
+        |), u AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM w1
+        |  UNION ALL SELECT * FROM w2
+        |), fin AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY version DESC) AS rn FROM u)
+        |  WHERE rn = 1
+        |)
+        |SELECT language, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
+        |    AS sum_md57
+        |FROM fin GROUP BY language ORDER BY language""".stripMargin,
 
     "st18_stream_upsert" ->
       """WITH final AS (

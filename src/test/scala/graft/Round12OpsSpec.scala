@@ -164,4 +164,51 @@ class Round12OpsSpec extends AnyFunSuite {
       Multimodal.decodePngFeatures(Multimodal.MediaRecord(1L, bad))
     }
   }
+
+  test("io19c widen+rename: field-id mapping merge equals " +
+    "migrate-then-merge row-for-row, and int-era stats buffers merge " +
+    "under the widening cast") {
+    import graft.io.JsonLines
+    val (base, cdcKeys, cdcRows, root) = JsonLines.widenRenameParts(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val mapped = rows(JsonLines.widenRenameOnMerge(base, cdcKeys, cdcRows))
+    val migrated = rows(
+      JsonLines.migrateThenMerge(spark, base, cdcKeys, cdcRows, root))
+    assert(mapped.nonEmpty)
+    assert(mapped == migrated)
+    // the rename + widening are real: the merged schema carries the
+    // NEW name at LONG type while the staged base file still holds
+    // the OLD name at INT — data files were never rewritten
+    val merged = JsonLines.widenRenameOnMerge(base, cdcKeys, cdcRows)
+    assert(merged.schema("n_chars").dataType.typeName == "long")
+    assert(merged.columns.contains("language"))
+    assert(base.schema("n_chars").dataType.typeName == "integer")
+    assert(base.columns.contains("lang"))
+
+    // stats merge law under the cast: count/nulls/min/max buffers
+    // computed in the INT era, cast to long, merge with the delta's
+    // LONG buffers into exactly the stats recomputed over the merged
+    // snapshot — why a 100 TB table's widened column keeps its
+    // incremental stats history (io23's discipline)
+    import org.apache.spark.sql.functions._
+    val survivors = JsonLines.mapOldEra(base)
+      .join(broadcast(cdcKeys), Seq("doc_id"), "left_anti")
+    def buf(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), count(col("n_chars")),
+        min(col("n_chars").cast("long")),
+        max(col("n_chars").cast("long")),
+        sum(col("n_chars").cast("long"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+    }
+    val (n1, nn1, mn1, mx1, s1) = buf(survivors)
+    val (n2, nn2, mn2, mx2, s2) = buf(cdcRows)
+    val (nM, nnM, mnM, mxM, sM) =
+      buf(JsonLines.widenRenameOnMerge(base, cdcKeys, cdcRows))
+    assert((n1 + n2, nn1 + nn2, math.min(mn1, mn2),
+      math.max(mx1, mx2), s1 + s2) == ((nM, nnM, mnM, mxM, sM)))
+  }
 }
