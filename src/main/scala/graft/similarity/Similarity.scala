@@ -223,6 +223,90 @@ object Similarity {
     (idx, probes, cells)
   }
 
+  /** ss26/ss27's versioned incremental-index root — keyed by the data
+    * dir so two SF dirs in one JVM never share an index. */
+  private def ivfIndexRoot(d: String): String =
+    graft.io.JsonLines.stagingDir(
+      "ivf_index_incr_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+
+  private[graft] val IvfIndexSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id LONG, m INT, code LONG, d2_u6 LONG, cell LONG")
+
+  /** Cell assignment of an ARBITRARY vector frame under a FROZEN
+    * centroid table — ivfCells' argmax factored so base and delta
+    * assign through literally the same code against the same
+    * broadcast geometry (the frozen-geometry half of ss26's
+    * append ≡ from-scratch theorem: assignment is per-vector given
+    * the centroids, so it cannot depend on which batch a vector
+    * arrived in). */
+  private def assignCells(s: SparkSession, vecs: DataFrame,
+      cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cos_c", round(
+        dot(s, col("embedding"), col("cent")) / (col("nrm") * col("cn")), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"))
+
+  /** Build-once/append-once for the incremental ANN index — the cu01
+    * bank discipline applied to the one artifact that was still
+    * from-scratch-only (the round-11 verdict's top ask): day 0
+    * builds the BASE index (IVF cell + PQ codes + per-subspace
+    * quantization error, cell-partitioned) from the corpus below the
+    * cutoff and publishes it behind an io09 marker; day 1 assigns
+    * ONLY the delta under the FROZEN centroids/codebook, writes it
+    * as a NEW segment directory (cell-append — base files are never
+    * rewritten), and rolls the marker to the segment LIST. Returns
+    * (root, cutoff). Idempotent per session: whichever of ss26/ss27
+    * runs first builds; reruns read the marker. */
+  private[graft] def publishedIvfIndex(s: SparkSession, d: String)
+      : (String, Long) = {
+    val root = ivfIndexRoot(d)
+    val marker = s"$root/_INDEX"
+    val maxId = embeddings(s, d).agg(max("vec_id")).head().getLong(0)
+    val cutoff = (maxId + 1L) * 9L / 10L
+    if (!graft.io.Commit.exists(s, marker)) {
+      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+      // frozen geometry: centroids are base rows (vec_id 0..7 <
+      // cutoff) and pqAssign's codebook rows vec_id < PqK likewise —
+      // retraining happens on ss27's drift verdict, never per append
+      val cents = e.filter(col("vec_id") < IvfCents)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+          col("nrm").as("cn"))
+      val codes = graft.operators.TextAnalysis.pqAssign(s, d)
+        .select(col("vec_id"), col("m"), col("code"),
+          floor(col("d2") * 1e6 + 0.5).cast("long").as("d2_u6"))
+      def writeSegment(vecs: DataFrame, path: String): Unit =
+        assignCells(s, vecs, cents)
+          .join(codes, Seq("vec_id"))
+          .select("vec_id", "m", "code", "d2_u6", "cell")
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      writeSegment(e.filter(col("vec_id") < cutoff), s"$root/seg_base")
+      graft.io.Commit.writeMarker(s, marker, "seg_base")
+      writeSegment(e.filter(col("vec_id") >= cutoff), s"$root/seg_delta1")
+      graft.io.Commit.writeMarker(s, marker, "seg_base,seg_delta1")
+    }
+    (root, cutoff)
+  }
+
+  /** Read the published index back: the marker's segment list, each a
+    * cell-partitioned parquet directory (probes prune directories
+    * inside EVERY segment — appending never un-prunes the layout). */
+  private[graft] def readIvfIndex(s: SparkSession, root: String)
+      : DataFrame = {
+    val segs = graft.io.Commit.readMarker(s, s"$root/_INDEX").split(",")
+    // one partition-discovered read PER segment, then a union — the
+    // segment dirs are sibling partitioned tables (a single
+    // multi-root read would conflate their cell= directory layouts)
+    segs.map(seg =>
+        s.read.option("basePath", s"$root/$seg").schema(IvfIndexSchema)
+          .parquet(s"$root/$seg"))
+      .reduce(_ unionByName _)
+  }
+
   /** The greedy MMR selection over a bounded shortlist
     * `cand0`(query_id, neighbor_id, rel_u6) — shared by ss15 (brute
     * shortlist, the exact reference) and ss18 (shortlist served from
@@ -648,6 +732,80 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select("query_id", "rank", "neighbor_id", "adc_u6")
         .orderBy("query_id", "rank")
+    }),
+
+    // ss26: INCREMENTAL ANN INDEX MAINTENANCE — the cu01/io23
+    // mergeable-state discipline applied to the last heavy artifact
+    // that was still from-scratch-only: today's embeddings are
+    // APPENDED into yesterday's published IVF(-PQ) index under
+    // FROZEN centroids/codebooks (day 0 builds + publishes the base
+    // segment; day 1 assigns only the delta and publishes it as a
+    // new cell-partitioned segment behind the marker's segment list
+    // — base files never rewritten, ss17 handles the update/delete
+    // half). The hash gate is the theorem that makes this sound:
+    // cell and code assignment are PER-VECTOR functions of the
+    // frozen geometry, so append(base, delta) ≡
+    // from-scratch-assign(base ∪ delta) — the DuckDB oracle computes
+    // the from-scratch side over the unsplit table, and the query
+    // returns the appended index read back through the marker.
+    // Retraining is a DECISION, not a side effect: ss27 reads this
+    // index's drift columns and says when the frozen geometry has
+    // expired.
+    //
+    // Scale: the delta pass touches |delta| vectors (one broadcast
+    // cross join + keys-sized argmax — nothing corpus-sized moves),
+    // vs the full rebuild every append used to pay; segments stay
+    // cell-partitioned so probes prune directories inside every
+    // segment (BucketLayoutSpec's pruning applies per segment), and
+    // compaction of many small segments is io07's job, unchanged.
+    "ss26_ivf_index_append" -> ((s, d) => {
+      val (root, cutoff) = publishedIvfIndex(s, d)
+      readIvfIndex(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
+    }),
+
+    // ss27: INDEX DRIFT READOUT — the trigger that ends ss26's
+    // frozen-geometry regime: per IVF cell, base vs delta member
+    // counts and summed PQ quantization error (the per-vector
+    // d2_u6 the index already carries — monitoring reads the
+    // artifact, it never re-scores vectors). Two integer-exact
+    // verdict columns: fill_skew (cell share > 2× uniform after the
+    // append — the delta piled into few cells, so nprobe recall is
+    // rotting) and err_drift (delta mean quantization error > 5/4 ×
+    // base mean, by cross-multiplication — new vectors don't fit
+    // the old codebook; a delta-only cell flags by convention). ANY
+    // flagged row is the "retrain now" verdict (em05's training
+    // loop is the path out; em13 is this check's embedding-side
+    // sibling).
+    //
+    // Scale: one pass over the index rows (8 ints per vector, never
+    // the vectors), a cells-sized aggregate, a 1-row broadcast for
+    // the global total — the monitor costs an index scan and
+    // outputs a page.
+    "ss27_index_drift" -> ((s, d) => {
+      val (root, cutoff) = publishedIvfIndex(s, d)
+      val verr = readIvfIndex(s, root)
+        .groupBy("vec_id", "cell")
+        .agg(sum("d2_u6").as("err_u6"))
+        .withColumn("isd", col("vec_id") >= cutoff)
+      val per = verr.groupBy("cell").agg(
+        sum(when(!col("isd"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("isd"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!col("isd"), col("err_u6")).otherwise(0L))
+          .as("err_base_u6"),
+        sum(when(col("isd"), col("err_u6")).otherwise(0L))
+          .as("err_delta_u6"))
+      val tot = per.agg(sum(col("n_base") + col("n_delta")).as("n"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_base"), col("n_delta"),
+          col("err_base_u6"), col("err_delta_u6"),
+          ((col("n_base") + col("n_delta")) * IvfCents >
+            col("n") * 2).as("fill_skew"),
+          (col("err_delta_u6") * col("n_base") * 4 >
+            col("err_base_u6") * col("n_delta") * 5).as("err_drift"))
+        .orderBy("cell")
     }),
 
     // em07: RESIDUAL PQ encoding — the refinement production IVF-PQ
@@ -1908,6 +2066,55 @@ object Similarity {
          |SELECT query_id, rank, neighbor_id, cell, cos FROM ranked
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
+
+    // ss26: the FROM-SCRATCH side of the append theorem — assign the
+    // UNSPLIT table under the same frozen geometry; equality with the
+    // appended index read back through the marker IS the proof.
+    "ss26_ivf_index_append" ->
+      s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
+         |cut AS (
+         |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
+         |)
+         |SELECT a.vec_id, a.cell, p.m, p.code,
+         |  a.vec_id >= (SELECT c FROM cut) AS is_delta
+         |FROM ivf_assigned a JOIN pq_codes p USING (vec_id)
+         |ORDER BY a.vec_id, p.m""".stripMargin,
+
+    // ss27: per-cell base/delta fills + summed per-vector
+    // quantization error (floor-quantized per subspace BEFORE the
+    // sums, so every column is an order-free integer), and the two
+    // cross-multiplied verdicts.
+    "ss27_index_drift" ->
+      s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
+         |cut AS (
+         |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
+         |), verr AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS err_u6
+         |  FROM pq_codes GROUP BY vec_id
+         |), cellrows AS (
+         |  SELECT a.cell, a.vec_id >= (SELECT c FROM cut) AS isd,
+         |    v.err_u6
+         |  FROM ivf_assigned a JOIN verr v USING (vec_id)
+         |), per AS (
+         |  SELECT cell,
+         |    CAST(count(*) FILTER (WHERE NOT isd) AS BIGINT) AS n_base,
+         |    CAST(count(*) FILTER (WHERE isd) AS BIGINT) AS n_delta,
+         |    CAST(coalesce(sum(err_u6) FILTER (WHERE NOT isd), 0)
+         |      AS BIGINT) AS err_base_u6,
+         |    CAST(coalesce(sum(err_u6) FILTER (WHERE isd), 0)
+         |      AS BIGINT) AS err_delta_u6
+         |  FROM cellrows GROUP BY cell
+         |), tot AS (
+         |  SELECT CAST(sum(n_base + n_delta) AS BIGINT) AS n FROM per
+         |)
+         |SELECT cell, n_base, n_delta, err_base_u6, err_delta_u6,
+         |  (n_base + n_delta) * $IvfCents > 2 * (SELECT n FROM tot)
+         |    AS fill_skew,
+         |  4 * err_delta_u6 * n_base > 5 * err_base_u6 * n_delta
+         |    AS err_drift
+         |FROM per ORDER BY cell""".stripMargin,
 
     "ss16_knn_filtered" ->
       s"""WITH $ivfSqlCtes, ranked AS (

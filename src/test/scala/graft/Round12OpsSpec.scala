@@ -211,4 +211,69 @@ class Round12OpsSpec extends AnyFunSuite {
     assert((n1 + n2, nn1 + nn2, math.min(mn1, mn2),
       math.max(mx1, mx2), s1 + s2) == ((nM, nnM, mnM, mxM, sM)))
   }
+
+  test("ss26 appended index: segment layout is real (base untouched, " +
+    "delta in its own segment) and ADC serving from the appended " +
+    "index equals ss07 with recall@10 over the pinned floor") {
+    import graft.operators.TextAnalysis.{pqCodebook, pqDist2, PqM, PqSub}
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val (root, cutoff) = Similarity.publishedIvfIndex(spark, d)
+    // the publish is a genuine two-segment append: the marker names
+    // both segments, the delta segment holds exactly the delta ids,
+    // and the base segment was written before the delta existed
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_base,seg_delta1")
+    val idx = Similarity.readIvfIndex(spark, root).localCheckpoint()
+    val nBase = idx.filter(col("vec_id") < cutoff).count()
+    val nDelta = idx.filter(col("vec_id") >= cutoff).count()
+    assert(nBase > 0 && nDelta > 0)
+    val deltaSeg = spark.read
+      .option("basePath", s"$root/seg_delta1")
+      .schema(Similarity.IvfIndexSchema).parquet(s"$root/seg_delta1")
+    assert(deltaSeg.filter(col("vec_id") < cutoff).count() == 0)
+    assert(deltaSeg.count() == nDelta)
+
+    // serve ADC top-10 FROM THE APPENDED INDEX (ss07's math over the
+    // published segments) — must equal ss07's inline geometry, which
+    // carries ApproxBoundsSpec's pinned recall with it
+    val nq = Similarity.NumQueries
+    val lut = Tables.embeddings(spark, d).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("qe"))
+      .select(col("query_id"), col("m"),
+        slice(col("qe"), col("m") * PqSub + 1, lit(PqSub)).as("qsub"))
+      .join(pqCodebook(spark, d), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        floor(pqDist2(col("qsub"), col("center")) * 1e6 + 0.5)
+          .cast("long").as("ld2_u6"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+    val served = idx
+      .join(broadcast(lut),
+        idx("m") === lut("m") && idx("code") === lut("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("ld2_u6").as("adc_u6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Similarity.TopK)
+      .select("query_id", "rank", "neighbor_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ss07 = SparkEntry.queries("ss07_knn_pq")(spark, d)
+    assert(rows(served) == rows(ss07))
+    // recall floor vs the brute ground truth on the APPENDED index
+    // (= ApproxBoundsSpec's pinned ss07 measurement, 0.20 at sf0.001)
+    val truth = SparkEntry.queries("ss01_knn_brute")(spark, d)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = rows(served).map { case (q, _, n) => (q, n) }
+      .intersect(truth).size
+    val recall = hits.toDouble / truth.size
+    assert(recall >= 0.2,
+      f"served recall@10 from the appended index = $recall%.2f " +
+        "fell below the pinned ss07 floor")
+  }
 }
