@@ -276,4 +276,84 @@ class Round12OpsSpec extends AnyFunSuite {
       f"served recall@10 from the appended index = $recall%.2f " +
         "fell below the pinned ss07 floor")
   }
+
+  test("ta26b batching throughput on a Zipfian many-type vocab: " +
+    "average acceptance per round clears B/2, and the batched walk " +
+    "still equals the sequential trainer merge-for-merge") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // The fixture corpus has 31 word types, so acceptance caps at
+    // ~1.6/round and the B× round reduction is invisible there. This
+    // generator-defined vocab is the regime real corpora live in:
+    // V = 400 word types over a wide symbol alphabet (each word two
+    // fresh symbols), Zipf frequencies f_i = max(1, 3000/(i+1)) so
+    // candidate counts fall off a long tail, and every 10th word
+    // SHARES its left symbol with its predecessor so the stop gate
+    // (interaction arm) fires realistically instead of never.
+    val V = 400
+    def wchar(k: Int) = new String(Character.toChars(0x4E00 + k))
+    def word(i: Int): String =
+      if (i % 10 == 0 && i > 0) wchar(2 * (i - 1)) + wchar(2 * i + 1)
+      else wchar(2 * i) + wchar(2 * i + 1)
+    val docRows = (0 until V).map { i =>
+      val f = math.max(1, 3000 / (i + 1))
+      (i.toLong, Seq.fill(f)(word(i)).mkString(" "))
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zipf_bpe").toString
+    docRows.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    val (merges, _) = TextAnalysis.bpeBatchTrained(spark, dir)
+    assert(merges.nonEmpty)
+    val rounds = merges.map(_._1).distinct.size
+    val avg = merges.size.toDouble / rounds
+    // Measured: 320 merges in 32 rounds = 10.0/round, exactly the
+    // designed interaction spacing — each round's walk accepts the
+    // ten disjoint pairs ahead of the sharing word and stops at it,
+    // which is the gate doing precisely its job (vs ~1.6/round on
+    // the 31-type fixture corpus). Deterministic fixture → pin the
+    // exact numbers (the ApproxBoundsSpec convention); the B/2 floor
+    // is the semantic claim: driver rounds ≈ merges / acceptance,
+    // so 32k merges at this acceptance is ~3.2k rounds, not 32k jobs.
+    assert(merges.size == 320 && rounds == 32,
+      s"acceptance changed: ${merges.size} merges in $rounds rounds")
+    assert(avg >= TextAnalysis.BpeBatchB / 2.0,
+      f"average acceptance $avg%.1f/round fell below B/2 on the " +
+        "Zipf vocab")
+
+    // and the parity theorem holds in the HIGH-acceptance regime too:
+    // flatten the batched table in (round, idx) order and replay an
+    // independent in-memory sequential trainer step for step
+    var freq: Map[List[String], Long] = docRows
+      .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) =>
+        w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toList ->
+          v.length.toLong
+      }
+    val flat = merges.map(m => (m._3, m._4))
+    flat.foreach { case (l, r) =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      freq.foreach { case (seq, f) =>
+        seq.zip(seq.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f }
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert(best._1 == ((l, r)),
+        s"sequential argmax ${best._1} != batched merge ($l,$r)")
+      freq = freq.map { case (seq, f) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var i = 0
+        while (i < seq.length) {
+          if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += seq(i); i += 1 }
+        }
+        out.toList -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+  }
 }

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Assemble a round bench artifact from a series of graft.Bench runs.
 
-Usage: python3 tools/bench_median.py <round> <out.json> <run1.json> ...
+Usage: python3 tools/bench_median.py <round> <out.json> \
+           [--prev <prev_round_artifact.json>] <run1.json> ...
 
 Each run file is Bench's one-line JSON ({"value": total, "queries":
 {name: sec, ...}, "errors": [...]}). The artifact records the run
@@ -10,6 +11,13 @@ totals, per-query medians over the runs that contain the query
 the sum of medians EXCLUDING the pipeline_*_sN_* stage-attribution
 rows (they sum to their e2e row — counting them would double the
 pipelines).
+
+With --prev (the previous round's artifact), every >1.2x mover in
+either direction gets a row in "movers" carrying its gc/mem median
+ratios and a host_suspect verdict: a wall-clock mover whose GC time
+AND peak task memory stayed flat (within the same 1.2x band) did not
+change its own work profile — the round-11 series adjudication
+(slow windows with flat gc/mem = host contention), automated.
 """
 import json
 import re
@@ -19,7 +27,12 @@ import sys
 
 def main():
     rnd, out = sys.argv[1], sys.argv[2]
-    runs = [json.load(open(p)) for p in sys.argv[3:]]
+    rest = sys.argv[3:]
+    prev = None
+    if rest and rest[0] == "--prev":
+        prev = json.load(open(rest[1]))
+        rest = rest[2:]
+    runs = [json.load(open(p)) for p in rest]
     totals = [round(r["value"], 3) for r in runs]
     per = {}
     errors = set()
@@ -52,6 +65,44 @@ def main():
                 acc.setdefault(k, []).append(v)
         return {k: round(statistics.median(v), 1)
                 for k, v in sorted(acc.items())}
+    gc_med = aux_medians("gc_ms")
+    mem_med = aux_medians("peak_task_mem_mb")
+    movers = {}
+    if prev is not None:
+        pq = prev.get("per_query_median_sec", {})
+        pgc = prev.get("per_query_median_gc_ms", {})
+        pmem = prev.get("per_query_median_peak_task_mem_mb", {})
+
+        def ratio(cur, old, tiny):
+            # flat-by-convention when both sides are tiny (sub-50ms GC
+            # / sub-50MB peak noise would fabricate huge ratios)
+            if old is None or cur is None:
+                return None
+            if old < tiny and cur < tiny:
+                return 1.0
+            if old <= 0:
+                return float("inf")
+            return round(cur / old, 3)
+
+        for k, v in medians.items():
+            if k not in pq or pq[k] <= 0:
+                continue
+            r = v / pq[k]
+            if 1 / 1.2 < r < 1.2:
+                continue
+            rg = ratio(gc_med.get(k), pgc.get(k), 50)
+            rm = ratio(mem_med.get(k), pmem.get(k), 50)
+            flat = (rg is not None and rm is not None and
+                    1 / 1.2 < rg < 1.2 and 1 / 1.2 < rm < 1.2)
+            movers[k] = {
+                "ratio": round(r, 3),
+                "gc_ratio": rg,
+                "mem_ratio": rm,
+                # slower with a flat work profile = suspect the host,
+                # not the query (faster movers are never "suspect" —
+                # they're wins to verify, flagged for visibility only)
+                "host_suspect": bool(r > 1.2 and flat),
+            }
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
@@ -65,10 +116,13 @@ def main():
         "runs_per_query": {k: len(v) for k, v in sorted(per.items())
                            if len(v) != len(runs)},
         "per_query_median_sec": medians,
-        "per_query_median_gc_ms": aux_medians("gc_ms"),
-        "per_query_median_peak_task_mem_mb":
-            aux_medians("peak_task_mem_mb"),
+        "per_query_median_gc_ms": gc_med,
+        "per_query_median_peak_task_mem_mb": mem_med,
     }
+    if prev is not None:
+        artifact["movers_vs_prev"] = movers
+        artifact["host_suspect"] = sorted(
+            k for k, m in movers.items() if m["host_suspect"])
     json.dump(artifact, open(out, "w"), indent=1)
     print(f"{out}: {n_q} queries, sum-of-medians {q_sum}s, "
           f"totals {totals}")
