@@ -225,7 +225,7 @@ object Similarity {
 
   /** ss26/ss27's versioned incremental-index root — keyed by the data
     * dir so two SF dirs in one JVM never share an index. */
-  private def ivfIndexRoot(d: String): String =
+  private[graft] def ivfIndexRoot(d: String): String =
     graft.io.JsonLines.stagingDir(
       "ivf_index_incr_" + d.replaceAll("[^A-Za-z0-9]", "_"))
 
@@ -305,6 +305,24 @@ object Similarity {
         s.read.option("basePath", s"$root/$seg").schema(IvfIndexSchema)
           .parquet(s"$root/$seg"))
       .reduce(_ unionByName _)
+  }
+
+  /** ss28: compact the published segment list into ONE
+    * cell-partitioned segment and roll the marker — io07's
+    * small-files compaction applied to the ANN index, the maintenance
+    * step that keeps ss26's append regime sustainable (every append
+    * adds a segment; every probe reads nprobe directories PER
+    * segment, so segment count is read amplification). Idempotent:
+    * an already-compacted index is left alone. Old segment dirs stay
+    * until snapshot GC (io18's job) — the marker swap is the commit,
+    * exactly like every other versioned artifact here. */
+  private[graft] def compactIvfIndex(s: SparkSession, root: String): Unit = {
+    val marker = s"$root/_INDEX"
+    if (graft.io.Commit.readMarker(s, marker) == "seg_compact1") return
+    readIvfIndex(s, root)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/seg_compact1")
+    graft.io.Commit.writeMarker(s, marker, "seg_compact1")
   }
 
   /** The greedy MMR selection over a bounded shortlist
@@ -760,6 +778,30 @@ object Similarity {
     // compaction of many small segments is io07's job, unchanged.
     "ss26_ivf_index_append" -> ((s, d) => {
       val (root, cutoff) = publishedIvfIndex(s, d)
+      readIvfIndex(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
+    }),
+
+    // ss28: INDEX SEGMENT COMPACTION — io07 applied to ss26's
+    // segment list, completing the append lifecycle: every append
+    // adds a segment and every probe reads its nprobe cell
+    // directories PER segment, so segment count is read
+    // amplification; compaction rewrites the list into ONE
+    // cell-partitioned segment and swaps the marker (old segments
+    // await io18's GC). The oracle is ss26's VERBATIM — the st22→
+    // ta28 reuse trick: identical output through the compacted
+    // layout IS the proof that compaction loses nothing, the same
+    // way ss09's hash equality proved the build→serve round trip.
+    //
+    // Scale: one index-sized rewrite (8 ints/vector — never the
+    // vectors), amortized across the appends it absorbs; production
+    // triggers it on segment count or small-file ratio, both
+    // readable from the marker + listing alone.
+    "ss28_index_compact" -> ((s, d) => {
+      val (root, cutoff) = publishedIvfIndex(s, d)
+      compactIvfIndex(s, root)
       readIvfIndex(s, root)
         .select(col("vec_id"), col("cell"), col("m"), col("code"),
           (col("vec_id") >= cutoff).as("is_delta"))
@@ -1580,6 +1622,19 @@ object Similarity {
     * NumQueries — consumed by ss03 and ss08 so the cell geometry can
     * never drift between them. A def (not val) so map-initialization
     * order can't capture null. */
+  /** From-scratch IVF+PQ assignment of the unsplit embeddings table
+    * with the base/delta flag — the shared oracle of ss26 (append law)
+    * and ss28 (compaction losslessness). */
+  private lazy val fromScratchIndexSql: String =
+    s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
+       |cut AS (
+       |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
+       |)
+       |SELECT a.vec_id, a.cell, p.m, p.code,
+       |  a.vec_id >= (SELECT c FROM cut) AS is_delta
+       |FROM ivf_assigned a JOIN pq_codes p USING (vec_id)
+       |ORDER BY a.vec_id, p.m""".stripMargin
+
   private[graft] def ivfSqlCtes: String =
     s"""ivf_cents AS (
        |  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
@@ -2070,15 +2125,11 @@ object Similarity {
     // ss26: the FROM-SCRATCH side of the append theorem — assign the
     // UNSPLIT table under the same frozen geometry; equality with the
     // appended index read back through the marker IS the proof.
-    "ss26_ivf_index_append" ->
-      s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
-         |cut AS (
-         |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
-         |)
-         |SELECT a.vec_id, a.cell, p.m, p.code,
-         |  a.vec_id >= (SELECT c FROM cut) AS is_delta
-         |FROM ivf_assigned a JOIN pq_codes p USING (vec_id)
-         |ORDER BY a.vec_id, p.m""".stripMargin,
+    "ss26_ivf_index_append" -> fromScratchIndexSql,
+
+    // ss28: ss26's oracle VERBATIM — identical output through the
+    // compacted single-segment layout proves compaction lossless.
+    "ss28_index_compact" -> fromScratchIndexSql,
 
     // ss27: per-cell base/delta fills + summed per-vector
     // quantization error (floor-quantized per subspace BEFORE the

@@ -218,6 +218,11 @@ class Round12OpsSpec extends AnyFunSuite {
     import graft.operators.TextAnalysis.{pqCodebook, pqDist2, PqM, PqSub}
     import graft.similarity.Similarity
     import org.apache.spark.sql.expressions.Window
+    // rebuild from scratch: an earlier ss28 run in this JVM may have
+    // compacted the shared session index — this test is about the
+    // APPENDED layout, so force the two-segment publish
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.ivfIndexRoot(d)))
     val (root, cutoff) = Similarity.publishedIvfIndex(spark, d)
     // the publish is a genuine two-segment append: the marker names
     // both segments, the delta segment holds exactly the delta ids,
@@ -275,6 +280,26 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2,
       f"served recall@10 from the appended index = $recall%.2f " +
         "fell below the pinned ss07 floor")
+  }
+
+  test("ss28 compaction: one segment after, rows byte-identical, " +
+    "idempotent on a second call") {
+    import graft.similarity.Similarity
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.ivfIndexRoot(d)))
+    val (root, _) = Similarity.publishedIvfIndex(spark, d)
+    def rows() = Similarity.readIvfIndex(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted.toSeq
+    val before = rows()
+    Similarity.compactIvfIndex(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_compact1")
+    val after = rows()
+    assert(after == before)
+    // idempotent: a second compact is a no-op (no self-overwrite)
+    Similarity.compactIvfIndex(spark, root)
+    assert(rows() == before)
   }
 
   test("ta26b batching throughput on a Zipfian many-type vocab: " +
