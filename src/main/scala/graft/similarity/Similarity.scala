@@ -325,6 +325,45 @@ object Similarity {
     graft.io.Commit.writeMarker(s, marker, "seg_compact1")
   }
 
+  /** ss29: delete the segment directories the marker no longer
+    * references — io18's snapshot-retention GC applied to the index
+    * root, the step ss28's marker swap deferred. Audits EVERY
+    * on-disk segment from disk BEFORE deleting (row count + an
+    * order-free integer content checksum), deletes only the dead
+    * ones, then requires the post-GC disk state to agree with the
+    * marker exactly. Returns one audited row per segment that
+    * existed at entry, sorted by name. */
+  private[graft] def gcIvfIndex(s: SparkSession, root: String)
+      : Seq[(String, Boolean, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val live = graft.io.Commit.readMarker(s, s"$root/_INDEX")
+      .split(",").toSet
+    val segs = fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("seg_")).sorted
+    require(live.subsetOf(segs.toSet),
+      s"marker names a missing segment: ${live -- segs.toSet}")
+    val audited = segs.map { g =>
+      val r = s.read.option("basePath", s"$root/$g").schema(IvfIndexSchema)
+        .parquet(s"$root/$g")
+        .agg(count(lit(1)),
+          sum((col("code") + 1L) * (col("m").cast("long") + 3L)
+            + col("cell") * 7L + col("vec_id"))).head()
+      (g, live(g), r.getLong(0), r.getLong(1))
+    }
+    segs.filterNot(live).foreach { g =>
+      require(fs.delete(new Path(s"$root/$g"), true),
+        s"GC delete of $g failed")
+    }
+    segs.foreach { g =>
+      require(fs.exists(new Path(s"$root/$g")) == live(g),
+        s"post-GC state of $g contradicts the marker")
+    }
+    audited
+  }
+
   /** The greedy MMR selection over a bounded shortlist
     * `cand0`(query_id, neighbor_id, rel_u6) — shared by ss15 (brute
     * shortlist, the exact reference) and ss18 (shortlist served from
@@ -806,6 +845,34 @@ object Similarity {
         .select(col("vec_id"), col("cell"), col("m"), col("code"),
           (col("vec_id") >= cutoff).as("is_delta"))
         .orderBy("vec_id", "m")
+    }),
+
+    // ss29: INDEX SEGMENT GC — io18's retention GC applied to the
+    // index root, the deletion ss28's marker swap deferred. The
+    // full lifecycle runs inline (publish → compact → GC, each step
+    // an idempotent no-op if already done this session) and the
+    // output is the GC's own audit: per segment that existed at
+    // entry, whether the marker keeps it, its row count, and an
+    // order-free integer content checksum — all read from DISK
+    // before any delete, with post-conditions required loudly
+    // (dead dirs gone, live dirs present). The oracle recomputes
+    // every segment's count/checksum from scratch under the same
+    // frozen geometry: base = vectors below the cutoff, delta =
+    // above, compact = all — so the hash gate proves at once that
+    // (a) GC kept exactly the marker's segment, (b) the survivor
+    // is the lossless union (chk(base) + chk(delta) = chk(compact)
+    // term-by-term), and (c) the audit saw the real files.
+    //
+    // Scale: GC moves no data — it lists one directory, runs one
+    // count+sum aggregate per segment (index rows, never vectors),
+    // and issues deletes; identical to io18's cost shape.
+    "ss29_index_gc" -> ((s, d) => {
+      import s.implicits._
+      val (root, _) = publishedIvfIndex(s, d)
+      compactIvfIndex(s, root)
+      gcIvfIndex(s, root)
+        .toDF("segment", "live", "n_rows", "content_chk")
+        .orderBy("segment")
     }),
 
     // ss27: INDEX DRIFT READOUT — the trigger that ends ss26's
@@ -2130,6 +2197,34 @@ object Similarity {
     // ss28: ss26's oracle VERBATIM — identical output through the
     // compacted single-segment layout proves compaction lossless.
     "ss28_index_compact" -> fromScratchIndexSql,
+
+    // ss29: every segment's count + checksum recomputed from scratch
+    // under the frozen geometry — base/delta/compact are the cutoff
+    // split and its union, so the oracle also encodes the additivity
+    // law chk(base) + chk(delta) = chk(compact).
+    "ss29_index_gc" ->
+      s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
+         |cut AS (
+         |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
+         |),
+         |idx AS (
+         |  SELECT a.vec_id,
+         |    (p.code + 1) * (p.m + 3) + a.cell * 7 + a.vec_id AS t
+         |  FROM ivf_assigned a JOIN pq_codes p USING (vec_id)
+         |)
+         |SELECT * FROM (
+         |  SELECT 'seg_base' AS segment, FALSE AS live,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(t) AS BIGINT) AS content_chk
+         |  FROM idx WHERE vec_id < (SELECT c FROM cut)
+         |  UNION ALL
+         |  SELECT 'seg_compact1', TRUE,
+         |    CAST(count(*) AS BIGINT), CAST(sum(t) AS BIGINT) FROM idx
+         |  UNION ALL
+         |  SELECT 'seg_delta1', FALSE,
+         |    CAST(count(*) AS BIGINT), CAST(sum(t) AS BIGINT)
+         |  FROM idx WHERE vec_id >= (SELECT c FROM cut)
+         |) ORDER BY segment""".stripMargin,
 
     // ss27: per-cell base/delta fills + summed per-vector
     // quantization error (floor-quantized per subspace BEFORE the

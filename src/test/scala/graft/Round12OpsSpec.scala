@@ -302,6 +302,43 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(rows() == before)
   }
 
+  test("ss29 GC: audit rows are additive (base + delta = compact), " +
+    "dead segment dirs are deleted, the live index is untouched, " +
+    "and a second GC is a harmless no-op") {
+    import graft.similarity.Similarity
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(Similarity.ivfIndexRoot(d)))
+    val (root, _) = Similarity.publishedIvfIndex(spark, d)
+    Similarity.compactIvfIndex(spark, root)
+    def segDirs() = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("seg_"))
+      .sorted.toSeq
+    assert(segDirs() == Seq("seg_base", "seg_compact1", "seg_delta1"))
+    val before = Similarity.readIvfIndex(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted.toSeq
+    val audit = Similarity.gcIvfIndex(spark, root)
+    assert(audit.map(a => (a._1, a._2)) == Seq(
+      ("seg_base", false), ("seg_compact1", true), ("seg_delta1", false)))
+    // additivity: the survivor is exactly the union of the dead two
+    val byName = audit.map(a => a._1 -> a).toMap
+    assert(byName("seg_base")._3 + byName("seg_delta1")._3
+      == byName("seg_compact1")._3)
+    assert(byName("seg_base")._4 + byName("seg_delta1")._4
+      == byName("seg_compact1")._4)
+    // disk agrees with the marker, and the live index is untouched
+    assert(segDirs() == Seq("seg_compact1"))
+    val after = Similarity.readIvfIndex(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted.toSeq
+    assert(after == before)
+    // a second GC finds nothing dead: one live row, nothing deleted
+    val again = Similarity.gcIvfIndex(spark, root)
+    assert(again.map(a => (a._1, a._2)) == Seq(("seg_compact1", true)))
+    assert(again.head._3 == byName("seg_compact1")._3
+      && again.head._4 == byName("seg_compact1")._4)
+  }
+
   test("ta26b batching throughput on a Zipfian many-type vocab: " +
     "average acceptance per round clears B/2, and the batched walk " +
     "still equals the sequential trainer merge-for-merge") {
