@@ -911,6 +911,54 @@ object Relational {
         .orderBy("cohort_day", "offset")
     }),
 
+    // q47: AS-OF JOIN — the point-in-time lookup every feature store
+    // runs at training time: for each purchase (the probe), the
+    // user's most recent preceding non-purchase event (the state) AT
+    // OR BEFORE the purchase instant. The one join kind the reference
+    // surface never had (SURVEY §2.5 lists it absent) and the naive
+    // formulations are both scale-killers: a range join explodes to
+    // |probes|×|state| candidate pairs, and a per-probe correlated
+    // subquery is a probe-count job storm. The scalable shape is the
+    // UNION-TAG sweep: tag state rows 0 and probe rows 1, sort each
+    // user's merged stream once, and carry the latest state forward
+    // with last(ignoreNulls) over an unbounded-preceding frame — ONE
+    // user-keyed exchange + one partition-local sort, zero pair
+    // blowup, identical cost to q13/q37's window family. Tie rule is
+    // explicit in the sort key (ts_us, kind, event_id): a state event
+    // sharing the probe's timestamp counts as "at or before", and
+    // equal-timestamp states resolve to the highest event_id — the
+    // oracle encodes the same total order, so the match is
+    // deterministic on any partitioning.
+    "q47_asof_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("value"))
+      val state = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+          col("event_id"), col("event_id").as("s_eid"),
+          col("ts_us").as("s_ts_us"), col("value").as("s_val"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+          col("event_id"), lit(null).cast("long").as("s_eid"),
+          lit(null).cast("long").as("s_ts_us"),
+          lit(null).cast("double").as("s_val"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      state.unionByName(probes)
+        .withColumn("asof_event_id",
+          last(col("s_eid"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts_us",
+          last(col("s_ts_us"), ignoreNulls = true).over(w))
+        .withColumn("asof_value",
+          last(col("s_val"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_event_id"), col("asof_ts_us"), col("asof_value"),
+          (col("ts_us") - col("asof_ts_us")).as("staleness_us"))
+        .orderBy("event_id")
+    }),
+
     // q37: LAST-TOUCH ATTRIBUTION — which channel gets credit for each
     // conversion: for every purchase, the user's most recent PRECEDING
     // non-purchase event type (view/click/signup/...), 'direct' when
@@ -1756,6 +1804,37 @@ object Relational {
         |    AS BIGINT) AS retention_u6
         |FROM m JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, "offset"""".stripMargin,
+
+    // q47: the SAME union-tag sweep (not DuckDB's native ASOF JOIN,
+    // whose tie handling under equal timestamps is not keyed by
+    // event_id) — the explicit (ts_us, kind, event_id) total order
+    // makes both engines deterministic and identical.
+    "q47_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    value FROM events
+        |), tagged AS (
+        |  SELECT user_id, ts_us, 0 AS kind, event_id,
+        |    event_id AS s_eid, ts_us AS s_ts_us, value AS s_val
+        |  FROM ev WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1 AS kind, event_id,
+        |    NULL, NULL, NULL
+        |  FROM ev WHERE event_type = 'purchase'
+        |), swept AS (
+        |  SELECT event_id, user_id, ts_us, kind,
+        |    last_value(s_eid IGNORE NULLS) OVER w AS asof_event_id,
+        |    last_value(s_ts_us IGNORE NULLS) OVER w AS asof_ts_us,
+        |    last_value(s_val IGNORE NULLS) OVER w AS asof_value
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
+        |  asof_value, ts_us - asof_ts_us AS staleness_us
+        |FROM swept WHERE kind = 1
+        |ORDER BY event_id""".stripMargin,
 
     "q38_rfm_segments" ->
       s"""WITH mx AS (

@@ -418,4 +418,33 @@ class Round12OpsSpec extends AnyFunSuite {
       }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     }
   }
+
+  test("q47 as-of join equals a brute-force per-probe latest-state " +
+    "lookup, including the no-prior-state NULL row") {
+    val got = q("q47_asof_join").collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    val ev = Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val probes = ev.filter(_._4 == "purchase")
+    assert(probes.nonEmpty && got.size == probes.length)
+    var sawNull = false
+    probes.foreach { case (eid, uid, ts, _) =>
+      // brute force: latest non-purchase of the same user at or
+      // before ts; equal-ts ties resolve to the max event_id
+      val cand = ev.filter(e =>
+        e._2 == uid && e._4 != "purchase" && e._3 <= ts)
+      val want =
+        if (cand.isEmpty) { sawNull = true; (-1L, -1L) }
+        else {
+          val best = cand.maxBy(e => (e._3, e._1))
+          (best._1, best._3)
+        }
+      assert(got(eid) == want, s"probe $eid: got ${got(eid)}, want $want")
+    }
+  }
 }
