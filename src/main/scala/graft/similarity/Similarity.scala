@@ -261,9 +261,9 @@ object Similarity {
     * rewritten), and rolls the marker to the segment LIST. Returns
     * (root, cutoff). Idempotent per session: whichever of ss26/ss27
     * runs first builds; reruns read the marker. */
-  private[graft] def publishedIvfIndex(s: SparkSession, d: String)
-      : (String, Long) = {
-    val root = ivfIndexRoot(d)
+  private[graft] def publishedIvfIndex(s: SparkSession, d: String,
+      suffix: String = ""): (String, Long) = {
+    val root = ivfIndexRoot(d) + suffix
     val marker = s"$root/_INDEX"
     val maxId = embeddings(s, d).agg(max("vec_id")).head().getLong(0)
     val cutoff = (maxId + 1L) * 9L / 10L
@@ -362,6 +362,78 @@ object Similarity {
         s"post-GC state of $g contradicts the marker")
     }
     audited
+  }
+
+  // ---- ss30: row-level deletes in the published index ---------------
+
+  /** ss30's deterministic delete set: vec_id ≡ TombRem (mod TombMod)
+    * — ~1/7 of the corpus, chosen so it intersects base AND delta
+    * segments and includes a geometry-source row (vec_id 3 is an IVF
+    * centroid seed: deleting the ROW must not move the FROZEN
+    * geometry, which is an artifact, not a member). */
+  private[graft] val TombMod = 7L
+  private[graft] val TombRem = 3L
+
+  /** Publish the delete set as a tombstone file behind its own
+    * marker — the Delta/Iceberg deletion-vector discipline at segment
+    * granularity: deletes are METADATA (ids only), the data segments
+    * are never rewritten on the delete path. Idempotent per session:
+    * an existing `_TOMB` marker — active OR already folded to "none"
+    * — means this delete batch was applied; replaying it must not
+    * resurrect tombstones a fold already absorbed. */
+  private[graft] def writeTombstones(s: SparkSession, root: String,
+      ids: DataFrame): Unit = {
+    val marker = s"$root/_TOMB"
+    if (graft.io.Commit.exists(s, marker)) return
+    ids.select(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$root/tomb_1")
+    graft.io.Commit.writeMarker(s, marker, "tomb_1")
+  }
+
+  /** The LIVE view of the index: marker segments ANTI-JOINED against
+    * the marker tombstones — what every probe serves from between a
+    * delete and the next compaction. The tombstone side is ids-only
+    * and broadcast (a delete batch is small relative to the index by
+    * nature); absent or cleared `_TOMB` means no anti-join at all. */
+  private[graft] def readIvfIndexLive(s: SparkSession, root: String)
+      : DataFrame = {
+    val all = readIvfIndex(s, root)
+    val marker = s"$root/_TOMB"
+    if (!graft.io.Commit.exists(s, marker)) return all
+    val t = graft.io.Commit.readMarker(s, marker)
+    if (t == "none") all
+    else all.join(
+      broadcast(s.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL("vec_id LONG"))
+        .parquet(s"$root/$t")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Fold the tombstones into the data: rewrite the live rows as ONE
+    * cell-partitioned segment, swap the segment marker, clear the
+    * tombstone marker — ss28's compaction absorbing the delete, so
+    * the anti-join disappears from the serve path (old segment dirs
+    * and the tombstone file await ss29's GC). Idempotent: an
+    * already-folded index is left alone. */
+  private[graft] def foldTombstones(s: SparkSession, root: String): Unit = {
+    val marker = s"$root/_INDEX"
+    if (graft.io.Commit.readMarker(s, marker) == "seg_folded1") return
+    readIvfIndexLive(s, root)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/seg_folded1")
+    graft.io.Commit.writeMarker(s, marker, "seg_folded1")
+    graft.io.Commit.writeMarker(s, s"$root/_TOMB", "none")
+  }
+
+  /** Count + order-free content checksum of an index frame — ss29's
+    * audit aggregate factored out so ss30 can require the anti-join
+    * view and the folded segment to agree without a row-level
+    * compare (two keys-free aggregates over int rows). */
+  private def indexChecksum(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum((col("code") + 1L) * (col("m").cast("long") + 3L)
+        + col("cell") * 7L + col("vec_id"))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** The greedy MMR selection over a bounded shortlist
@@ -873,6 +945,46 @@ object Similarity {
       gcIvfIndex(s, root)
         .toDF("segment", "live", "n_rows", "content_chk")
         .orderBy("segment")
+    }),
+
+    // ss30: ROW-LEVEL INDEX DELETES — the last CRUD verb of the
+    // index lifecycle (ss26 append, ss28 compact, ss29 GC): a delete
+    // batch lands as a TOMBSTONE file behind its own marker
+    // (Delta/Iceberg's deletion-vector discipline — ids only, no
+    // segment rewritten on the delete path), probes serve from the
+    // live view (segments ANTI-JOIN the broadcast tombstones), and
+    // the next compaction FOLDS the tombstones into one rewritten
+    // segment and clears the marker. Runs on its OWN index root so
+    // ss26–ss29's shared lifecycle is never perturbed. The query
+    // requires the anti-join view and the folded segment to agree
+    // (count + order-free checksum, ss29's audit aggregate) before
+    // returning the folded index — so the single hash gate proves
+    // serve-with-tombstones ≡ fold ≡ from-scratch-assign of the
+    // undeleted rows (the oracle computes that third side). The
+    // frozen geometry does NOT move when a geometry-source row is
+    // deleted (vec_id 3 seeds a centroid and is tombstoned):
+    // centroids are artifacts, not members — retraining is ss27's
+    // verdict, never a delete side effect.
+    //
+    // Scale: the delete path moves |tombstones| ids (metadata-sized,
+    // broadcast); the serve-path anti-join is per-row against that
+    // broadcast; the fold is one index-sized rewrite of ints,
+    // amortized across the deletes it absorbs — the vectors
+    // themselves never move. Second call is a pure no-op replay
+    // (markers guard every step).
+    "ss30_index_delete" -> ((s, d) => {
+      val (root, cutoff) = publishedIvfIndex(s, d, "_del")
+      writeTombstones(s, root, embeddings(s, d)
+        .filter(col("vec_id") % TombMod === TombRem).select("vec_id"))
+      val pre = indexChecksum(readIvfIndexLive(s, root))
+      foldTombstones(s, root)
+      val post = indexChecksum(readIvfIndexLive(s, root))
+      require(pre == post,
+        s"fold changed the live index: pre=$pre post=$post")
+      readIvfIndexLive(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
     }),
 
     // ss27: INDEX DRIFT READOUT — the trigger that ends ss26's
@@ -1692,7 +1804,11 @@ object Similarity {
   /** From-scratch IVF+PQ assignment of the unsplit embeddings table
     * with the base/delta flag — the shared oracle of ss26 (append law)
     * and ss28 (compaction losslessness). */
-  private lazy val fromScratchIndexSql: String =
+  /** The from-scratch index assignment under frozen geometry, with a
+    * row predicate — `TRUE` is ss26/ss28's full theorem; ss30 filters
+    * out its tombstoned ids (the geometry CTEs stay UNFILTERED: a
+    * deleted row does not move the frozen centroids/codebook). */
+  private def fromScratchIndexSqlWhere(pred: String): String =
     s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
        |cut AS (
        |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings
@@ -1700,7 +1816,11 @@ object Similarity {
        |SELECT a.vec_id, a.cell, p.m, p.code,
        |  a.vec_id >= (SELECT c FROM cut) AS is_delta
        |FROM ivf_assigned a JOIN pq_codes p USING (vec_id)
+       |WHERE $pred
        |ORDER BY a.vec_id, p.m""".stripMargin
+
+  private lazy val fromScratchIndexSql: String =
+    fromScratchIndexSqlWhere("TRUE")
 
   private[graft] def ivfSqlCtes: String =
     s"""ivf_cents AS (
@@ -2197,6 +2317,14 @@ object Similarity {
     // ss28: ss26's oracle VERBATIM — identical output through the
     // compacted single-segment layout proves compaction lossless.
     "ss28_index_compact" -> fromScratchIndexSql,
+
+    // ss30: the same from-scratch assignment MINUS the tombstoned
+    // rows, geometry CTEs unfiltered — equality proves the delete
+    // path (tombstone anti-join ≡ folded rewrite ≡ from-scratch on
+    // the survivors) and that deleting a centroid-seed row does not
+    // move the frozen geometry.
+    "ss30_index_delete" ->
+      fromScratchIndexSqlWhere(s"a.vec_id % $TombMod <> $TombRem"),
 
     // ss29: every segment's count + checksum recomputed from scratch
     // under the frozen geometry — base/delta/compact are the cutoff

@@ -447,4 +447,54 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(got(eid) == want, s"probe $eid: got ${got(eid)}, want $want")
     }
   }
+
+  test("ss30 delete lifecycle: tombstones hide rows from the live " +
+    "view without touching segments, the fold rewrites and clears, " +
+    "and a replayed delete cannot resurrect folded tombstones") {
+    import graft.similarity.Similarity.{TombMod, TombRem}
+    val sim = graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, d)
+    val (root, _) = sim.publishedIvfIndex(spark, d, "_delspec")
+    val all = sim.readIvfIndex(spark, root)
+      .select("vec_id", "cell", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val tombIds = emb.filter(col("vec_id") % TombMod === TombRem)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty && tombIds.contains(3L))
+    sim.writeTombstones(spark, root,
+      emb.filter(col("vec_id") % TombMod === TombRem).select("vec_id"))
+    // delete path is metadata-only: both data segments still on disk,
+    // live view already excludes exactly the tombstoned rows
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(Set("seg_base", "seg_delta1", "tomb_1").subsetOf(dirs))
+    def live = sim.readIvfIndexLive(spark, root)
+      .select("vec_id", "cell", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val preFold = live
+    assert(preFold == all.filterNot(r => tombIds.contains(r._1)))
+    sim.foldTombstones(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_folded1")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_TOMB") == "none")
+    assert(live == preFold) // the fold is invisible to readers
+    // replaying the delete batch after the fold is a no-op: the
+    // _TOMB marker (now "none") proves it was applied and absorbed
+    sim.writeTombstones(spark, root,
+      emb.filter(col("vec_id") % TombMod === TombRem).select("vec_id"))
+    assert(graft.io.Commit.readMarker(spark, s"$root/_TOMB") == "none")
+    assert(live == preFold)
+    // and ss30's registered output equals ss26's minus the tombstones
+    val ss30 = q("ss30_index_delete").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val ss26 = q("ss26_ivf_index_append").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    assert(ss30 == ss26.filterNot(r => r._1 % TombMod == TombRem))
+  }
 }
