@@ -436,6 +436,66 @@ object Similarity {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Encode an ARBITRARY (vec_id, embedding) frame under the FROZEN
+    * geometry: ss26's per-vector math (assignCells' cosine argmax +
+    * pqAssign's per-subspace L2 argmin) applied to a batch instead of
+    * the full table — bit-identical per vector because both are pure
+    * functions of the broadcast centroids/codebook, which is exactly
+    * why stream-appended segments hash-match the from-scratch oracle
+    * (st26). Returns (vec_id, m, code, d2_u6, cell). */
+  private[graft] def encodeUnderFrozenGeometry(s: SparkSession,
+      d: String, batch: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis.{pqCodebook, pqDist2, PqM, PqSub}
+    val withNrm = batch.select(col("vec_id"), col("embedding"),
+      sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+    val cents = embeddings(s, d)
+      .filter(col("vec_id") < IvfCents)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"),
+        sqrt(dot(s, col("embedding"), col("embedding"))).as("cn"))
+    val cells = assignCells(s, withNrm, cents)
+    val codes = batch
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("embedding").as("emb"))
+      .select(col("vec_id"), col("m"),
+        slice(col("emb"), col("m") * PqSub + 1, lit(PqSub)).as("subv"))
+      .join(broadcast(pqCodebook(s, d)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        pqDist2(col("subv"), col("center")).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("code"),
+        floor(col("best.d2") * 1e6 + 0.5).cast("long").as("d2_u6"))
+    codes.join(cells, Seq("vec_id"))
+      .select("vec_id", "m", "code", "d2_u6", "cell")
+  }
+
+  /** st26's microbatch sink: encode one landing wave under the frozen
+    * geometry and append it as a new cell-partitioned segment, rolling
+    * the marker's segment list — ss26's append discipline driven per
+    * microbatch. Idempotent on replay (a segment already in the marker
+    * is skipped before any work) and empty waves short-circuit before
+    * any geometry read. A crash between the segment write and the
+    * marker roll replays as a harmless overwrite of the same content. */
+  private[graft] def appendIndexWave(s: SparkSession, d: String,
+      root: String, wave: DataFrame, waveId: Long): Unit = {
+    val marker = s"$root/_INDEX"
+    val seg = s"seg_w$waveId"
+    val cur = if (graft.io.Commit.exists(s, marker))
+      graft.io.Commit.readMarker(s, marker) else ""
+    if (cur.split(",").contains(seg)) return
+    if (wave.isEmpty) return
+    // bind the geometry reads (and vec_dot registration) to the
+    // session the microbatch actually executes under — foreachBatch
+    // hands frames from a STREAM-CLONED session whose function
+    // registry was copied at stream start, so registering on the
+    // outer session after start would leave the clone unresolved
+    encodeUnderFrozenGeometry(wave.sparkSession, d, wave)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$seg")
+    graft.io.Commit.writeMarker(s, marker,
+      if (cur.isEmpty) seg else s"$cur,$seg")
+  }
+
   /** The greedy MMR selection over a bounded shortlist
     * `cand0`(query_id, neighbor_id, rel_u6) — shared by ss15 (brute
     * shortlist, the exact reference) and ss18 (shortlist served from
@@ -1819,7 +1879,7 @@ object Similarity {
        |WHERE $pred
        |ORDER BY a.vec_id, p.m""".stripMargin
 
-  private lazy val fromScratchIndexSql: String =
+  private[graft] lazy val fromScratchIndexSql: String =
     fromScratchIndexSqlWhere("TRUE")
 
   private[graft] def ivfSqlCtes: String =

@@ -1268,6 +1268,79 @@ object EventStream {
         .orderBy("language")
     }),
 
+    // st26: STREAMING ANN INDEX APPEND — ss26's incremental index
+    // maintenance driven per microbatch, completing the index half of
+    // the batch/stream matrix (cu03↔cu04 did it for curation, io19↔
+    // st18 for MERGE): embedding waves land as files, each microbatch
+    // is encoded under the FROZEN geometry (Similarity.
+    // encodeUnderFrozenGeometry — bit-identical per vector to the
+    // batch assignment because cell and code are pure functions of
+    // the broadcast centroids/codebook) and appended as a new
+    // cell-partitioned segment behind the marker's segment list
+    // (Similarity.appendIndexWave: replayed waves skip on the marker,
+    // empty waves short-circuit). The oracle is ss26's from-scratch
+    // assignment VERBATIM — identical output through three
+    // stream-appended segments IS the proof that per-wave encoding
+    // loses nothing, the same reuse trick as ss28's.
+    //
+    // Scale: each microbatch's cost tracks the wave (one broadcast
+    // geometry join + keys-sized argmin/argmax, nothing corpus-
+    // sized); segment-count read amplification is ss28's compaction
+    // job, unchanged; the stream never rewrites published files.
+    "st26_stream_index_append" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val sim = graft.similarity.Similarity
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_index").toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val emb = graft.Tables.embeddings(ss, d)
+        .select("vec_id", "embedding")
+      val maxId = emb.agg(max("vec_id")).head().getLong(0)
+      // same cut as ss26's oracle CTE, so the is_delta flag (and the
+      // oracle text) carry over verbatim
+      val cutoff = (maxId + 1L) * 9L / 10L
+      // three log-structured waves: contiguous id ranges, the
+      // monotone-ingest reality the marker's segment list models
+      val (b0, b1) = ((maxId + 1L) / 3, 2L * (maxId + 1L) / 3)
+      Seq(emb.filter(col("vec_id") < b0),
+          emb.filter(col("vec_id") >= b0 && col("vec_id") < b1),
+          emb.filter(col("vec_id") >= b1))
+        .foreach(_.coalesce(1).write.mode("append").parquet(s"$root/src"))
+      val idxRoot = s"$root/idx"
+      var batches = 0
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/src")
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            sim.appendIndexWave(ss, d, idxRoot, df, id)
+            batches += 1
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 3,
+        s"expected three index-append waves, got $batches")
+      // crash-recovery replay of the last wave: the marker proves the
+      // segment landed, so the step must be a pure no-op
+      sim.appendIndexWave(ss, d, idxRoot,
+        emb.filter(col("vec_id") >= b1), batches - 1L)
+      sim.readIvfIndex(s, idxRoot)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
+    }),
+
     "st19_stream_ingest_curate" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val root = java.nio.file.Paths.get(
@@ -1549,6 +1622,12 @@ object EventStream {
         |  CAST(sum(('0x' || substr(md5(text), 1, 7))::BIGINT) AS BIGINT)
         |    AS sum_md57
         |FROM fin GROUP BY language ORDER BY language""".stripMargin,
+
+    // st26: ss26's from-scratch oracle VERBATIM — equality through
+    // the three stream-appended segments proves per-wave encoding
+    // under frozen geometry loses nothing.
+    "st26_stream_index_append" ->
+      graft.similarity.Similarity.fromScratchIndexSql,
 
     "st18_stream_upsert" ->
       """WITH final AS (

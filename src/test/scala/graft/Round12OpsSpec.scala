@@ -497,4 +497,27 @@ class Round12OpsSpec extends AnyFunSuite {
         r.getBoolean(4))).toSet
     assert(ss30 == ss26.filterNot(r => r._1 % TombMod == TombRem))
   }
+
+  test("st26 stream-appended index equals ss26's batch append " +
+    "row-for-row, through a real three-segment marker layout") {
+    val rows = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val st = rows(q("st26_stream_index_append"))
+    // the stream's three waves cover the whole table, so the result
+    // must equal the BATCH incremental index (ss26) exactly — the
+    // stream core and the batch entry are the same operation
+    assert(st == rows(q("ss26_ivf_index_append")))
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_index", "idx").toString
+    val marker = graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+    val segs = marker.split(",").toSeq
+    assert(segs.length == 3 && segs.forall(_.startsWith("seg_w")),
+      s"expected three stream segments, got $marker")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    segs.foreach(g => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/$g"))))
+  }
 }
