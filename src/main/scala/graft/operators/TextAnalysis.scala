@@ -862,6 +862,82 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // ta30: INTERPOLATED KNESER-NEY scoring — the LM-quality filter
+    // production corpora actually run (CCNet's shape: train a
+    // reference model on a trusted slice, score candidates by
+    // perplexity; KenLM's smoothing is Kneser-Ney, not ta15's
+    // Laplace). Train on the even-doc_id half, score the odd half —
+    // a real held-out split, so the scorer must handle UNSEEN
+    // bigrams, unseen contexts, and OOV tokens, which add-one never
+    // exercises. Model (D = 0.75, the standard absolute discount):
+    //   P(w2|w1) = (max(c(w1,w2) − D, 0)
+    //              + D · N1+(w1,•) · Pcont(w2)) / c(w1)
+    //   Pcont(w2) = (N1+(•,w2) + 1) / (T + V + 1)
+    // where N1+(w1,•)/N1+(•,w2) are forward/backward bigram-TYPE
+    // counts (the continuation counts that make KN correct: "San
+    // Francisco" inflates c(Francisco) but not N1+(•,Francisco)),
+    // T = distinct training bigrams, V = training vocab. The +1/(+V+1)
+    // is an add-one continuation floor so OOV w2 keeps positive mass;
+    // an unseen CONTEXT backs off to Pcont alone. Per-bigram log-probs
+    // are floor-quantized to integer micro-units BEFORE the per-doc
+    // sum, so every output column is an order-free integer.
+    //
+    // Scale: ta15's exact shape — two vocabulary-sized training
+    // aggregates, the scoring stream through plain equi-joins keyed
+    // by (w1,w2)/w1/w2 (NOT broadcast: a 100 TB corpus's bigram vocab
+    // can exceed executor memory), 1-row totals broadcast. Docs with
+    // < 2 tokens have no bigrams and drop out (both engines).
+    "ta30_kneser_ney" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint() // one tokenized materialization (ta15)
+      def bigrams(df: DataFrame) = df
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"),
+          col("ts"))
+        .select(col("doc_id"),
+          element_at(col("ts"), col("i")).as("w1"),
+          element_at(col("ts"), col("i") + 1).as("w2"))
+      val train = toks.filter(col("doc_id") % 2 === 0)
+      val tb = bigrams(train)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds ctx, n1b, T, and the scoring join
+      val ctx = tb.groupBy("w1")
+        .agg(sum("c").as("cw"), count(lit(1)).as("n1f"))
+      val nb = tb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val tot = tb.agg(count(lit(1)).as("t"))
+      val vt = train.select(explode(col("ts")).as("token"))
+        .agg(countDistinct("token").as("vt"))
+      val scored = bigrams(toks.filter(col("doc_id") % 2 =!= 0))
+        .join(tb, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(nb, Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(vt))
+        // pc and p: integer adds first, ONE cast per operand, and an
+        // explicit multiplication tree 0.75 * (n1f * pc) — the SQL
+        // oracle spells the same ops in the same order, so the
+        // doubles are engine-identical before the floor quantize
+        .withColumn("pc",
+          (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
+            (col("t") + col("vt") + lit(1L)).cast("double"))
+        .withColumn("p", when(col("cw").isNull, col("pc"))
+          .otherwise((greatest(
+            coalesce(col("c"), lit(0L)).cast("double") - lit(0.75),
+            lit(0.0)) +
+            lit(0.75) * (col("n1f").cast("double") * col("pc"))) /
+            col("cw").cast("double")))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(when(col("cw").isNull, 1L).otherwise(0L)).as("n_oov_ctx"),
+          sum(floor(log(col("p")) * 1e6 + 0.5).cast("long"))
+            .as("sum_lp_u6"))
+        .orderBy("doc_id")
+    }),
+
     // ta16: benchmark-CONTAMINATION check — the decontamination pass a
     // training-data pipeline runs before any corpus ships: how much of
     // each held-out evaluation document already appears verbatim (as
@@ -2493,6 +2569,68 @@ object TextAnalysis {
          |  round(avg(logp), 6) AS avg_logp
          |FROM bgs JOIN probs USING (bg)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ta30: the same interpolated-KN arithmetic spelled in the same
+    // operation order (integer adds, one cast per operand, the
+    // 0.75 * (n1f * pc) multiplication tree), floor-quantized per
+    // bigram before the integer per-doc sums.
+    "ta30_kneser_ney" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |), tbg AS (
+         |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+         |          AS i
+         |        FROM base WHERE doc_id % 2 = 0 AND len(toks) >= 2)
+         |), tb AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM tbg GROUP BY 1, 2
+         |), ctx AS (
+         |  SELECT w1, CAST(sum(c) AS BIGINT) AS cw,
+         |    CAST(count(*) AS BIGINT) AS n1f
+         |  FROM tb GROUP BY 1
+         |), nb AS (
+         |  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM tb GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS t FROM tb
+         |), vt AS (
+         |  SELECT CAST(count(DISTINCT token) AS BIGINT) AS vt
+         |  FROM (SELECT unnest(toks) AS token FROM base
+         |        WHERE doc_id % 2 = 0)
+         |), sbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM base WHERE doc_id % 2 <> 0 AND len(toks) >= 2)
+         |), scored AS (
+         |  SELECT s.doc_id, tb.c IS NULL AS unseen,
+         |    ctx.cw IS NULL AS oov,
+         |    CAST(coalesce(nb.n1b, 0) + 1 AS DOUBLE) /
+         |      CAST(tot.t + vt.vt + 1 AS DOUBLE) AS pc,
+         |    tb.c, ctx.cw, ctx.n1f
+         |  FROM sbg s
+         |  LEFT JOIN tb ON tb.w1 = s.w1 AND tb.w2 = s.w2
+         |  LEFT JOIN ctx ON ctx.w1 = s.w1
+         |  LEFT JOIN nb ON nb.w2 = s.w2
+         |  CROSS JOIN tot CROSS JOIN vt
+         |), probs AS (
+         |  SELECT doc_id, unseen, oov,
+         |    CASE WHEN cw IS NULL THEN pc
+         |         ELSE (greatest(CAST(coalesce(c, 0) AS DOUBLE) - 0.75,
+         |                 0.0)
+         |               + 0.75 * (CAST(n1f AS DOUBLE) * pc))
+         |              / CAST(cw AS DOUBLE)
+         |    END AS p
+         |  FROM scored
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unseen,
+         |  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov_ctx,
+         |  CAST(sum(CAST(floor(ln(p) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |    AS sum_lp_u6
+         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ta16_contamination" ->
       s"""WITH eval_docs AS (

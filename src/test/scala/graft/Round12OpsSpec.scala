@@ -520,4 +520,46 @@ class Round12OpsSpec extends AnyFunSuite {
     segs.foreach(g => assert(fs.exists(
       new org.apache.hadoop.fs.Path(s"$root/$g"))))
   }
+
+  test("ta30 interpolated Kneser-Ney equals an independent in-memory " +
+    "scorer: discounted seen mass, continuation backoff for unseen " +
+    "bigrams, Pcont fallback for unseen contexts, OOV floor") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val train = docs.filter(_._1 % 2 == 0)
+    val scoreDocs = docs.filter(_._1 % 2 != 0)
+    val tb = scala.collection.mutable.Map[(String, String), Long]()
+    train.foreach { case (_, ts) =>
+      ts.zip(ts.drop(1)).foreach(p => tb(p) = tb.getOrElse(p, 0L) + 1L) }
+    val cw = tb.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1f = tb.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val n1b = tb.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val t = tb.size.toLong
+    val vt = train.flatMap(_._2).distinct.size.toLong
+    def pc(w2: String) =
+      (n1b.getOrElse(w2, 0L) + 1L).toDouble / (t + vt + 1L).toDouble
+    var sawUnseen = false; var sawOov = false
+    val want = scoreDocs.filter(_._2.size >= 2).map { case (id, ts) =>
+      val bgs = ts.zip(ts.drop(1))
+      val lp = bgs.map { case (w1, w2) =>
+        if (sawUnseen || !tb.contains((w1, w2))) sawUnseen = true
+        val p = cw.get(w1) match {
+          case None => sawOov = true; pc(w2)
+          case Some(c1) =>
+            (math.max(tb.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) +
+              0.75 * (n1f(w1).toDouble * pc(w2))) / c1.toDouble
+        }
+        math.floor(math.log(p) * 1e6 + 0.5).toLong
+      }.sum
+      id -> (bgs.size.toLong, lp)
+    }.toMap
+    val got = q("ta30_kneser_ney").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id: got ${got(id)}, want $w") }
+    assert(sawUnseen, "fixture never exercised the unseen-bigram path")
+  }
 }
