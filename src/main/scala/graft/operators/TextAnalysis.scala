@@ -364,6 +364,12 @@ object TextAnalysis {
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
 
+  /** ta31 DSIR geometry: hashed-unigram bucket count (small enough
+    * that the ratio table is a broadcast literal at any corpus size —
+    * that is DSIR's point) and the selected-subset size. */
+  private[graft] val DsirB = 64L
+  private[graft] val DsirK = 30
+
   /** ta21's fit width: the rank-frequency OLS runs over the top-N
     * tokens (the head is where Zipf holds; the long tail bends). */
   private[graft] val ZipfTopN = 100
@@ -936,6 +942,62 @@ object TextAnalysis {
           sum(floor(log(col("p")) * 1e6 + 0.5).cast("long"))
             .as("sum_lp_u6"))
         .orderBy("doc_id")
+    }),
+
+    // ta31: DSIR importance selection — Data Selection via Importance
+    // Resampling (Xie et al. 2023), the principled version of "pick
+    // web docs that look like the trusted domain": estimate target
+    // (lang='en' here) and raw unigram distributions over HASHED
+    // feature buckets (ta20's vocabulary-free trick — no dictionary
+    // pass at any corpus size), weight each doc by its importance
+    // log-ratio sum Σ_tokens ln(p_target(b)/p_raw(b)) with add-one
+    // smoothing, and keep the top-K. Per-bucket log-ratios are
+    // floor-quantized to integer micro-units, so a doc's weight is an
+    // order-free integer sum and the top-K is hash-exact.
+    //
+    // Scale: two B-row (B=64) bucket aggregates over one token pass,
+    // the 64-row ratio table BROADCAST back over the same
+    // checkpointed stream (nothing vocabulary-sized exists at all —
+    // that is DSIR's point), one doc-keyed aggregate, and the
+    // selection is orderBy+limit → TakeOrderedAndProject (partial
+    // top-K on executors; rank assigned by row_number AFTER the
+    // limit, O1/O3's discipline — never a global window over all
+    // docs).
+    "ta31_dsir_select" -> ((s, d) => {
+      import graft.functions.Funcs.md5Long
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("token"))
+        .withColumn("b", md5Long(col("token"), 7) % DsirB)
+        .localCheckpoint() // feeds both distributions AND the scoring
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy("b").agg(count(lit(1)).as("ct"))
+      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
+      // every bucket 0..B-1 exists on the raw side by construction at
+      // these SFs, but the ratio table still left-joins from a
+      // generated bucket spine with zero-fill so the model is total
+      val spine = s.range(DsirB).select(col("id").as("b"))
+      val ratios = spine
+        .join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+        .crossJoin(broadcast(tgt.agg(sum("ct").as("nt"))))
+        .crossJoin(broadcast(raw.agg(sum("cr").as("nr"))))
+        .select(col("b"), floor((
+          log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")) -
+          log((col("nt") + lit(DsirB.toLong)).cast("double")) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double")) +
+          log((col("nr") + lit(DsirB.toLong)).cast("double"))
+          ) * 1e6 + 0.5).cast("long").as("lr_u6"))
+      val scored = toks.join(broadcast(ratios), Seq("b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("lr_u6").as("w_u6"),
+          first("lang").as("lang"))
+      val top = scored
+        .orderBy(col("w_u6").desc, col("doc_id").asc).limit(DsirK)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("w_u6").desc, col("doc_id").asc)))
+        .select("rank", "doc_id", "lang", "n_tokens", "w_u6")
+        .orderBy("rank")
     }),
 
     // ta16: benchmark-CONTAMINATION check — the decontamination pass a
@@ -2776,6 +2838,51 @@ object TextAnalysis {
          |FROM tok
          |GROUP BY 1, 2
          |ORDER BY doc_id, bucket""".stripMargin,
+
+    // ta31: identical hashed-bucket distributions, the same four-term
+    // ln() chain in the same order, floor-quantized per bucket before
+    // the integer doc sums; top-K with the same (w desc, doc_id) tie
+    // rule.
+    "ta31_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(token), 1, 7))::BIGINT % $DsirB AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS token
+         |        FROM documents)
+         |), tgt AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tok
+         |  WHERE lang = 'en' GROUP BY b
+         |), raw AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b
+         |), nt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+         |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+         |spine AS (
+         |  SELECT unnest(generate_series(0, ${DsirB - 1})) AS b
+         |), ratios AS (
+         |  SELECT spine.b,
+         |    CAST(floor((
+         |      ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE)) -
+         |      ln(CAST(nt.nt + $DsirB AS DOUBLE)) -
+         |      ln(CAST(coalesce(raw.cr, 0) + 1 AS DOUBLE)) +
+         |      ln(CAST(nr.nr + $DsirB AS DOUBLE))
+         |    ) * 1e6 + 0.5) AS BIGINT) AS lr_u6
+         |  FROM spine
+         |  LEFT JOIN tgt ON tgt.b = spine.b
+         |  LEFT JOIN raw ON raw.b = spine.b
+         |  CROSS JOIN nt CROSS JOIN nr
+         |), scored AS (
+         |  SELECT t.doc_id, any_value(t.lang) AS lang,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(r.lr_u6) AS BIGINT) AS w_u6
+         |  FROM tok t JOIN ratios r ON r.b = t.b
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT rank, doc_id, lang, n_tokens, w_u6 FROM (
+         |  SELECT *, row_number() OVER (
+         |    ORDER BY w_u6 DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |WHERE rank <= $DsirK
+         |ORDER BY rank""".stripMargin,
 
     "ta24_mixture_select" ->
       s"""WITH base AS (

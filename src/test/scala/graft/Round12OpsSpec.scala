@@ -562,4 +562,43 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(got(id) == w, s"doc $id: got ${got(id)}, want $w") }
     assert(sawUnseen, "fixture never exercised the unseen-bigram path")
   }
+
+  test("ta31 DSIR selection equals an independent in-memory " +
+    "importance scorer and actually prefers the target domain") {
+    import graft.operators.TextAnalysis.{DsirB, DsirK}
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).take(7), 16) % DsirB
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").filter(_.nonEmpty).map(bucket).toSeq,
+        r.getString(2)))
+    val ct = scala.collection.mutable.Map[Long, Long]()
+    val cr = scala.collection.mutable.Map[Long, Long]()
+    docs.foreach { case (_, bs, lang) => bs.foreach { b =>
+      cr(b) = cr.getOrElse(b, 0L) + 1L
+      if (lang == "en") ct(b) = ct.getOrElse(b, 0L) + 1L } }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    val lr = (0L until DsirB).map { b =>
+      b -> math.floor((
+        math.log((ct.getOrElse(b, 0L) + 1L).toDouble) -
+        math.log((nt + DsirB).toDouble) -
+        math.log((cr.getOrElse(b, 0L) + 1L).toDouble) +
+        math.log((nr + DsirB).toDouble)) * 1e6 + 0.5).toLong
+    }.toMap
+    val want = docs.filter(_._2.nonEmpty)
+      .map { case (id, bs, _) => (id, bs.map(lr).sum) }
+      .sortBy { case (id, w) => (-w, id) }.take(DsirK)
+    val got = q("ta31_dsir_select").collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+    // the selection must actually tilt toward the target domain:
+    // selected docs are majority-'en' while the corpus is not
+    val selLang = q("ta31_dsir_select").collect().map(_.getString(2))
+    val corpusEn = docs.count(_._3 == "en").toDouble / docs.length
+    assert(corpusEn < 0.5, s"fixture is already en-majority: $corpusEn")
+    assert(selLang.count(_ == "en").toDouble / selLang.length > 0.5,
+      s"selection did not tilt to the target domain: " +
+        selLang.groupBy(identity).view.mapValues(_.length).toMap)
+  }
 }
