@@ -515,6 +515,46 @@ object Multimodal {
   final case class WavAudio(sampleRate: Int, channels: Int,
       bitsPerSample: Int, pcm: Array[Byte])
 
+  final case class JdkWavFeatures(doc_id: Long, sample_rate: Int,
+      n_channels: Int, n_frames: Long, sum_samples: Long, energy: Long)
+
+  /** mm17 worker: decode the RIFF/WAVE payload through the JDK's OWN
+    * decoder (`javax.sound.sampled.AudioSystem` — the standard-library
+    * WaveFileReader, zero new dependencies), not the hand-rolled
+    * parser mm06 uses: a second, independent implementation of the
+    * container spec reading the same bytes. Every declared property is
+    * required (PCM-signed, 16-bit, little-endian, frame count =
+    * payload), then the decoded samples fold to two order-fixed
+    * integer checksums. A corrupted payload throws loudly
+    * (UnsupportedAudioFileException), never garbage features. */
+  def decodeWavJdk(r: MediaRecord): JdkWavFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+      s"doc ${r.doc_id}: non-PCM encoding ${fmt.getEncoding}")
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"doc ${r.doc_id}: unexpected sample layout $fmt")
+    val ch = fmt.getChannels
+    val frames = ais.getFrameLength
+    val bytes = ais.readAllBytes()
+    require(bytes.length.toLong == frames * ch * 2,
+      s"doc ${r.doc_id}: decoded ${bytes.length} bytes, " +
+        s"declared ${frames * ch * 2}")
+    var sum = 0L
+    var energy = 0L
+    var off = 0
+    while (off < bytes.length) {
+      val v = (bytes(off + 1).toInt << 8) | (bytes(off) & 0xFF)
+      sum += v
+      energy += v.toLong * v
+      off += 2
+    }
+    JdkWavFeatures(r.doc_id, fmt.getSampleRate.toInt, ch, frames,
+      sum, energy)
+  }
+
   /** REAL RIFF/WAVE parser: validates the RIFF magic and declared
     * size, requires a canonical PCM/16-bit fmt chunk BEFORE the data
     * chunk, checks byte-rate/block-align consistency and exact data
@@ -855,6 +895,26 @@ object Multimodal {
         .mapPartitions(_.flatMap(sampleWavWindows))
         .toDF()
         .orderBy("doc_id", "window_idx")
+    }),
+
+    // mm17: mm16's real-container upgrade for the AUDIO half — the
+    // same RIFF/WAVE payloads decoded through the JDK's OWN decoder
+    // (javax.sound.sampled, pure standard library): an independent
+    // second implementation of the container spec reading the same
+    // bytes, the way a production pipeline's decode stage uses a
+    // stock library rather than a hand parser. The oracle recomputes
+    // the PCM generator, so the hash gate proves the stock decoder +
+    // sample fold end-to-end; Round12OpsSpec adds the byte-for-byte
+    // half (JDK-decoded PCM == the hand parser's PCM) and loud
+    // failure on a corrupted payload. Same scale shape as mm06:
+    // payloads never shuffle, one-record→one-record partition map,
+    // two integer checksums per doc flow downstream.
+    "mm17_wav_jdk_decode" -> ((s, d) => {
+      import s.implicits._
+      wavPayloads(s, d)
+        .mapPartitions(_.map(decodeWavJdk))
+        .toDF()
+        .orderBy("doc_id")
     }),
 
     // mm08: audio ENERGY segmentation (VAD shape) over the decoded
@@ -1445,6 +1505,32 @@ object Multimodal {
         |      * 32768 * 32768 AS is_voiced
         |FROM wins
         |ORDER BY doc_id, window_idx""".stripMargin,
+
+    // mm17: the PCM generator recomputed whole-file (not windowed) —
+    // sum and sum-of-squares over every (frame, channel) sample.
+    "mm17_wav_jdk_decode" ->
+      """WITH geom AS (
+        |  SELECT doc_id,
+        |    8000 + 4000 * (doc_id % 3) AS sample_rate,
+        |    1 + (doc_id % 2) AS n_channels,
+        |    16 + (length(text) % 101) AS total_frames
+        |  FROM documents
+        |), samples AS (
+        |  SELECT doc_id, sample_rate, n_channels, total_frames,
+        |    ((doc_id * 37 + (k.k // n_channels) * 11
+        |      + (k.k % n_channels) * 5) % 65536) - 32768 AS v
+        |  FROM geom,
+        |    LATERAL unnest(generate_series(0,
+        |      total_frames * n_channels - 1)) AS k(k)
+        |)
+        |SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(n_channels AS INT) AS n_channels,
+        |  CAST(total_frames AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM samples
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY doc_id""".stripMargin,
 
     "mm06_wav_frames" ->
       """WITH geom AS (

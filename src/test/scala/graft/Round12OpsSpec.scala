@@ -601,4 +601,27 @@ class Round12OpsSpec extends AnyFunSuite {
       s"selection did not tilt to the target domain: " +
         selLang.groupBy(identity).view.mapValues(_.length).toMap)
   }
+
+  test("mm17 JDK WAV decode: PCM bytes equal the hand parser's " +
+    "byte-for-byte on every payload, and a corrupted payload fails " +
+    "loudly instead of yielding features") {
+    import graft.multimodal.Multimodal
+    val payloads = Multimodal.wavPayloads(spark, d).collect()
+    assert(payloads.length >= 100)
+    payloads.foreach { r =>
+      val hand = Multimodal.decodeWav(r.payload)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val jdk = ais.readAllBytes()
+      assert(java.util.Arrays.equals(jdk, hand.pcm),
+        s"doc ${r.doc_id}: JDK PCM differs from the hand parser's")
+      assert(ais.getFormat.getChannels == hand.channels &&
+        ais.getFormat.getSampleRate.toInt == hand.sampleRate)
+    }
+    val bad = payloads.head.payload.clone()
+    bad(0) = 'X'.toByte // break the RIFF magic
+    intercept[Exception] {
+      Multimodal.decodeWavJdk(Multimodal.MediaRecord(-1L, bad))
+    }
+  }
 }
