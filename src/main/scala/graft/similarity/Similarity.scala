@@ -1047,6 +1047,41 @@ object Similarity {
         .orderBy("vec_id", "m")
     }),
 
+    // ss31: SERVING FROM THE DELETED INDEX — ss30's proof lifted to
+    // the layer users actually touch: ADC top-k (ss07's math) served
+    // from the LIVE view of the tombstoned index, so deleted vectors
+    // must vanish from every result list and their successors fill
+    // in — the GDPR-delete acceptance test for a vector store. The
+    // probe side stays unfiltered (a deleted document may still be a
+    // query); only the database side loses rows. Runs before any
+    // fold (or after — readIvfIndexLive serves identically through
+    // the anti-join and the folded segment, which ss30's checksum
+    // gate already proved), so ss30/ss31 compose in either order.
+    //
+    // Scale: ss07's exact shape — the live view adds one broadcast
+    // ids anti-join per probe pass until the next compaction folds
+    // it away; everything else is LUT hits + integer sums.
+    "ss31_deleted_serving" -> ((s, d) => {
+      val (root, _) = publishedIvfIndex(s, d, "_del")
+      writeTombstones(s, root, embeddings(s, d)
+        .filter(col("vec_id") % TombMod === TombRem).select("vec_id"))
+      val codes = readIvfIndexLive(s, root)
+        .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      val lut = pqLut(s, d)
+      val scored = codes
+        .join(broadcast(lut),
+          codes("m") === lut("m") && codes("code") === lut("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(sum("ld2_u6").as("adc_u6"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "adc_u6")
+        .orderBy("query_id", "rank")
+    }),
+
     // ss27: INDEX DRIFT READOUT — the trigger that ends ss26's
     // frozen-geometry regime: per IVF cell, base vs delta member
     // counts and summed PQ quantization error (the per-vector
@@ -2473,6 +2508,16 @@ object Similarity {
          |WHERE rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin,
 
+    // ss31: ss07's serve with the database side minus the tombstoned
+    // ids — equality proves deleted vectors vanish from every top-k
+    // and the ranks re-close over the survivors.
+    "ss31_deleted_serving" ->
+      s"""WITH ${graft.operators.TextAnalysis.pqSqlCtes},
+         |${pqAdcRankedSqlWhere(s"c.vec_id % $TombMod <> $TombRem")}
+         |SELECT query_id, rank, neighbor_id, adc_u6 FROM pq_ranked
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin,
+
     // the oracle recomputes the merge from first principles: the
     // updates' reversed embeddings are re-encoded by arithmetic
     // index flip (emb[D+1-k], the same term order as Spark's
@@ -2827,7 +2872,11 @@ object Similarity {
 
   /** lut → adc → pq_ranked: the ADC scoring fragments of the ss07
     * oracle, shared with ss10's recall oracle. Expects pqSqlCtes. */
-  private def pqAdcRankedSql: String =
+  /** The plain ADC serve fragments, with a database-side row
+    * predicate — `TRUE` is ss07's full table; ss31 filters out the
+    * tombstoned ids (the query/LUT side stays unfiltered: a deleted
+    * document may still be a probe). */
+  private def pqAdcRankedSqlWhere(pred: String): String =
     s"""lut AS (
        |  SELECT vec_id AS query_id, m, cid,
        |    CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS ld2_u6
@@ -2836,7 +2885,7 @@ object Similarity {
        |  SELECT l.query_id, c.vec_id AS neighbor_id,
        |    CAST(sum(l.ld2_u6) AS BIGINT) AS adc_u6
        |  FROM pq_codes c JOIN lut l ON c.m = l.m AND c.code = l.cid
-       |  WHERE c.vec_id <> l.query_id
+       |  WHERE c.vec_id <> l.query_id AND $pred
        |  GROUP BY 1, 2
        |), pq_ranked AS (
        |  SELECT query_id, neighbor_id, adc_u6,
@@ -2844,6 +2893,8 @@ object Similarity {
        |      ORDER BY adc_u6, neighbor_id) AS rank
        |  FROM adc
        |)""".stripMargin
+
+  private def pqAdcRankedSql: String = pqAdcRankedSqlWhere("TRUE")
 
   /** lut → cand → adc → ivfpq_ranked: the cell-pruned ADC fragments of
     * the ss08/ss09 oracle, shared with ss11's recall oracle. Expects

@@ -624,4 +624,30 @@ class Round12OpsSpec extends AnyFunSuite {
       Multimodal.decodeWavJdk(Multimodal.MediaRecord(-1L, bad))
     }
   }
+
+  test("ss31 serving from the deleted index: tombstoned ids vanish " +
+    "from every top-k, ranks re-close dense, and surviving ss07 " +
+    "results can only be promoted") {
+    import graft.similarity.Similarity.{TombMod, TombRem}
+    val del = q("ss31_deleted_serving").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(del.nonEmpty)
+    del.foreach { case (_, _, n) =>
+      assert(n % TombMod != TombRem, s"tombstoned neighbor $n served") }
+    del.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length),
+        s"query $qid ranks not dense: ${rows.map(_._2).sorted}") }
+    val full = q("ss07_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val delRank = del.map { case (qid, rk, n) => (qid, n) -> rk }.toMap
+    var promoted = 0
+    full.filter(_._3 % TombMod != TombRem).foreach { case (qid, rk, n) =>
+      val r2 = delRank.get((qid, n))
+      assert(r2.nonEmpty && r2.get <= rk,
+        s"survivor ($qid,$n) demoted: ss07 rank $rk -> $r2")
+      if (r2.get < rk) promoted += 1
+    }
+    assert(promoted > 0,
+      "no survivor was promoted — the delete never bound on a top-k")
+  }
 }
