@@ -911,51 +911,52 @@ object Relational {
         .orderBy("cohort_day", "offset")
     }),
 
-    // q47: AS-OF JOIN — the point-in-time lookup every feature store
-    // runs at training time: for each purchase (the probe), the
-    // user's most recent preceding non-purchase event (the state) AT
-    // OR BEFORE the purchase instant. The one join kind the reference
-    // surface never had (SURVEY §2.5 lists it absent) and the naive
-    // formulations are both scale-killers: a range join explodes to
-    // |probes|×|state| candidate pairs, and a per-probe correlated
-    // subquery is a probe-count job storm. The scalable shape is the
-    // UNION-TAG sweep: tag state rows 0 and probe rows 1, sort each
-    // user's merged stream once, and carry the latest state forward
-    // with last(ignoreNulls) over an unbounded-preceding frame — ONE
-    // user-keyed exchange + one partition-local sort, zero pair
-    // blowup, identical cost to q13/q37's window family. Tie rule is
-    // explicit in the sort key (ts_us, kind, event_id): a state event
-    // sharing the probe's timestamp counts as "at or before", and
-    // equal-timestamp states resolve to the highest event_id — the
-    // oracle encodes the same total order, so the match is
+    // q47: MULTI-FEATURE POINT-IN-TIME ASSEMBLY — q16's single-state
+    // as-of sweep generalized to the shape feature stores actually
+    // run at training time: K features (here: the latest preceding
+    // view / click / error per user), all materialized against each
+    // probe (purchase) in ONE union-tag sweep — K conditional
+    // last(ignoreNulls) columns over the SAME window, so the cost is
+    // one user-keyed exchange + one partition-local sort no matter
+    // how many features ride along. That is the whole reason feature
+    // stores don't run K as-of joins: K sweeps = K exchanges + K
+    // sorts of the state stream, this = exactly q16's cost with K
+    // columns. Tie rule total and explicit on (ts_us, kind,
+    // event_id) — a state event sharing the probe's timestamp counts
+    // as "at or before", equal-ts states resolve to the highest
+    // event_id; the oracle encodes the same order, so the match is
     // deterministic on any partitioning.
-    "q47_asof_join" -> ((s, d) => {
+    "q47_feature_asof" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"),
         col("value"))
       val state = ev.filter(col("event_type") =!= "purchase")
         .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
-          col("event_id"), col("event_id").as("s_eid"),
+          col("event_id"), col("event_type").as("s_type"),
           col("ts_us").as("s_ts_us"), col("value").as("s_val"))
       val probes = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
-          col("event_id"), lit(null).cast("long").as("s_eid"),
+          col("event_id"), lit(null).cast("string").as("s_type"),
           lit(null).cast("long").as("s_ts_us"),
           lit(null).cast("double").as("s_val"))
       val w = Window.partitionBy("user_id")
         .orderBy("ts_us", "kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def feat(t: String, c: org.apache.spark.sql.Column) =
+        last(when(col("s_type") === t, c), ignoreNulls = true).over(w)
       state.unionByName(probes)
-        .withColumn("asof_event_id",
-          last(col("s_eid"), ignoreNulls = true).over(w))
-        .withColumn("asof_ts_us",
-          last(col("s_ts_us"), ignoreNulls = true).over(w))
-        .withColumn("asof_value",
-          last(col("s_val"), ignoreNulls = true).over(w))
+        .withColumn("view_ts_us", feat("view", col("s_ts_us")))
+        .withColumn("view_val", feat("view", col("s_val")))
+        .withColumn("click_ts_us", feat("click", col("s_ts_us")))
+        .withColumn("click_val", feat("click", col("s_val")))
+        .withColumn("error_ts_us", feat("error", col("s_ts_us")))
+        .withColumn("error_val", feat("error", col("s_val")))
         .filter(col("kind") === 1)
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("asof_event_id"), col("asof_ts_us"), col("asof_value"),
-          (col("ts_us") - col("asof_ts_us")).as("staleness_us"))
+          col("view_ts_us"), col("view_val"),
+          col("click_ts_us"), col("click_val"),
+          col("error_ts_us"), col("error_val"),
+          (col("ts_us") - col("view_ts_us")).as("view_staleness_us"))
         .orderBy("event_id")
     }),
 
@@ -1805,17 +1806,17 @@ object Relational {
         |FROM m JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, "offset"""".stripMargin,
 
-    // q47: the SAME union-tag sweep (not DuckDB's native ASOF JOIN,
-    // whose tie handling under equal timestamps is not keyed by
-    // event_id) — the explicit (ts_us, kind, event_id) total order
-    // makes both engines deterministic and identical.
-    "q47_asof_join" ->
+    // q47: the SAME union-tag sweep with K conditional
+    // last_value(IGNORE NULLS) columns over one window (not K ASOF
+    // JOINs) — the explicit (ts_us, kind, event_id) total order makes
+    // both engines deterministic and identical.
+    "q47_feature_asof" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
         |    value FROM events
         |), tagged AS (
         |  SELECT user_id, ts_us, 0 AS kind, event_id,
-        |    event_id AS s_eid, ts_us AS s_ts_us, value AS s_val
+        |    event_type AS s_type, ts_us AS s_ts_us, value AS s_val
         |  FROM ev WHERE event_type <> 'purchase'
         |  UNION ALL
         |  SELECT user_id, ts_us, 1 AS kind, event_id,
@@ -1823,16 +1824,26 @@ object Relational {
         |  FROM ev WHERE event_type = 'purchase'
         |), swept AS (
         |  SELECT event_id, user_id, ts_us, kind,
-        |    last_value(s_eid IGNORE NULLS) OVER w AS asof_event_id,
-        |    last_value(s_ts_us IGNORE NULLS) OVER w AS asof_ts_us,
-        |    last_value(s_val IGNORE NULLS) OVER w AS asof_value
+        |    last_value(CASE WHEN s_type = 'view' THEN s_ts_us END
+        |      IGNORE NULLS) OVER w AS view_ts_us,
+        |    last_value(CASE WHEN s_type = 'view' THEN s_val END
+        |      IGNORE NULLS) OVER w AS view_val,
+        |    last_value(CASE WHEN s_type = 'click' THEN s_ts_us END
+        |      IGNORE NULLS) OVER w AS click_ts_us,
+        |    last_value(CASE WHEN s_type = 'click' THEN s_val END
+        |      IGNORE NULLS) OVER w AS click_val,
+        |    last_value(CASE WHEN s_type = 'error' THEN s_ts_us END
+        |      IGNORE NULLS) OVER w AS error_ts_us,
+        |    last_value(CASE WHEN s_type = 'error' THEN s_val END
+        |      IGNORE NULLS) OVER w AS error_val
         |  FROM tagged
         |  WINDOW w AS (PARTITION BY user_id
         |    ORDER BY ts_us, kind, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |)
-        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
-        |  asof_value, ts_us - asof_ts_us AS staleness_us
+        |SELECT event_id, user_id, ts_us, view_ts_us, view_val,
+        |  click_ts_us, click_val, error_ts_us, error_val,
+        |  ts_us - view_ts_us AS view_staleness_us
         |FROM swept WHERE kind = 1
         |ORDER BY event_id""".stripMargin,
 

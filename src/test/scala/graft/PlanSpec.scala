@@ -727,4 +727,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.substring(0, applyIdx).contains("Generate"),
       s"em15: apply side must not explode the corpus:\n$p")
   }
+
+  test("q47 multi-feature assembly stays one window pass, no join, " +
+    "however many features ride along") {
+    val p = plan("q47_feature_asof")
+    assert("Window".r.findAllMatchIn(p).length >= 1)
+    assert(!p.contains("Join"),
+      "K-feature as-of must not plan K joins (or any join)")
+    // exactly one user-keyed exchange feeds the window (plus the
+    // presentation sort's range exchange)
+    val ex = "hashpartitioning".r.findAllMatchIn(p).length
+    assert(ex == 1, s"expected 1 hash exchange, got $ex:\n$p")
+  }
+
+  test("ta31 DSIR selection compiles to TakeOrderedAndProject — " +
+    "never a global window over all docs") {
+    val p = plan("ta31_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected partial top-K:\n$p")
+  }
+
+  test("ta30 KN scoring runs off the checkpointed token/bigram " +
+    "tables — zero FileScans in the final plan") {
+    val p = plan("ta30_kneser_ney")
+    val scans = "FileScan".r.findAllMatchIn(p).length
+    assert(scans == 0, s"expected 0 FileScans, got $scans")
+  }
 }

@@ -419,12 +419,11 @@ class Round12OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q47 as-of join equals a brute-force per-probe latest-state " +
-    "lookup, including the no-prior-state NULL row") {
-    val got = q("q47_asof_join").collect()
-      .map(r => (r.getLong(0),
-        (if (r.isNullAt(3)) -1L else r.getLong(3),
-         if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+  test("q47 multi-feature as-of assembly equals a brute-force " +
+    "per-probe per-feature latest-state lookup, including NULL rows") {
+    val got = q("q47_feature_asof").collect()
+      .map(r => (r.getLong(0), Seq(3, 5, 7).map(i =>
+        if (r.isNullAt(i)) -1L else r.getLong(i)))).toMap
     val ev = Tables.events(spark, d)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
@@ -432,18 +431,13 @@ class Round12OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val probes = ev.filter(_._4 == "purchase")
     assert(probes.nonEmpty && got.size == probes.length)
-    var sawNull = false
     probes.foreach { case (eid, uid, ts, _) =>
-      // brute force: latest non-purchase of the same user at or
-      // before ts; equal-ts ties resolve to the max event_id
-      val cand = ev.filter(e =>
-        e._2 == uid && e._4 != "purchase" && e._3 <= ts)
-      val want =
-        if (cand.isEmpty) { sawNull = true; (-1L, -1L) }
-        else {
-          val best = cand.maxBy(e => (e._3, e._1))
-          (best._1, best._3)
-        }
+      // brute force per feature type: latest same-user event of that
+      // type at or before ts; equal-ts ties resolve to max event_id
+      val want = Seq("view", "click", "error").map { t =>
+        val cand = ev.filter(e => e._2 == uid && e._4 == t && e._3 <= ts)
+        if (cand.isEmpty) -1L else cand.maxBy(e => (e._3, e._1))._3
+      }
       assert(got(eid) == want, s"probe $eid: got ${got(eid)}, want $want")
     }
   }
