@@ -644,4 +644,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(promoted > 0,
       "no survivor was promoted — the delete never bound on a top-k")
   }
+
+  test("cross-query: q47's click feature agrees with q16's " +
+    "single-state as-of sweep probe-for-probe") {
+    // q16 carries click_ts as a timestamp; q47 carries click_ts_us as
+    // epoch micros — same instant, same tie rule, so they must agree
+    // on every purchase probe (and on which probes have no click)
+    val q16r = q("q16_asof_join").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) -1L
+         else r.getTimestamp(4).toInstant.toEpochMilli * 1000L +
+           r.getTimestamp(4).getNanos / 1000 % 1000)).toMap
+    val q47r = q("q47_feature_asof").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(q16r.keySet == q47r.keySet)
+    q16r.foreach { case (eid, ts16) =>
+      assert(q47r(eid) == ts16,
+        s"probe $eid: q16 click_ts_us $ts16 != q47 ${q47r(eid)}") }
+  }
 }
