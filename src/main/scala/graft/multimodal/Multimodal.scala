@@ -200,6 +200,9 @@ object Multimodal {
       p += 1
     }
     val baos = new java.io.ByteArrayOutputStream()
+    // same disk-cache default as the decode path (see
+    // decodePngFeatures): write through the in-memory cache
+    javax.imageio.ImageIO.setUseCache(false)
     if (!javax.imageio.ImageIO.write(img, "png", baos))
       throw new IllegalStateException("no PNG writer available")
     baos.toByteArray
