@@ -663,4 +663,52 @@ class Round12OpsSpec extends AnyFunSuite {
       assert(q47r(eid) == ts16,
         s"probe $eid: q16 click_ts_us $ts16 != q47 ${q47r(eid)}") }
   }
+
+  test("ss29 GC composes with the ss30 delete-fold: after the fold, " +
+    "GC deletes exactly the dead pre-delete segments and the live " +
+    "folded rows are untouched") {
+    val sim = graft.similarity.Similarity
+    // ensure the _del root is in its post-fold state (idempotent)
+    q("ss30_index_delete").collect()
+    val root = sim.ivfIndexRoot(d) + "_del"
+    val before = sim.readIvfIndexLive(spark, root)
+      .select("vec_id", "cell", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val audit = sim.gcIvfIndex(spark, root)
+    // the fold left seg_base + seg_delta1 dead and seg_folded1 live
+    assert(audit.map(a => (a._1, a._2)).toSet ==
+      Set(("seg_base", false), ("seg_delta1", false),
+        ("seg_folded1", true)), s"unexpected GC audit: $audit")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(g: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/$g"))
+    assert(!exists("seg_base") && !exists("seg_delta1") &&
+      exists("seg_folded1"))
+    val after = sim.readIvfIndexLive(spark, root)
+      .select("vec_id", "cell", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(after == before, "GC changed the live index")
+  }
+
+  test("ss28 compaction composes with the st26 stream-built index: " +
+    "compacting the three stream segments is invisible to readers") {
+    val sim = graft.similarity.Similarity
+    val rows = (df: org.apache.spark.sql.DataFrame) => df
+      .select("vec_id", "cell", "m", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    q("st26_stream_index_append").collect() // (re)build the stream index
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_stream_index", "idx").toString
+    val before = rows(sim.readIvfIndex(spark, root))
+    sim.compactIvfIndex(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_compact1")
+    assert(rows(sim.readIvfIndex(spark, root)) == before,
+      "compaction of the stream-built index changed its rows")
+  }
 }
