@@ -187,6 +187,18 @@ object Multimodal {
     * chunks, not a homegrown container. Pixels land in a
     * TYPE_3BYTE_BGR raster (written bytes are B,G,R per pixel;
     * the generator is R,G,B-ordered, hence the index swizzle). */
+  /** One-time JVM-global ImageIO configuration: route stream caching
+    * through memory instead of the default temp-file cache. A lazy
+    * val so the static `setUseCache` mutation runs ONCE per executor
+    * JVM at first codec use (round-12 advisor: the per-record static
+    * write was redundant work and an unsynchronized global mutation
+    * on every row). Still process-global by ImageIO's design — any
+    * co-resident ImageIO user in the JVM inherits the in-memory
+    * cache, which is the documented trade for removing a temp-file
+    * create/delete per decoded/encoded payload. */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -202,7 +214,7 @@ object Multimodal {
     val baos = new java.io.ByteArrayOutputStream()
     // same disk-cache default as the decode path (see
     // decodePngFeatures): write through the in-memory cache
-    javax.imageio.ImageIO.setUseCache(false)
+    imageIoInMemory
     if (!javax.imageio.ImageIO.write(img, "png", baos))
       throw new IllegalStateException("no PNG writer available")
     baos.toByteArray
@@ -234,8 +246,8 @@ object Multimodal {
     // to run with GC and peak memory EXACTLY flat — the variance was
     // temp-file I/O contending with host load, not decode work).
     // The in-memory cache removes the filesystem from the decode
-    // path entirely. JVM-global and idempotent, so set per record.
-    javax.imageio.ImageIO.setUseCache(false)
+    // path entirely.
+    imageIoInMemory
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(r.payload))
     require(img != null, s"PNG decode failed for doc ${r.doc_id}")
@@ -542,14 +554,19 @@ object Multimodal {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val ais = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(r.payload))
-    val fmt = ais.getFormat
-    require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
-      s"doc ${r.doc_id}: non-PCM encoding ${fmt.getEncoding}")
-    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-      s"doc ${r.doc_id}: unexpected sample layout $fmt")
-    val ch = fmt.getChannels
-    val frames = ais.getFrameLength
-    val bytes = ais.readAllBytes()
+    // close even though the backing stream is an in-memory byte array:
+    // the AudioInputStream wrapper itself is a per-record resource, and
+    // a file/stream-backed source would leak without it (round-12
+    // advisor)
+    val (fmt, ch, frames, bytes) =
+      try {
+        val f = ais.getFormat
+        require(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+          s"doc ${r.doc_id}: non-PCM encoding ${f.getEncoding}")
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"doc ${r.doc_id}: unexpected sample layout $f")
+        (f, f.getChannels, ais.getFrameLength, ais.readAllBytes())
+      } finally ais.close()
     require(bytes.length.toLong == frames * ch * 2,
       s"doc ${r.doc_id}: decoded ${bytes.length} bytes, " +
         s"declared ${frames * ch * 2}")

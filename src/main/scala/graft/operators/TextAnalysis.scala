@@ -360,6 +360,61 @@ object TextAnalysis {
     words.select(enc.as("seq"), col("f"))
   }
 
+  /** ta30's scoring core over ARBITRARY tokenized (doc_id, ts) frames
+    * — train the interpolated Kneser-Ney bigram model on `train` and
+    * score `score` (model and math documented at the ta30 entry).
+    * Factored from the registered query so the OOV-context fallback
+    * branch (`cw` null → Pcont alone) is testable on a fixture that
+    * actually CONTAINS an out-of-vocabulary context — the real
+    * documents table's shared vocabulary never produces one, which
+    * left that branch structurally uncovered (round-12 advisor). */
+  private[graft] def kneserNeyScore(train: DataFrame,
+      score: DataFrame): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ts")) - 1)).as("i"),
+        col("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), col("i")).as("w1"),
+        element_at(col("ts"), col("i") + 1).as("w2"))
+    val tb = bigrams(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds ctx, n1b, T, and the scoring join
+    val ctx = tb.groupBy("w1")
+      .agg(sum("c").as("cw"), count(lit(1)).as("n1f"))
+    val nb = tb.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val tot = tb.agg(count(lit(1)).as("t"))
+    val vt = train.select(explode(col("ts")).as("token"))
+      .agg(countDistinct("token").as("vt"))
+    val scored = bigrams(score)
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(nb, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(vt))
+      // pc and p: integer adds first, ONE cast per operand, and an
+      // explicit multiplication tree 0.75 * (n1f * pc) — the SQL
+      // oracle spells the same ops in the same order, so the
+      // doubles are engine-identical before the floor quantize
+      .withColumn("pc",
+        (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t") + col("vt") + lit(1L)).cast("double"))
+      .withColumn("p", when(col("cw").isNull, col("pc"))
+        .otherwise((greatest(
+          coalesce(col("c"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) +
+          lit(0.75) * (col("n1f").cast("double") * col("pc"))) /
+          col("cw").cast("double")))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(when(col("cw").isNull, 1L).otherwise(0L)).as("n_oov_ctx"),
+        sum(floor(log(col("p")) * 1e6 + 0.5).cast("long"))
+          .as("sum_lp_u6"))
+      .orderBy("doc_id")
+  }
+
   /** ta20's hashed feature dimension (2^10; production uses 2^18–2^20
     * — nothing below depends on the value). */
   private[graft] val HashDim = 1024L
@@ -898,50 +953,8 @@ object TextAnalysis {
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint() // one tokenized materialization (ta15)
-      def bigrams(df: DataFrame) = df
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), size(col("ts")) - 1)).as("i"),
-          col("ts"))
-        .select(col("doc_id"),
-          element_at(col("ts"), col("i")).as("w1"),
-          element_at(col("ts"), col("i") + 1).as("w2"))
-      val train = toks.filter(col("doc_id") % 2 === 0)
-      val tb = bigrams(train)
-        .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds ctx, n1b, T, and the scoring join
-      val ctx = tb.groupBy("w1")
-        .agg(sum("c").as("cw"), count(lit(1)).as("n1f"))
-      val nb = tb.groupBy("w2").agg(count(lit(1)).as("n1b"))
-      val tot = tb.agg(count(lit(1)).as("t"))
-      val vt = train.select(explode(col("ts")).as("token"))
-        .agg(countDistinct("token").as("vt"))
-      val scored = bigrams(toks.filter(col("doc_id") % 2 =!= 0))
-        .join(tb, Seq("w1", "w2"), "left")
-        .join(ctx, Seq("w1"), "left")
-        .join(nb, Seq("w2"), "left")
-        .crossJoin(broadcast(tot))
-        .crossJoin(broadcast(vt))
-        // pc and p: integer adds first, ONE cast per operand, and an
-        // explicit multiplication tree 0.75 * (n1f * pc) — the SQL
-        // oracle spells the same ops in the same order, so the
-        // doubles are engine-identical before the floor quantize
-        .withColumn("pc",
-          (coalesce(col("n1b"), lit(0L)) + lit(1L)).cast("double") /
-            (col("t") + col("vt") + lit(1L)).cast("double"))
-        .withColumn("p", when(col("cw").isNull, col("pc"))
-          .otherwise((greatest(
-            coalesce(col("c"), lit(0L)).cast("double") - lit(0.75),
-            lit(0.0)) +
-            lit(0.75) * (col("n1f").cast("double") * col("pc"))) /
-            col("cw").cast("double")))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_unseen"),
-          sum(when(col("cw").isNull, 1L).otherwise(0L)).as("n_oov_ctx"),
-          sum(floor(log(col("p")) * 1e6 + 0.5).cast("long"))
-            .as("sum_lp_u6"))
-        .orderBy("doc_id")
+      kneserNeyScore(toks.filter(col("doc_id") % 2 === 0),
+        toks.filter(col("doc_id") % 2 =!= 0))
     }),
 
     // ta31: DSIR importance selection — Data Selection via Importance

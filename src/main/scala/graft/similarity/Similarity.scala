@@ -417,7 +417,20 @@ object Similarity {
     * already-folded index is left alone. */
   private[graft] def foldTombstones(s: SparkSession, root: String): Unit = {
     val marker = s"$root/_INDEX"
-    if (graft.io.Commit.readMarker(s, marker) == "seg_folded1") return
+    if (graft.io.Commit.readMarker(s, marker) == "seg_folded1") {
+      // recovery half of the two-marker commit: a crash between the
+      // _INDEX roll and the _TOMB clear leaves an active tombstone
+      // marker over an already-folded index — harmless (the anti-join
+      // removes rows the fold already dropped) but permanent, so every
+      // later serve would pay a no-op broadcast anti-join and the
+      // "folded means _TOMB=none" invariant would be false after
+      // recovery (round-12 advisor). Finish the clear on replay.
+      val tomb = s"$root/_TOMB"
+      if (graft.io.Commit.exists(s, tomb) &&
+          graft.io.Commit.readMarker(s, tomb) != "none")
+        graft.io.Commit.writeMarker(s, tomb, "none")
+      return
+    }
     readIvfIndexLive(s, root)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/seg_folded1")

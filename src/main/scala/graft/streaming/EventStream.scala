@@ -1332,9 +1332,16 @@ object EventStream {
       require(batches >= 3,
         s"expected three index-append waves, got $batches")
       // crash-recovery replay of the last wave: the marker proves the
-      // segment landed, so the step must be a pure no-op
+      // segment landed, so the step must be a pure no-op. The replayed
+      // waveId comes from the marker's OWN last seg_w<N> entry, never
+      // the driver-side batch counter — if the file source ever emits
+      // an extra (e.g. empty) batch, `batches - 1` would name a wave
+      // absent from the marker and the "replay" would append a brand-
+      // new duplicate segment of the third wave (round-12 advisor).
+      val lastWave = graft.io.Commit.readMarker(s, s"$idxRoot/_INDEX")
+        .split(",").map(_.stripPrefix("seg_w").toLong).max
       sim.appendIndexWave(ss, d, idxRoot,
-        emb.filter(col("vec_id") >= b1), batches - 1L)
+        emb.filter(col("vec_id") >= b1), lastWave)
       sim.readIvfIndex(s, idxRoot)
         .select(col("vec_id"), col("cell"), col("m"), col("code"),
           (col("vec_id") >= cutoff).as("is_delta"))

@@ -555,6 +555,41 @@ class Round12OpsSpec extends AnyFunSuite {
     want.foreach { case (id, w) =>
       assert(got(id) == w, s"doc $id: got ${got(id)}, want $w") }
     assert(sawUnseen, "fixture never exercised the unseen-bigram path")
+    // the shared ~30-word vocabulary means the REAL fixture can never
+    // produce an out-of-vocabulary CONTEXT (sawOov stays false), so the
+    // Pcont-fallback branch gets its own fixture (round-12 advisor:
+    // without this the branch was structurally uncovered): train "a b
+    // a c", score "z q b a" — context z is OOV (falls back to Pcont
+    // alone), (b,a) is a seen bigram, (a,?) unseen-w2 paths covered by
+    // the real fixture above.
+    assert(!sawOov, "real fixture now produces OOV contexts — fold " +
+      "this synthetic check back into the main assertion")
+    locally {
+      import spark.implicits._
+      val trainF = Seq((0L, Seq("a", "b", "a", "c")))
+        .toDF("doc_id", "ts")
+      val scoreF = Seq((1L, Seq("z", "q", "b", "a"))).toDF("doc_id", "ts")
+      val r = graft.operators.TextAnalysis
+        .kneserNeyScore(trainF, scoreF).collect()
+      assert(r.length == 1)
+      val row = r.head
+      // train bigrams: (a,b)=1, (b,a)=1, (a,c)=1; T=3, V=3
+      // cw: a->2 (n1f 2), b->1 (n1f 1); n1b: b->1, a->1, c->1
+      val pcQ = 1.0 / 7.0            // q unseen as continuation: (0+1)/(3+3+1)
+      val pcB = (1.0 + 1.0) / 7.0    // N1+(•,b)=1
+      val pcA = (1.0 + 1.0) / 7.0
+      val lpZQ = pcQ                 // z is an OOV context → Pcont(q) alone
+      val lpQB = pcB                 // q is an OOV context → Pcont(b) alone
+      val lpBA = (math.max(1.0 - 0.75, 0.0) + 0.75 * (1.0 * pcA)) / 1.0
+      val want = Seq(lpZQ, lpQB, lpBA)
+        .map(p => math.floor(math.log(p) * 1e6 + 0.5).toLong).sum
+      assert(row.getLong(1) == 3L, "n_bigrams")
+      assert(row.getLong(3) == 2L,
+        s"n_oov_ctx: got ${row.getLong(3)} — the Pcont fallback " +
+          "branch did not fire for the OOV contexts")
+      assert(row.getLong(4) == want,
+        s"sum_lp_u6: got ${row.getLong(4)}, want $want")
+    }
   }
 
   test("ta31 DSIR selection equals an independent in-memory " +
