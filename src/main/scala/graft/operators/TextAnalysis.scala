@@ -329,17 +329,42 @@ object TextAnalysis {
     root
   }
 
+  /** Merges applied per encode projection: each chunk folds into ONE
+    * nested boundary-wrapped replace chain, and the type table is
+    * localCheckpoint-truncated between chunks — so the expression
+    * depth of any single projection is ≤ this constant REGARDLESS of
+    * the merge-table size. A 32k-merge production table becomes 500
+    * bounded projections over the (Heaps-law-bounded) type table, not
+    * one 32k-deep tree that breaks codegen's 64 KB method limit and
+    * analysis long before data size matters (the round-12 verdict's
+    * only structurally-unbounded expression; PlanSpec locks the
+    * bound). 64 balances projection count against per-projection
+    * codegen size: each replace is one StringReplace node, so a chunk
+    * compiles to a linear 64-call chain, well inside method limits. */
+  private[graft] val EncodeChunkMerges = 64
+
+  /** One encode chunk as a Column: the chunk's merges composed
+    * left-to-right over `seq` — replace composition in merge order IS
+    * the sequential trainer's application order, so chaining chunks
+    * in order reproduces the single-chain fold exactly (Round13OpsSpec
+    * proves chunked ≡ single-chain on the published table). */
+  private[graft] def encodeChunkChain(chunk: Seq[(String, String)])
+      : Column = {
+    val sep = BpeSep
+    chunk.foldLeft(col("seq")) { case (e, (l, r)) =>
+      replace(e, lit(sep + l + sep + sep + r + sep),
+        lit(sep + l + r + sep))
+    }
+  }
+
   /** The encoded type table derived FROM the published merge table:
     * fold the corpus once into word types × frequency, collect the
     * (vocab-bounded, corpus-independent) merge rows in (round, idx)
-    * order, and apply them as one chained boundary-wrapped replace
-    * projection — replace composition in merge order IS the
-    * sequential trainer's application order, so the result equals
-    * the trainer's own final table without a single trainer stage in
-    * the plan (PlanSpec locks this for ta29). At a 32k-merge
-    * production table the chain becomes a few checkpointed
-    * B-merge projections; the structure — corpus folded once, merges
-    * from the artifact — is unchanged. */
+    * order, and apply them as checkpointed [[EncodeChunkMerges]]-merge
+    * replace projections — bounded expression depth per projection at
+    * ANY merge-table size (the structure a production 32k-merge
+    * tokenizer needs), while the value is provably the single-chain
+    * fold (checkpoints truncate lineage, never change rows). */
   private[graft] def encodeFromArtifact(s: SparkSession, d: String)
       : DataFrame = {
     val root = publishedBpeMerges(s, d)
@@ -353,12 +378,20 @@ object TextAnalysis {
       .select(regexp_replace(col("word"), "(.)", s"$sep$$1$sep")
         .as("seq"))
       .groupBy("seq").agg(count(lit(1)).cast("long").as("f"))
-    val enc = merges.foldLeft(col("seq")) { case (e, (l, r)) =>
-      replace(e, lit(sep + l + sep + sep + r + sep),
-        lit(sep + l + r + sep))
-    }
-    words.select(enc.as("seq"), col("f"))
+    encodeChunked(words, merges, EncodeChunkMerges)
   }
+
+  /** The chunked fold itself, chunk size explicit — split out so the
+    * chunked ≡ single-chain law can be tested at a chunk size the
+    * fixture's merge table actually straddles (Round13OpsSpec runs it
+    * at 8 over the published table; production uses
+    * [[EncodeChunkMerges]]). */
+  private[graft] def encodeChunked(words: DataFrame,
+      merges: Seq[(String, String)], chunkSize: Int): DataFrame =
+    merges.grouped(chunkSize).foldLeft(words) { (acc, chunk) =>
+      acc.select(encodeChunkChain(chunk).as("seq"), col("f"))
+        .localCheckpoint()
+    }
 
   /** ta30's scoring core over ARBITRARY tokenized (doc_id, ts) frames
     * — train the interpolated Kneser-Ney bigram model on `train` and

@@ -366,21 +366,51 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("ta29 encodes from the shipped artifact — no trainer stages " +
-    "in the plan") {
-    // the encode path must be: corpus type fold + the artifact's
-    // replace chain + per-source counts + the final rollup — exactly
-    // 3 aggregates, no pair-count stage (lsym/rsym), and no
-    // checkpoint scar (an ExistingRDD scan would mean the trainer's
-    // materialized state leaked into the encode plan)
+    "in the plan, bounded expression depth per encode projection") {
+    // the encode path is: corpus type fold + the artifact's replace
+    // chain as checkpointed EncodeChunkMerges-merge projections +
+    // per-source counts + the final rollup. The final plan therefore
+    // contains exactly 2 aggregates (per-source word counts + the
+    // rollup — the type fold sits BEHIND the encode checkpoints), no
+    // pair-count stage (lsym/rsym), and exactly ONE ExistingRDD scan:
+    // the encode chain's own final checkpoint. A second ExistingRDD
+    // or a pair-count column would mean trainer state leaked in.
     val df = SparkEntry.queries("ta29_bpe_encode_artifact")(spark, d)
     val opt = df.queryExecution.optimizedPlan.toString
     val aggs = "Aggregate".r.findAllMatchIn(opt).length
-    assert(aggs == 3, s"ta29: expected 3 aggregates, got $aggs:\n$opt")
+    assert(aggs == 2, s"ta29: expected 2 aggregates, got $aggs:\n$opt")
     assert(!opt.contains("lsym"),
       s"ta29: trainer pair-count stage leaked into the encode plan:\n$opt")
     val phys = df.queryExecution.executedPlan.toString
-    assert(!phys.contains("ExistingRDD"),
-      s"ta29: checkpointed trainer state in the encode plan:\n$phys")
+    val rddScans = "ExistingRDD".r.findAllMatchIn(phys).length
+    assert(rddScans == 1,
+      s"ta29: expected exactly the encode chain's one checkpoint " +
+        s"scan, got $rddScans:\n$phys")
+  }
+
+  test("encode chunking bounds expression depth at ANY merge-table " +
+    "size — the 32k-merge production case cannot build a 32k-deep " +
+    "tree") {
+    import graft.operators.TextAnalysis.{EncodeChunkMerges, encodeChunkChain}
+    // a production-sized synthetic merge list: 5000 merges → every
+    // chunk's Column must contain at most EncodeChunkMerges
+    // StringReplace nodes, and the chunks must cover all merges in
+    // order (grouped() preserves order, but the lock should not
+    // depend on remembering that)
+    val merges = (0 until 5000).map(i => (s"l$i", s"r$i"))
+    val chunks = merges.grouped(EncodeChunkMerges).toSeq
+    assert(chunks.map(_.size).sum == merges.size)
+    assert(chunks.flatten == merges)
+    chunks.foreach { chunk =>
+      import org.apache.spark.sql.functions.lit
+      val n = spark.range(1).select(lit("x").as("seq"))
+        .select(encodeChunkChain(chunk))
+        .queryExecution.analyzed.expressions.flatMap(_.collect {
+          case r: org.apache.spark.sql.catalyst.expressions.StringReplace => r
+        }).length
+      assert(n == chunk.size && n <= EncodeChunkMerges,
+        s"chunk of ${chunk.size} merges built $n replace nodes")
+    }
   }
 
   test("ss21 pagerank iterations ride checkpoints — no corpus re-scan") {
