@@ -402,11 +402,44 @@ object Similarity {
     if (!graft.io.Commit.exists(s, marker)) return all
     val t = graft.io.Commit.readMarker(s, marker)
     if (t == "none") all
-    else all.join(
-      broadcast(s.read.schema(
-          org.apache.spark.sql.types.StructType.fromDDL("vec_id LONG"))
-        .parquet(s"$root/$t")),
-      Seq("vec_id"), "left_anti")
+    else {
+      // the marker holds a LIST of tombstone files (one per delete
+      // batch — st27 appends one per microbatch; ss30's single-batch
+      // "tomb_1" is the one-element case). Ids-only and unioned under
+      // ONE broadcast: the accumulated delete set between folds is
+      // metadata-sized by nature.
+      val tombSchema =
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id LONG")
+      val tombs = t.split(",").toSeq
+        .map(f => s.read.schema(tombSchema).parquet(s"$root/$f"))
+        .reduce(_ unionByName _)
+      all.join(broadcast(tombs), Seq("vec_id"), "left_anti")
+    }
+  }
+
+  /** st27's microbatch delete sink: land one delete wave as a NEW
+    * tombstone file and append it to the `_TOMB` marker's list —
+    * appendIndexWave's discipline applied to the delete verb (the
+    * GDPR-delete stream: requests arrive as microbatches; each wave
+    * is ids-only metadata, no segment is ever rewritten on the
+    * delete path). Idempotent on replay (a wave already in the
+    * marker skips before any work), empty waves short-circuit, and a
+    * crash between the file write and the marker roll replays as a
+    * harmless overwrite of the same ids. The next [[foldTombstones]]
+    * absorbs the whole accumulated list and clears the marker,
+    * exactly as for a batch delete. */
+  private[graft] def appendTombstoneWave(s: SparkSession, root: String,
+      ids: DataFrame, waveId: Long): Unit = {
+    val marker = s"$root/_TOMB"
+    val tomb = s"tomb_w$waveId"
+    val cur = if (graft.io.Commit.exists(s, marker))
+      graft.io.Commit.readMarker(s, marker) else ""
+    if (cur.split(",").contains(tomb)) return
+    if (ids.isEmpty) return
+    ids.select(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$root/$tomb")
+    graft.io.Commit.writeMarker(s, marker,
+      if (cur.isEmpty || cur == "none") tomb else s"$cur,$tomb")
   }
 
   /** Fold the tombstones into the data: rewrite the live rows as ONE
@@ -1916,7 +1949,7 @@ object Similarity {
     * row predicate — `TRUE` is ss26/ss28's full theorem; ss30 filters
     * out its tombstoned ids (the geometry CTEs stay UNFILTERED: a
     * deleted row does not move the frozen centroids/codebook). */
-  private def fromScratchIndexSqlWhere(pred: String): String =
+  private[graft] def fromScratchIndexSqlWhere(pred: String): String =
     s"""WITH $ivfSqlCtes, ${graft.operators.TextAnalysis.pqSqlCtes},
        |cut AS (
        |  SELECT (max(vec_id) + 1) * 9 // 10 AS c FROM embeddings

@@ -1348,6 +1348,87 @@ object EventStream {
         .orderBy("vec_id", "m")
     }),
 
+    // st27: STREAMING TOMBSTONE DELETES — ss30's delete verb driven
+    // per microbatch, completing the batch/stream matrix for the LAST
+    // lifecycle verb (st26 did it for append; cu03↔cu04 for curation
+    // refresh): GDPR delete requests arrive as a STREAM in
+    // production, and each microbatch of ids lands as a NEW tombstone
+    // file appended to the _TOMB marker's list
+    // (Similarity.appendTombstoneWave — replayed waves skip on the
+    // marker, empty waves short-circuit, no data segment is ever
+    // rewritten). Serving reads the live view: marker segments
+    // anti-joined against the UNION of the accumulated tombstone
+    // files under one broadcast — identical semantics whether the
+    // delete set arrived as one batch or N microbatches, which is
+    // exactly what the oracle proves: ss30's from-scratch survivor
+    // assignment VERBATIM (and Round13OpsSpec pins st27 ≡ ss30
+    // row-for-row plus the replay and fold-composition laws).
+    //
+    // Scale: each microbatch moves |wave| ids (metadata-sized); the
+    // serve-path anti-join broadcasts the accumulated ids until the
+    // next fold absorbs the whole list and clears the marker
+    // (foldTombstones, unchanged). Nothing corpus-sized ever moves
+    // on the delete path, streamed or not.
+    "st27_stream_index_delete" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val sim = graft.similarity.Similarity
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_delete_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(tmp), true)
+      // the index being deleted from lives on its OWN root so the
+      // batch-delete root (ss30/ss31) and the shared append lifecycle
+      // (ss26–ss29) are never perturbed
+      val (root, cutoff) = sim.publishedIvfIndex(s, d, "_sdel")
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val delIds = graft.Tables.embeddings(ss, d)
+        .filter(col("vec_id") % sim.TombMod === sim.TombRem)
+        .select("vec_id")
+      val maxId = graft.Tables.embeddings(ss, d)
+        .agg(max("vec_id")).head().getLong(0)
+      // three delete waves: contiguous id ranges, the monotone
+      // arrival order a deletion-request queue delivers
+      val (b0, b1) = ((maxId + 1L) / 3, 2L * (maxId + 1L) / 3)
+      Seq(delIds.filter(col("vec_id") < b0),
+          delIds.filter(col("vec_id") >= b0 && col("vec_id") < b1),
+          delIds.filter(col("vec_id") >= b1))
+        .foreach(_.coalesce(1).write.mode("append").parquet(s"$tmp/src"))
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(delIds.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            sim.appendTombstoneWave(ss, root, df, id)
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      val tombList = graft.io.Commit.readMarker(s, s"$root/_TOMB")
+      require(tombList.split(",").count(_.startsWith("tomb_w")) >= 3,
+        s"expected three streamed tombstone waves, got $tombList")
+      // crash-recovery replay of the last landed wave (id from the
+      // marker itself, st26's discipline): must be a pure no-op
+      val lastWave = tombList.split(",")
+        .map(_.stripPrefix("tomb_w").toLong).max
+      sim.appendTombstoneWave(ss, root,
+        delIds.filter(col("vec_id") >= b1), lastWave)
+      require(graft.io.Commit.readMarker(s, s"$root/_TOMB") == tombList,
+        "replaying a committed delete wave changed the marker")
+      sim.readIvfIndexLive(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
+    }),
+
     "st19_stream_ingest_curate" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val root = java.nio.file.Paths.get(
@@ -1635,6 +1716,15 @@ object EventStream {
     // under frozen geometry loses nothing.
     "st26_stream_index_append" ->
       graft.similarity.Similarity.fromScratchIndexSql,
+
+    // st27: ss30's from-scratch SURVIVOR oracle VERBATIM — identical
+    // output through three streamed tombstone waves proves the
+    // accumulated anti-join list ≡ one batch delete ≡ from-scratch
+    // assignment of the undeleted rows.
+    "st27_stream_index_delete" ->
+      graft.similarity.Similarity.fromScratchIndexSqlWhere(
+        s"a.vec_id % ${graft.similarity.Similarity.TombMod} <> " +
+          s"${graft.similarity.Similarity.TombRem}"),
 
     "st18_stream_upsert" ->
       """WITH final AS (

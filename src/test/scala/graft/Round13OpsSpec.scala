@@ -49,4 +49,71 @@ class Round13OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(prod == single)
   }
+
+  private def idxRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getLong(3), r.getBoolean(4))).toSet
+
+  test("st27 streamed tombstone deletes ≡ ss30's batch delete " +
+    "row-for-row — N microbatches of delete requests serve exactly " +
+    "like one batch") {
+    val st = idxRows(q("st27_stream_index_delete"))
+    assert(st == idxRows(q("ss30_index_delete")))
+    // and the marker really accumulated a multi-file wave list (the
+    // equality above would hold vacuously through a single file)
+    val root = graft.similarity.Similarity.ivfIndexRoot(d) + "_sdel"
+    val tombs = graft.io.Commit.readMarker(spark, s"$root/_TOMB")
+      .split(",").toSeq
+    assert(tombs.count(_.startsWith("tomb_w")) >= 3,
+      s"expected three streamed tombstone files, got $tombs")
+  }
+
+  test("appendTombstoneWave: empty waves never touch the marker, " +
+    "replays never change committed waves, and a post-fold wave " +
+    "starts a fresh list") {
+    import spark.implicits._
+    val sim = graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_st27_sink").toString
+    val tomb = s"$root/_TOMB"
+    // empty wave: short-circuits before any marker or file exists
+    sim.appendTombstoneWave(spark,
+      root, Seq.empty[Long].toDF("vec_id"), 0L)
+    assert(!graft.io.Commit.exists(spark, tomb))
+    sim.appendTombstoneWave(spark, root, Seq(1L, 2L).toDF("vec_id"), 0L)
+    assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w0")
+    sim.appendTombstoneWave(spark, root, Seq(3L).toDF("vec_id"), 1L)
+    assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w0,tomb_w1")
+    // replaying wave 0 with DIFFERENT ids must skip before any work:
+    // the marker proves the wave committed, so its file is immutable
+    sim.appendTombstoneWave(spark, root, Seq(99L).toDF("vec_id"), 0L)
+    assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w0,tomb_w1")
+    val w0 = spark.read.parquet(s"$root/tomb_w0")
+      .collect().map(_.getLong(0)).toSet
+    assert(w0 == Set(1L, 2L),
+      "a replayed wave rewrote a committed tombstone file")
+    // after a fold clears the marker to "none", the next delete batch
+    // starts a fresh list (it must NOT resurrect absorbed tombstones)
+    graft.io.Commit.writeMarker(spark, tomb, "none")
+    sim.appendTombstoneWave(spark, root, Seq(7L).toDF("vec_id"), 5L)
+    assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w5")
+  }
+
+  test("foldTombstones absorbs a streamed multi-file tombstone list: " +
+    "live rows unchanged through the fold, marker cleared to none") {
+    val sim = graft.similarity.Similarity
+    q("st27_stream_index_delete").collect() // ensure the lifecycle ran
+    val root = sim.ivfIndexRoot(d) + "_sdel"
+    val pre = idxRows(sim.readIvfIndexLive(spark, root)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        lit(false).as("x")))
+    sim.foldTombstones(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_TOMB") == "none")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_folded1")
+    val post = idxRows(sim.readIvfIndexLive(spark, root)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        lit(false).as("x")))
+    assert(post == pre)
+  }
 }
