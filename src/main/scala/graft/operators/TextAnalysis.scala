@@ -2057,10 +2057,21 @@ object TextAnalysis {
     * loop otherwise embeds the previous step's plan into the next
     * (the 2^rounds blowup the CC loop documents). */
   private[graft] def pqTrain(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) =
+    pqTrainOn(pqSubvectors(s, d),
+      pqCodebook(s, d).select(col("m"), col("cid"),
+        transform(col("center"), x => x.cast("double")).as("center")))
+
+  /** The same unrolled loop over ARBITRARY (vec_id, m, subv double)
+    * subvectors and an arbitrary seed codebook — factored so ss32's
+    * drift-triggered retrain trains the NEW codebook on the
+    * accumulated (drifted) corpus through literally the em05 loop
+    * (the production rule: the reindex path and the monitoring math
+    * share one trainer). */
+  private[graft] def pqTrainOn(subs0: DataFrame, cb0: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
-    val subs = pqSubvectors(s, d).localCheckpoint()
-    var cb = pqCodebook(s, d).select(col("m"), col("cid"),
-      transform(col("center"), x => x.cast("double")).as("center"))
+    val subs = subs0.localCheckpoint()
+    var cb = cb0
     val asgs = Seq.newBuilder[DataFrame]
     for (_ <- 0 until PqTrainSteps) {
       val asg = pqAssignTo(subs, cb).localCheckpoint()

@@ -99,6 +99,84 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w5")
   }
 
+  test("ss32 no-op law: a non-firing verdict never stages a v2 — the " +
+    "healthy corpus through the SAME retrain code path leaves the " +
+    "index exactly as published") {
+    val sim = graft.similarity.Similarity
+    val root = sim.retrainRoot(d, "spec_noop")
+    // scale 1.0 = the undrifted corpus pushed through the identical
+    // machinery: v1 publishes, the verdict must not fire (verified
+    // all-false at every SF), and NOTHING v2-shaped may exist after
+    assert(!sim.retrainIfDrifted(spark, d, root, scale = 1.0d),
+      "the healthy corpus fired the retrain verdict")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_VERSION") == "v1")
+    assert(!graft.io.Commit.exists(spark, s"$root/v2/_INDEX"),
+      "a non-firing verdict staged a v2 index")
+    assert(!graft.io.Commit.exists(spark, s"$root/_SWAP"),
+      "a non-firing verdict wrote a swap intent")
+    // and the drifted corpus through the same path DOES fire + swap
+    val rootA = sim.retrainRoot(d, "a")
+    assert(sim.retrainIfDrifted(spark, d, rootA))
+    assert(graft.io.Commit.readMarker(spark, s"$rootA/_VERSION") == "v2")
+    assert(graft.io.Commit.readMarker(spark, s"$rootA/_SWAP") == "none")
+  }
+
+  test("ss32 crash windows: a swap intent without a pointer roll " +
+    "never changes what serves; completeSwap finishes either half " +
+    "idempotently; readers never run recovery") {
+    val sim = graft.similarity.Similarity
+    val root = sim.retrainRoot(d, "spec_crash")
+    sim.publishDriftedV1(spark, d, root)
+    sim.stageRetrainedV2(spark, d, root)
+    def served() = idxRows(sim.readServedIndex(spark, root)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        lit(false).as("x")))
+    val v1Rows = served()
+    // crash window 1: intent durable, pointer never rolled
+    graft.io.Commit.writeMarker(spark, s"$root/_SWAP", "v2")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_VERSION") == "v1")
+    assert(served() == v1Rows,
+      "a prepared-but-uncommitted swap changed what serves")
+    // recovery completes the roll
+    sim.completeSwap(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_VERSION") == "v2")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_SWAP") == "none")
+    val v2Rows = served()
+    assert(v2Rows != v1Rows,
+      "the retrained version served identically — the swap proved " +
+        "nothing (geometry did not move?)")
+    // crash window 2: pointer rolled but the intent clear was lost —
+    // recovery only clears, never re-rolls or regresses
+    graft.io.Commit.writeMarker(spark, s"$root/_SWAP", "v2")
+    sim.completeSwap(spark, root)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_VERSION") == "v2")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_SWAP") == "none")
+    assert(served() == v2Rows)
+    // and recovery on a quiet root is a no-op
+    sim.completeSwap(spark, root)
+    assert(served() == v2Rows)
+  }
+
+  test("ss32/ss33/ss34 compose: the swap actually changes serving, " +
+    "the audit's SSE gate is the real improvement, and re-running " +
+    "the committed swap is idempotent") {
+    val pre = idxRows(q("ss33_preswap_serving"))
+    val post = idxRows(q("ss32_index_retrain_swap"))
+    assert(pre != post,
+      "v1 and v2 serve identically — the retrain moved nothing")
+    // same corpus either side: same rows, different assignment
+    assert(pre.map(_._1) == post.map(_._1))
+    val audit = q("ss34_retrain_recall_audit").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val sse = audit.map(a => a._1 -> a._5).toMap
+    assert(sse("v2") < sse("v1"),
+      s"retrain did not improve the recorded objective: $sse")
+    audit.foreach(a => assert(a._3 == 10L, s"audit k wrong: $a"))
+    // idempotent replay of the committed swap
+    assert(idxRows(q("ss32_index_retrain_swap")) == post)
+  }
+
   test("foldTombstones absorbs a streamed multi-file tombstone list: " +
     "live rows unchanged through the fold, marker cleared to none") {
     val sim = graft.similarity.Similarity
