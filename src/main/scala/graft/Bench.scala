@@ -49,7 +49,8 @@ object Bench {
     * probe shouldn't pay the ~30 s pipeline), and on failure it
     * reports -1 rather than silently vanishing from the artifact. */
   private def pipelineEntry(spark: org.apache.spark.sql.SparkSession,
-      only: Option[Set[String]]): Seq[(String, Double)] = {
+      only: Option[Set[String]],
+      mark: String => Unit): Seq[(String, Double)] = {
     val name = "pipeline_virus_e2e"
     val logs = sys.env.getOrElse("SPARK_GRAFT_API_LOGS",
       "/root/reference/api_logs")
@@ -66,12 +67,15 @@ object Bench {
     val ok =
       try {
         val a = graft.apps.VirusPipeline.run(spark, logs,
-          onStage = (n, s) => stages += (s"${name}_$n" -> s))
+          onStage = (n, s) => {
+            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+          })
         val t3 = System.nanoTime()
         graft.apps.VirusPipeline.writeArtifacts(a, out)
         a.clusterReport.select("line").collect()
         stages += (s"${name}_s3_artifacts" ->
           (System.nanoTime() - t3) / 1e9)
+        mark(s"${name}_s3_artifacts")
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -88,7 +92,8 @@ object Bench {
     * workload as a per-round series beside the virus pipeline. Same
     * contract: skipped under a query filter, -1 on failure. */
   private def curationEntry(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, only: Option[Set[String]]): Seq[(String, Double)] = {
+      sfDir: String, only: Option[Set[String]],
+      mark: String => Unit): Seq[(String, Double)] = {
     val name = "pipeline_curation_e2e"
     if (only.isDefined) return Nil
     // stage rows s1..s6 come from the run's forcing counts (zero
@@ -98,13 +103,16 @@ object Bench {
     val ok =
       try {
         val r = graft.apps.CurationPipeline.run(spark, sfDir,
-          onStage = (n, s) => stages += (s"${name}_$n" -> s))
+          onStage = (n, s) => {
+            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+          })
         // force every output the way a real run lands them
         val t7 = System.nanoTime()
         r.curated.write.format("noop").mode("overwrite").save()
         r.compressed.write.format("noop").mode("overwrite").save()
         r.stats.collect()
         stages += (s"${name}_s7_outputs" -> (System.nanoTime() - t7) / 1e9)
+        mark(s"${name}_s7_outputs")
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -122,7 +130,8 @@ object Bench {
     * per-round series. Same contract as the other pipelines: skipped
     * under a query filter, -1 on failure. */
   private def incrementalEntry(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, only: Option[Set[String]]): Seq[(String, Double)] = {
+      sfDir: String, only: Option[Set[String]],
+      mark: String => Unit): Seq[(String, Double)] = {
     val name = "pipeline_curation_incr"
     if (only.isDefined) return Nil
     import org.apache.spark.sql.functions.col
@@ -136,12 +145,54 @@ object Bench {
           System.getProperty("java.io.tmpdir"), "graft_bench_incr").toString
         graft.apps.CurationIncremental.curateBase(spark,
           docs.filter(col("doc_id") < cutoff), root,
-          onStage = (n, s) => stages += (s"${name}_$n" -> s))
+          onStage = (n, s) => {
+            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+          })
         graft.apps.CurationIncremental.applyDelta(spark, root,
           docs.filter(col("doc_id") >= cutoff),
-          onStage = (n, s) => stages += (s"${name}_$n" -> s))
+          onStage = (n, s) => {
+            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+          })
         graft.apps.CurationIncremental.published(spark, root)
           .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)) ++
+      stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+  }
+
+  /** The full ANN-index lifecycle (build → append → delete →
+    * fold/compact → GC → serve, apps/IndexLifecycle — the code ss35's
+    * oracle gates) as a stage-attributed bench entry on a FRESH root
+    * per run, so every stage measures real verb work rather than
+    * marker skips. Same contract as the other pipelines: skipped
+    * under a query filter, -1 on failure. */
+  private def indexLifecycleEntry(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, only: Option[Set[String]],
+      mark: String => Unit): Seq[(String, Double)] = {
+    val name = "pipeline_index_e2e"
+    if (only.isDefined) return Nil
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft_bench_idxlife")
+          .toString
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        val served = graft.apps.IndexLifecycle.run(spark, sfDir, root,
+          onStage = (n, s) => {
+            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+          })
+        val t6 = System.nanoTime()
+        served.write.format("noop").mode("overwrite").save()
+        stages += (s"${name}_s6_serve" -> (System.nanoTime() - t6) / 1e9)
+        mark(s"${name}_s6_serve")
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -223,12 +274,34 @@ object Bench {
       peakMb(name) = math.rint(peak / 1048576.0 * 10) / 10
       r
     }
-    // pipelines may skip themselves (query filter / absent corpus) —
-    // don't emit a GC/mem row for a window that ran nothing
-    def windowedSeq(name: String)(f: => Seq[(String, Double)])
+    // pipelines: each STAGE gets its own listener window (round-12
+    // verdict #7 — stage rows were the one place the host adjudicator
+    // had to abstain), marked by the entry right as the stage ends;
+    // the parent row's gc is the sum of its stage windows plus the
+    // tail, its peak the max. A skipped pipeline (query filter /
+    // absent corpus) emits no rows and no gc/mem entries.
+    def windowedStaged(name: String)(
+        f: (String => Unit) => Seq[(String, Double)])
         : Seq[(String, Double)] = {
-      val r = windowed(name)(f)
-      if (r.isEmpty) { gcMs.remove(name); peakMb.remove(name) }
+      quiesce(); listener.drain()
+      var gcSum = 0L
+      var peakMax = 0L
+      val mark: String => Unit = k => {
+        quiesce()
+        val (gc, peak) = listener.drain()
+        gcMs(k) = gc
+        peakMb(k) = math.rint(peak / 1048576.0 * 10) / 10
+        gcSum += gc
+        peakMax = math.max(peakMax, peak)
+      }
+      val r = f(mark)
+      quiesce()
+      val (gc, peak) = listener.drain()
+      if (r.nonEmpty) {
+        gcMs(name) = gcSum + gc
+        peakMb(name) =
+          math.rint(math.max(peakMax, peak) / 1048576.0 * 10) / 10
+      }
       r
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -246,11 +319,14 @@ object Bench {
         }
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    } ++ windowedSeq("pipeline_virus_e2e")(pipelineEntry(spark, only)) ++
-      windowedSeq("pipeline_curation_e2e")(
-        curationEntry(spark, sfDir, only)) ++
-      windowedSeq("pipeline_curation_incr")(
-        incrementalEntry(spark, sfDir, only))
+    } ++ windowedStaged("pipeline_virus_e2e")(
+        pipelineEntry(spark, only, _)) ++
+      windowedStaged("pipeline_curation_e2e")(
+        curationEntry(spark, sfDir, only, _)) ++
+      windowedStaged("pipeline_curation_incr")(
+        incrementalEntry(spark, sfDir, only, _)) ++
+      windowedStaged("pipeline_index_e2e")(
+        indexLifecycleEntry(spark, sfDir, only, _))
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val gcJson = gcMs.map { case (k, v) => "\"" + k + s"""\":$v""" }

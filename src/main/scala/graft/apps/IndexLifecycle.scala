@@ -1,0 +1,69 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ANN index lifecycle as ONE pipeline: build → append → delete →
+  * fold/compact → GC → serve, each verb the already-proven lifecycle
+  * primitive (`graft.similarity.Similarity`), chained on a single
+  * root the way a production index actually lives. The round-12
+  * verdict's ask #4: the six verbs are proven pairwise-composable by
+  * specs; this makes the WHOLE lifecycle a single regression-visible
+  * bench number (stage-attributed, the curation-pipeline pattern) and
+  * a single oracle-gated query (ss35 — the final served rows equal
+  * ss30's from-scratch survivor assignment, the shared oracle).
+  *
+  * Scale: every stage is the primitive's own cost shape — build and
+  * append move |wave| rows under broadcast geometry; the delete is
+  * ids-only metadata; the fold is one index-sized integer rewrite;
+  * GC moves no data; the serve is a marker read + segment scan.
+  * Nothing corpus-sized moves twice.
+  */
+object IndexLifecycle {
+
+  /** Run the lifecycle on `root` (idempotent per root — every verb is
+    * marker-guarded) and return the final served live index. `onStage`
+    * receives (stageName, seconds) per verb. */
+  def run(s: SparkSession, d: String, root: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val sim = graft.similarity.Similarity
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val emb = graft.Tables.embeddings(s, d).select("vec_id", "embedding")
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val cutoff = (maxId + 1L) * 9L / 10L
+    // day 0: the base index is itself just wave 0 of the append verb
+    stage("s1_build") {
+      sim.appendIndexWave(s, d, root,
+        emb.filter(col("vec_id") < cutoff), 0L)
+    }
+    // day 1: the delta appends as a new segment under frozen geometry
+    stage("s2_append") {
+      sim.appendIndexWave(s, d, root,
+        emb.filter(col("vec_id") >= cutoff), 1L)
+    }
+    // a delete batch lands as tombstone metadata (no segment touched)
+    stage("s3_delete") {
+      sim.writeTombstones(s, root,
+        emb.filter(col("vec_id") % sim.TombMod === sim.TombRem)
+          .select("vec_id"))
+    }
+    // maintenance: fold the tombstones into one compacted segment
+    stage("s4_fold_compact") { sim.foldTombstones(s, root) }
+    // retention GC: audit every on-disk segment, delete the dead ones
+    stage("s5_gc") { sim.gcIvfIndex(s, root) }
+    sim.readIvfIndexLive(s, root)
+  }
+
+  /** The lifecycle's cutoff convention (ss26's), exposed for the
+    * registered query's is_delta flag. */
+  def cutoffOf(s: SparkSession, d: String): Long = {
+    val maxId = graft.Tables.embeddings(s, d)
+      .agg(max("vec_id")).head().getLong(0)
+    (maxId + 1L) * 9L / 10L
+  }
+}

@@ -1499,6 +1499,24 @@ object Similarity {
       indexDriftReadout(readIvfIndex(s, root), cutoff)
     }),
 
+    // ss35: THE LIFECYCLE AS ONE PIPELINE — build → append → delete →
+    // fold/compact → GC → serve chained on a single root
+    // (apps/IndexLifecycle), every verb the marker-guarded primitive
+    // the pairwise specs already proved, gated here END TO END by the
+    // shared oracle: the final served rows must equal ss30's
+    // from-scratch survivor assignment — so one hash pins the whole
+    // composed lifecycle, and pipeline_index_e2e benches the same
+    // code stage-attributed. Idempotent per root; a rerun is six
+    // marker skips and a serve.
+    "ss35_index_lifecycle" -> ((s, d) => {
+      val root = ivfIndexRoot(d) + "_e2e"
+      val cutoff = graft.apps.IndexLifecycle.cutoffOf(s, d)
+      graft.apps.IndexLifecycle.run(s, d, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"))
+        .orderBy("vec_id", "m")
+    }),
+
     // ss32: DRIFT-TRIGGERED RETRAIN + VERSIONED REINDEX SWAP — the
     // one verb the lifecycle was missing (round-12 verdict, top ask):
     // ss27's verdict finally has a consumer. The drifted corpus (the
@@ -3000,6 +3018,11 @@ object Similarity {
     // the survivors) and that deleting a centroid-seed row does not
     // move the frozen geometry.
     "ss30_index_delete" ->
+      fromScratchIndexSqlWhere(s"a.vec_id % $TombMod <> $TombRem"),
+
+    // ss35: ss30's survivor oracle VERBATIM — one hash gate over the
+    // WHOLE composed lifecycle (build→append→delete→fold→GC→serve).
+    "ss35_index_lifecycle" ->
       fromScratchIndexSqlWhere(s"a.vec_id % $TombMod <> $TombRem"),
 
     // ss32: the ENTIRE retrain recomputed from scratch — drifted
