@@ -1048,6 +1048,25 @@ object Dedup {
     // carry (digest, doc_id, k) and int arrays only. Per-doc state is
     // len/CdcDiv expected boundaries — linear, bounded by max doc
     // size exactly like dd23's len/W segments.
+    // dd25: PARAGRAPH-GRANULARITY NEAR-DUP — the production dedup
+    // stack's missing rung (RefinedWeb/Dolma dedup at sub-document
+    // granularity; dd15's span detection is fuzzy-match, this is
+    // sketch-based): fixed 20-token windows per document (the
+    // fixture has no newline paragraphs — split('\n\n') is the
+    // production one-line swap), MinHash+LSH at PARAGRAPH grain,
+    // exact-Jaccard ≥ 0.9 verification of bucket candidates, and
+    // every verified duplicate mapped BACK to its (doc, token-span)
+    // with the earliest verified partner as keeper — the removal
+    // table dd23/dd24's rewrite machinery consumes. The fixture
+    // genuinely contains duplicated windows (53 duplicated paragraph
+    // texts at sf0.01), so the output is non-trivial at every SF.
+    //
+    // Scale: per-row sketches, (band,bkey)-only LSH shuffle,
+    // candidate-only verification — dd03/dd10's cost shape at
+    // paragraph cardinality (~n_tokens/20 rows); nothing all-pairs.
+    "dd25_paragraph_dedup" -> ((s, d) =>
+      paragraphDupSpans(documents(s, d))),
+
     "dd24_cdc_span_removal" -> ((s, d) => {
       val wh = CdcHashW
       val dv = CdcDiv
@@ -1377,6 +1396,107 @@ object Dedup {
     .map { case (j, a, b) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
     .mkString(", ")
 
+  // ---- dd25: paragraph-granularity near-dup, doc back-mapping -----
+
+  /** dd25's paragraphizer width: non-overlapping [[ParaW]]-token
+    * windows. The fixture's documents are single-line word streams
+    * (no newlines anywhere — verified), so the deterministic
+    * "paragraph" is a fixed token window; the production splitter is
+    * `split(text, '\n\n')` — a one-line swap that changes nothing
+    * downstream because everything operates on (doc_id, para_idx,
+    * ptext) rows. */
+  private[graft] val ParaW = 20
+
+  /** Paragraph key arithmetic: pkey = doc_id * base + para_idx packs
+    * the (doc, para) identity into one join key. 2^20 paragraphs per
+    * document = a 20M-token document before collision — stated, not
+    * checked per row. */
+  private[graft] val ParaKeyBase = 1048576L
+
+  /** (doc_id, para_idx, pkey, start_tok, n_tok, ptext) — one row per
+    * fixed-width token window of each document. */
+  private[graft] def paragraphsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0L),
+          ceil(size(col("ts")).cast("double") / lit(ParaW.toDouble))
+            - 1L)).as("para_idx"))
+      .select(col("doc_id"), col("para_idx"),
+        (col("doc_id") * ParaKeyBase + col("para_idx")).as("pkey"),
+        (col("para_idx") * ParaW + 1L).as("start_tok"),
+        least(lit(ParaW.toLong),
+          size(col("ts")) - col("para_idx") * ParaW).as("n_tok"),
+        concat_ws(" ",
+          slice(col("ts"), (col("para_idx") * ParaW + 1L).cast("int"),
+            lit(ParaW))).as("ptext"))
+
+  /** The dd25 core over an ARBITRARY (doc_id, text) frame: paragraphs
+    * → 14-char shingle MinHash (full paragraph text, not dd02's
+    * 64-char prefix — a paragraph IS short) → the standard 4×4 LSH
+    * banding → bucket-joined candidate pairs → exact-Jaccard
+    * verification at ≥0.9 (integer cross-multiplication) → each
+    * verified duplicate mapped back to (doc, span) with its EARLIEST
+    * verified partner as the keeper. Returns one row per REMOVED
+    * paragraph: (doc_id, para_idx, start_tok, n_tok, keep_doc,
+    * keep_para) — the span table dd23/dd24-style removal rewrites
+    * from. Factored over the frame so the spec can plant a duplicated
+    * paragraph across synthetic docs.
+    *
+    * Scale: per-row sketches (zero shuffle), the LSH shuffle carries
+    * (band, bkey) pairs only, verification late-materializes shingle
+    * sets for CANDIDATE pairs only (dd10's discipline), and the
+    * keeper aggregate is per removed paragraph — all-pairs never
+    * exists at any stage. */
+  private[graft] def paragraphDupSpans(docs: DataFrame): DataFrame = {
+    registerSketches(docs.sparkSession)
+    val paras = paragraphsOf(docs).localCheckpoint()
+    // shingle hashes in their own projection (the CSE lesson at
+    // minhashSigs), consumed by BOTH the signature pass and the
+    // verification join
+    val hs = paras
+      .select(col("pkey"),
+        array_distinct(charShingles(col("ptext"), 14)).as("sh"))
+      .select(col("pkey"), transform(col("sh"), x => md5Long(x, 7)).as("hs"))
+      .localCheckpoint()
+    val banded = hs
+      .select(col("pkey"), call_function("minhash_sigs", col("hs")).as("sig_"))
+      .select(col("pkey"), explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until RowsPerBand).map(r =>
+            element_at(col("sig_"), b * RowsPerBand + r + 1)
+              .cast("string")): _*).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("pkey"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.pkey") < col("b.pkey"))
+      .select(col("a.pkey").as("pa"), col("b.pkey").as("pb"))
+      .distinct()
+    val removed = pairs
+      .join(hs.select(col("pkey").as("pa"), col("hs").as("hs_a")), Seq("pa"))
+      .join(hs.select(col("pkey").as("pb"), col("hs").as("hs_b")), Seq("pb"))
+      .withColumn("n_inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("n_inter"))
+      .filter(col("n_inter") * 10L >= col("n_union") * 9L)
+      .groupBy(col("pb").as("pkey"))
+      .agg(min("pa").as("keeper"))
+    removed.join(paras, Seq("pkey"))
+      .select(col("doc_id"), col("para_idx"), col("start_tok"),
+        col("n_tok"),
+        floor(col("keeper") / lit(ParaKeyBase)).cast("long")
+          .as("keep_doc"),
+        pmod(col("keeper"), lit(ParaKeyBase)).as("keep_para"))
+      .orderBy("doc_id", "para_idx")
+  }
+
   /** dd07/dd16 shared chain: MinHash bands → candidate pairs →
     * symmetric edges → recursive reachability → `groups(doc_id,
     * group_id)` with the min-reachable-id as the group label. */
@@ -1484,6 +1604,66 @@ object Dedup {
          |GROUP BY 1, 2
          |ORDER BY bands DESC""".stripMargin
     },
+
+    // dd25: the whole paragraph-grain chain recomputed — windows,
+    // full-text shingle MinHash, 4×4 banding, bucket pairs, exact
+    // Jaccard ≥ 0.9 by integer cross-multiplication, earliest-partner
+    // keeper, span back-mapping.
+    "dd25_paragraph_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0)
+         |      AS ts
+         |  FROM documents
+         |), paras AS (
+         |  SELECT doc_id, g.i AS para_idx,
+         |    doc_id * $ParaKeyBase + g.i AS pkey,
+         |    g.i * $ParaW + 1 AS start_tok,
+         |    least($ParaW, len(ts) - g.i * $ParaW) AS n_tok,
+         |    array_to_string(
+         |      ts[(g.i * $ParaW + 1):(g.i * $ParaW + $ParaW)], ' ')
+         |      AS ptext
+         |  FROM toks, LATERAL unnest(generate_series(0,
+         |    CAST(ceil(len(ts) / ${ParaW}.0) AS BIGINT) - 1)) AS g(i)
+         |  WHERE len(ts) >= 1
+         |), ph AS (
+         |  SELECT pkey, list_transform(list_distinct(
+         |      list_transform(
+         |        generate_series(1, greatest(length(ptext) - 13, 1)),
+         |        i -> substr(ptext, i, 14))),
+         |    s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+         |  FROM paras
+         |), hsx AS (
+         |  SELECT pkey, unnest(hs) AS h FROM ph
+         |), params(j, a, b) AS (VALUES $paramsValues),
+         |psig AS (
+         |  SELECT pkey, j, min((h * a + b) % $P) AS minhash
+         |  FROM hsx CROSS JOIN params GROUP BY pkey, j
+         |), pbands AS (
+         |  SELECT pkey, j // $RowsPerBand AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM psig GROUP BY pkey, j // $RowsPerBand
+         |), cand AS (
+         |  SELECT DISTINCT a.pkey AS pa, b.pkey AS pb
+         |  FROM pbands a JOIN pbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.pkey < b.pkey
+         |), rem AS (
+         |  SELECT pb AS pkey, min(pa) AS keeper FROM (
+         |    SELECT c.pa, c.pb,
+         |      CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS ni,
+         |      CAST(len(x.hs) + len(y.hs) AS BIGINT)
+         |        - CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS nu
+         |    FROM cand c
+         |    JOIN ph x ON x.pkey = c.pa
+         |    JOIN ph y ON y.pkey = c.pb)
+         |  WHERE ni * 10 >= nu * 9
+         |  GROUP BY pb
+         |)
+         |SELECT p.doc_id, p.para_idx, p.start_tok, p.n_tok,
+         |  r.keeper // $ParaKeyBase AS keep_doc,
+         |  r.keeper % $ParaKeyBase AS keep_para
+         |FROM rem r JOIN paras p USING (pkey)
+         |ORDER BY p.doc_id, p.para_idx""".stripMargin,
 
     "dd03_lsh_pairs" ->
       s"""WITH $sigCte,

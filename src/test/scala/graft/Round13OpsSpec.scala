@@ -99,6 +99,38 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(graft.io.Commit.readMarker(spark, tomb) == "tomb_w5")
   }
 
+  test("dd25: a paragraph duplicated across docs is found and mapped " +
+    "back to its (doc, span) with the earliest keeper; unique " +
+    "paragraphs survive; intra-doc duplicates are caught too") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // 20-token "paragraphs" (ParaW) built from distinctive words so
+    // shingle sets are discriminative
+    def para(seed: String) =
+      (0 until Dedup.ParaW).map(i => s"$seed$i").mkString(" ")
+    val dup = para("shared")
+    val docs = Seq(
+      // doc 0: dup at window 0, unique tail at window 1
+      (0L, dup + " " + para("zero")),
+      // doc 1: dup again at window 0 (cross-doc duplicate), unique tail
+      (1L, dup + " " + para("one")),
+      // doc 2: fully unique
+      (2L, para("two") + " " + para("alsotwo")),
+      // doc 3: the same paragraph twice WITHIN one doc
+      (3L, para("three") + " " + para("three"))
+    ).toDF("doc_id", "text")
+    val removed = Dedup.paragraphDupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // exactly two removals: doc 1's window 0 (keeper doc 0 window 0)
+    // and doc 3's window 1 (keeper doc 3 window 0) — every unique
+    // window survives
+    assert(removed.toSet == Set(
+      (1L, 0L, 1L, 20L, 0L, 0L),
+      (3L, 1L, 21L, 20L, 3L, 0L)),
+      s"got ${removed.toSeq}")
+  }
+
   test("ss32 no-op law: a non-firing verdict never stages a v2 — the " +
     "healthy corpus through the SAME retrain code path leaves the " +
     "index exactly as published") {
