@@ -131,6 +131,33 @@ class Round13OpsSpec extends AnyFunSuite {
       s"got ${removed.toSeq}")
   }
 
+  test("ta32: scoring from the published artifact ≡ train-and-score " +
+    "inline, and the classifier genuinely prefers the target domain") {
+    val ta = graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val artifact = rows(q("ta32_quality_classifier"))
+    val inline = rows(ta.scoreQuality(docs,
+      ta.trainQualityWeights(spark,
+        docs.filter(col("doc_id") % 2 === 0))))
+    assert(artifact == inline,
+      "the published weight artifact does not reproduce closed-form " +
+        "training")
+    // the learned signal is real: mean P(en) over en docs must beat
+    // the non-en mean by a wide margin (measured ≈0.47 vs ≤0.13 at
+    // sf0.001)
+    val lang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def meanProb(p: Boolean) = {
+      val xs = artifact.toSeq.filter(r => (lang(r._1) == "en") == p)
+      xs.map(_._4).sum / xs.size
+    }
+    assert(meanProb(true) > meanProb(false) + 0.1,
+      s"en=${meanProb(true)} other=${meanProb(false)}")
+  }
+
   test("ss32 no-op law: a non-firing verdict never stages a v2 — the " +
     "healthy corpus through the SAME retrain code path leaves the " +
     "index exactly as published") {
