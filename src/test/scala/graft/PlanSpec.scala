@@ -388,6 +388,70 @@ class PlanSpec extends AnyFunSuite {
         s"scan, got $rddScans:\n$phys")
   }
 
+  test("dd25 paragraph dedup: per-row sketches and bucket joins only " +
+    "— no cartesian, no nested loop anywhere in the plan") {
+    val p = plan("dd25_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"dd25 planned an all-pairs product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dd25 planned a nested-loop join:\n$p")
+  }
+
+  test("ta32 scores FROM the artifact: the plan broadcasts the weight " +
+    "parquet and contains zero training stages") {
+    val df = SparkEntry.queries("ta32_quality_classifier")(spark, d)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("cpos") && !opt.contains("tpos"),
+      s"ta32: training aggregates leaked into the scoring plan:\n$opt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"ta32: the weight table is not broadcast:\n$p")
+    assert(p.contains("weights_v1"),
+      s"ta32: scoring does not read the published artifact:\n$p")
+  }
+
+  test("ss32/ss33 serve exactly their version's files: post-swap " +
+    "reads only v2's segment, the held-open pre-swap root reads only " +
+    "v1's segments") {
+    // scan locations are TRUNCATED in plan text (InMemoryFileIndex
+    // elides long paths), so the locks match the version-directory
+    // fragment, which always survives
+    val p32 = plan("ss32_index_retrain_swap")
+    assert(p32.contains("/v2/seg_f"),
+      s"ss32 does not scan the retrained segment:\n$p32")
+    assert(!p32.contains("/v1/"),
+      s"ss32 still scans v1 files after the swap:\n$p32")
+    val p33 = plan("ss33_preswap_serving")
+    assert(p33.contains("/v1/seg_b") && p33.contains("/v1/seg_d"),
+      s"ss33 does not scan v1's two segments:\n$p33")
+    assert(!p33.contains("/v2/"),
+      s"ss33 reads the staged-but-uncommitted v2:\n$p33")
+  }
+
+  test("st27 serves through ONE broadcast anti-join over the " +
+    "accumulated tombstone list; ss35's post-fold serve has no " +
+    "anti-join at all") {
+    val p27 = plan("st27_stream_index_delete")
+    assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p27).isDefined ||
+      (p27.contains("LeftAnti") && p27.contains("BroadcastExchange")),
+      s"st27's live view is not a broadcast anti-join:\n$p27")
+    assert(p27.contains("_sdel/to"),
+      s"st27 does not scan the streamed tombstone files (path " +
+        s"fragment is truncation-safe):\n$p27")
+    val p35 = plan("ss35_index_lifecycle")
+    assert(!p35.contains("LeftAnti"),
+      s"ss35 still pays an anti-join after the fold cleared the " +
+        s"marker:\n$p35")
+    // the path truncates right at ".../seg", so the folded-segment
+    // claim is split: the plan scans exactly ONE segment directory of
+    // the _e2e root, and the marker says that directory is the fold
+    assert("_e2e/seg".r.findAllMatchIn(p35).length == 1,
+      s"ss35 must scan exactly the one post-GC segment:\n$p35")
+    val root = graft.similarity.Similarity.ivfIndexRoot(d) + "_e2e"
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+      == "seg_folded1")
+  }
+
   test("encode chunking bounds expression depth at ANY merge-table " +
     "size — the 32k-merge production case cannot build a 32k-deep " +
     "tree") {
