@@ -529,6 +529,21 @@ object Similarity {
     val seg = s"seg_w$waveId"
     val cur = if (graft.io.Commit.exists(s, marker))
       graft.io.Commit.readMarker(s, marker) else ""
+    // idempotency consults the APPLIED-WAVE LOG, not just segment
+    // names: fold/compaction rewrites the segment list (seg_w* become
+    // seg_folded1/seg_compact1), so name-based replay detection
+    // forgets which waves were absorbed and a replayed wave would
+    // re-append absorbed rows — and the next fold would then
+    // self-overwrite the segment it is reading. (Found by the ss35
+    // lifecycle replay: the round-13 full-suite ordering ran the
+    // lifecycle twice in one JVM.) This is the manifest discipline
+    // every table format keeps: compaction changes FILES, never the
+    // applied-commit log.
+    val appliedPath = s"$root/_APPLIED"
+    val applied = if (graft.io.Commit.exists(s, appliedPath))
+      graft.io.Commit.readMarker(s, appliedPath).split(",").toSet
+    else Set.empty[String]
+    if (applied.contains(s"w$waveId")) return
     if (cur.split(",").contains(seg)) return
     if (wave.isEmpty) return
     // bind the geometry reads (and vec_dot registration) to the
@@ -540,6 +555,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/$seg")
     graft.io.Commit.writeMarker(s, marker,
       if (cur.isEmpty) seg else s"$cur,$seg")
+    // the applied log rolls LAST: a crash before this line replays as
+    // the harmless same-content overwrite above (the segment-name
+    // check still catches it pre-fold); after a fold only this log
+    // remembers the wave
+    graft.io.Commit.writeMarker(s, appliedPath,
+      (applied + s"w$waveId").toSeq.sorted.mkString(","))
   }
 
   // ---- ss32–ss34: drift-triggered retrain + versioned reindex swap --

@@ -236,6 +236,36 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(idxRows(q("ss32_index_retrain_swap")) == post)
   }
 
+  test("replaying the WHOLE lifecycle over an already-folded root is " +
+    "a pure no-op: the applied-wave log survives the fold, so waves " +
+    "never re-append and the fold never self-overwrites (full-suite " +
+    "ordering bug, round 13)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lifecycle_replay").toString
+    def served() = idxRows(
+      graft.apps.IndexLifecycle.run(spark, d, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          lit(false).as("x")))
+    val first = served()
+    def segDirs() = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("seg_"))
+      .sorted.toSeq
+    assert(segDirs() == Seq("seg_folded1"))
+    val marker = graft.io.Commit.readMarker(spark, s"$root/_INDEX")
+    val applied = graft.io.Commit.readMarker(spark, s"$root/_APPLIED")
+    assert(applied == "w0,w1")
+    // the replay: before the applied-wave log, wave 0/1 re-appended
+    // here (their seg_w names were gone from the folded marker) and
+    // the second fold crashed reading the segment it was overwriting
+    val second = served()
+    assert(second == first)
+    assert(segDirs() == Seq("seg_folded1"),
+      "a replayed lifecycle resurrected absorbed wave segments")
+    assert(graft.io.Commit.readMarker(spark, s"$root/_INDEX") == marker)
+    assert(graft.io.Commit.readMarker(spark, s"$root/_APPLIED")
+      == applied)
+  }
+
   test("foldTombstones absorbs a streamed multi-file tombstone list: " +
     "live rows unchanged through the fold, marker cleared to none") {
     val sim = graft.similarity.Similarity
