@@ -66,4 +66,61 @@ object IndexLifecycle {
       .agg(max("vec_id")).head().getLong(0)
     (maxId + 1L) * 9L / 10L
   }
+
+  /** The FULL lifecycle including the one corpus-sized verb (round-13
+    * verdict ask #2): publish v1's geometry → build → append →
+    * delete → fold → GC → drift-triggered retrain + versioned swap →
+    * one post-swap append wave under the RETRAINED geometry → serve
+    * through the version pointer. The root is versioned from birth
+    * (`_VERSION`=v1), so every wave freezes on the SERVED version's
+    * PUBLISHED geometry — ss36's law — and the retrain's membership
+    * comes from the v1 artifact, so the rows the delete removed never
+    * resurrect through the re-encode. Idempotent per root (every verb
+    * is marker-guarded); `onStage` receives (stageName, seconds) per
+    * verb.
+    *
+    * Scale: s1–s6 are [[run]]'s cost shapes; s7 is the ONE
+    * intentionally corpus-sized verb (re-encode the survivors under
+    * retrained geometry), which is exactly why it sits behind a drift
+    * verdict and a two-phase pointer swap; s8 moves |wave| rows under
+    * two broadcast geometry pages. Nothing corpus-sized moves twice,
+    * and v1 serves untouched until the pointer rolls. */
+  def runFull(s: SparkSession, d: String, root: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    val sim = graft.similarity.Similarity
+    def stage[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val (drifted, cutoff) = sim.driftedEmbeddings(s, d)
+    stage("s1_publish_v1") { sim.publishV1Root(s, d, root) }
+    stage("s2_build") {
+      sim.appendIndexWave(s, d, root,
+        drifted.filter(col("vec_id") < cutoff), 0L)
+    }
+    stage("s3_append") {
+      sim.appendIndexWave(s, d, root,
+        drifted.filter(col("vec_id") >= cutoff), 1L)
+    }
+    val v1 = s"$root/v1"
+    stage("s4_delete") {
+      sim.writeTombstones(s, v1,
+        drifted.filter(col("vec_id") % sim.TombMod === sim.TombRem)
+          .select("vec_id"))
+    }
+    stage("s5_fold") { sim.foldTombstones(s, v1) }
+    stage("s6_gc") { sim.gcIvfIndex(s, v1) }
+    stage("s7_retrain_swap") {
+      require(sim.retrainIfDrifted(s, d, root),
+        "the drifted lifecycle must fire the retrain verdict and " +
+          "commit the swap")
+    }
+    stage("s8_postswap_append") {
+      val (wave, _) = sim.postSwapWave(s, d)
+      sim.appendIndexWave(s, d, root, wave, 2L)
+    }
+    sim.readServedIndexLive(s, root)
+  }
 }

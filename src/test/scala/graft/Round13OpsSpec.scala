@@ -253,7 +253,10 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(segDirs() == Seq("seg_folded1"))
     val marker = graft.io.Commit.readMarker(spark, s"$root/_INDEX")
     val applied = graft.io.Commit.readMarker(spark, s"$root/_APPLIED")
-    assert(applied == "w0,w1")
+    // bounded applied-log encoding (round 14): high-water mark +
+    // explicit recent window — w0/w1 sit above the (still negative)
+    // mark, so both are listed explicitly
+    assert(applied == "hw=-1;w0,w1")
     // the replay: before the applied-wave log, wave 0/1 re-appended
     // here (their seg_w names were gone from the folded marker) and
     // the second fold crashed reading the segment it was overwriting
