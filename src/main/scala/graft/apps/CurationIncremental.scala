@@ -379,6 +379,115 @@ object CurationIncremental {
     Commit.writeMarker(spark, s"$root/_SNAPSHOT", s"snap$next")
   }
 
+  // ---- cu05: trained-artifact gate + recuration on artifact roll ---
+
+  /** cu05: replace the hand quality RULE with ta32's trained,
+    * versioned classifier as the gate input — production gates are
+    * artifacts, not thresholds in code (round-13 verdict ask #6).
+    * The pipeline publishes a gate-independent PREGATE verdict table
+    * (dedup → structural gates → decontamination — everything whose
+    * verdict cannot depend on which quality gate is in force), then a
+    * versioned weight artifact (ta32's closed-form NB training on the
+    * labeled slice), and the snapshot = pregate members the
+    * CLASSIFIER's own decision boundary accepts (score_u6 > 0).
+    * Because the pregate table survives artifact rolls, a NON-
+    * monotone gate change (new weights admit docs the old gate
+    * rejected) recurates by ONE broadcast scoring pass over the
+    * pregate members — never re-deduping, never re-decontaminating
+    * (cu02's theorem generalized: the published verdicts that are
+    * gate-independent are exactly the ones a roll can reuse). */
+  def curateModelGated(spark: SparkSession, docs0: DataFrame,
+      root: String): Unit = {
+    val fs = Commit.fileSystem(spark)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = docs0.localCheckpoint()
+    val toks = TextAnalysis.tokenized(docs).localCheckpoint()
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
+    val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").localCheckpoint()
+    val bank = Dedup.bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
+      .localCheckpoint()
+    val dropped = bank.join(
+        bank.select(col("doc_id").as("other"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("other") < col("doc_id"))
+      .select("doc_id").distinct()
+    val keep2 = keep1.join(dropped, Seq("doc_id"), "left_anti")
+    val scored = TextAnalysis.scoredT(toks).localCheckpoint()
+    // structural gates only — the trained artifact replaces the
+    // quality RULE, so quality_score never gates here
+    val structural = keep2
+      .join(scored, Seq("doc_id"))
+      .join(TextAnalysis.repetitionScoredT(toks)
+        .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
+      .filter(col("predicted_lang").isin(Langs: _*) &&
+        col("dup_bigram_frac") <= MaxDupBigramFrac)
+      .select("doc_id")
+    TextAnalysis.benchSample(docs, BenchN).select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/bench")
+    Commit.writeMarker(spark, s"$root/_BENCH", "bench")
+    val bench = spark.read.parquet(s"$root/bench")
+    val candToks = toks.join(structural, Seq("doc_id"), "left_semi")
+    val pregateIds = structural
+      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(TextAnalysis.contaminatedIdsT(candToks, bench),
+        Seq("doc_id"), "left_anti")
+    pregateIds
+      .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
+      .join(scored.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/pregate/v0")
+    Commit.writeMarker(spark, s"$root/_PREGATE", "pregate/v0")
+    // gate artifact v1: ta32's classifier trained on the even labeled
+    // half, published behind the versioned marker
+    TextAnalysis.trainQualityWeights(spark,
+      docs.filter(col("doc_id") % 2 === 0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/weights_v1")
+    Commit.writeMarker(spark, s"$root/_WEIGHTS", "weights_v1")
+    regateFromArtifact(spark, docs, root, "snap0")
+  }
+
+  /** The scoring frame of the CURRENT gate artifact over the PREGATE
+    * members — one broadcast of the B+1-row weight table, zero
+    * training aggregates (PlanSpec locks this: curation consumes the
+    * artifact, it never retrains). */
+  private[graft] def modelGateScores(spark: SparkSession,
+      docs: DataFrame, root: String): DataFrame = {
+    val weights = spark.read.parquet(
+      s"$root/" + Commit.readMarker(spark, s"$root/_WEIGHTS"))
+    val pregate = readVersioned(spark, root, "_PREGATE")
+    TextAnalysis.scoreQuality(
+      docs.join(pregate.select("doc_id"), Seq("doc_id")), weights)
+  }
+
+  /** Publish the snapshot under the current artifact: pregate members
+    * the classifier's own decision boundary accepts. */
+  private def regateFromArtifact(spark: SparkSession, docs: DataFrame,
+      root: String, snap: String): Unit = {
+    val pregate = readVersioned(spark, root, "_PREGATE")
+    pregate.join(modelGateScores(spark, docs, root)
+        .filter(col("score_u6") > 0L)
+        .select("doc_id", "prob_6"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_tokens", "prob_6")
+      .write.mode("overwrite").parquet(s"$root/$snap")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", snap)
+  }
+
+  /** Roll the gate artifact to v2 — trained on the ODD labeled half,
+    * a genuinely different classifier — and recurate from the pregate
+    * verdicts: one scoring pass, text read once for the members only,
+    * dedup/decon never recomputed. Non-monotone by construction
+    * (weights_v2 admits docs v1 rejected and vice versa — the spec
+    * asserts both directions are non-empty), which is exactly why the
+    * PREGATE table, not the snapshot, is the recuration input. */
+  def rollModelGate(spark: SparkSession, docs: DataFrame,
+      root: String): Unit = {
+    TextAnalysis.trainQualityWeights(spark,
+      docs.filter(col("doc_id") % 2 === 1))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/weights_v2")
+    Commit.writeMarker(spark, s"$root/_WEIGHTS", "weights_v2")
+    regateFromArtifact(spark, docs, root, "snap1")
+  }
+
   /** The id cutoff splitting a documents table into base (< cutoff)
     * and delta (≥ cutoff) — the top decile by id, the deterministic
     * stand-in for "yesterday's corpus + today's arrivals" that both
@@ -423,6 +532,34 @@ object CurationIncremental {
       val root = graft.io.JsonLines.stagingDir("curation_regate")
       curateBase(s, docs, root)
       regateQuality(s, root, RegateMinQuality)
+      published(s, root).orderBy("doc_id")
+    }),
+
+    // cu05: TRAINED-ARTIFACT GATE + RECURATION ON ARTIFACT ROLL —
+    // cu02's recuration discipline upgraded from a hand threshold to
+    // ta32's versioned classifier artifact (round-13 verdict ask #6:
+    // production gates are trained artifacts, and the PIPELINE
+    // consumes the version). Dedup → structural gates → decon publish
+    // a gate-INDEPENDENT pregate verdict table; gate artifact v1
+    // (even-half training) gates snapshot v0; the roll to v2
+    // (odd-half training — a genuinely different classifier) recurates
+    // by ONE broadcast scoring pass over the pregate members. The
+    // DuckDB oracle recurates FROM SCRATCH under v2 — dedup, gates,
+    // decon, ta32's whole train-and-score chain on the odd half — so
+    // the hash gate proves roll-and-rescore ≡ recurate-everything-
+    // under-the-new-artifact, text read once, non-monotone swaps
+    // included (v2 admits docs v1 rejected; the spec pins both
+    // directions non-empty).
+    //
+    // Scale: the roll moves |pregate| rows through one broadcast of a
+    // 1025-row artifact; dedup banks and decon verdicts — the
+    // corpus-sized passes — are never touched. PlanSpec locks zero
+    // training aggregates in the scoring plan.
+    "cu05_artifact_gate_recuration" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val root = graft.io.JsonLines.stagingDir("curation_modelgate")
+      curateModelGated(s, docs, root)
+      rollModelGate(s, docs, root)
       published(s, root).orderBy("doc_id")
     }),
 
@@ -642,7 +779,72 @@ object CurationIncremental {
     // three landed waves — base BenchN + 3×BenchN = the quadrupled
     // holdout. That this one query gates a three-wave STREAM is the
     // merge-law trick (see the query's doc comment).
-    "cu04_stream_bench_refresh" -> refreshOracleSql(4 * BenchN))
+    "cu04_stream_bench_refresh" -> refreshOracleSql(4 * BenchN),
+
+    // cu05: from-scratch recuration under the ROLLED artifact — the
+    // cu02 CTE chain with the quality rule removed (structural gates
+    // only), decon over the structural survivors, then ta32's whole
+    // train-and-score chain (qcScoreSqlCtes — the same text ta32's
+    // own oracle composes, so the engines' classifier cannot drift)
+    // on the ODD labeled half, gated at the decision boundary.
+    "cu05_artifact_gate_recuration" -> {
+      import TextAnalysis.{toksSql, ContamN}
+      val g = ContamN - 1
+      s"""WITH keep1 AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |), ${Dedup.sigCte},
+         |bands AS (
+         |  SELECT doc_id, j // ${Dedup.RowsPerBand} AS band,
+         |    string_agg(minhash, ',' ORDER BY j) AS bkey
+         |  FROM sig GROUP BY doc_id, j // ${Dedup.RowsPerBand}
+         |), dropped2 AS (
+         |  SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM keep1)
+         |    AND b.doc_id IN (SELECT doc_id FROM keep1)
+         |), keep2 AS (
+         |  SELECT doc_id FROM keep1
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped2)
+         |), ${TextAnalysis.scoredSqlCte},
+         |${TextAnalysis.repSqlCte},
+         |structural AS (
+         |  SELECT k.doc_id FROM keep2 k
+         |  JOIN scored s USING (doc_id) JOIN rep r USING (doc_id)
+         |  WHERE s.predicted_lang IN (${Langs.map("'" + _ + "'").mkString(", ")})
+         |    AND r.dup_bigram_frac <= $MaxDupBigramFrac
+         |), bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT $BenchN
+         |), bg AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - $g),
+         |    i -> array_to_string(toks[i : i + $g], ' ')))) AS g
+         |  FROM (SELECT $toksSql AS toks FROM bench)
+         |  WHERE len(toks) >= $ContamN
+         |), contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, len(toks) - $g),
+         |      i -> array_to_string(toks[i : i + $g], ' '))) AS g
+         |    FROM (SELECT doc_id, $toksSql AS toks FROM documents
+         |          WHERE doc_id IN (SELECT doc_id FROM structural))
+         |    WHERE len(toks) >= $ContamN)
+         |  WHERE g IN (SELECT g FROM bg)
+         |), pregate AS (
+         |  SELECT doc_id FROM structural
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bench)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |), ${TextAnalysis.qcScoreSqlCtes("doc_id % 2 = 1")}
+         |SELECT d.doc_id, d.lang, d.source, s.n_tokens,
+         |  round(1.0 / (1.0 + exp(-(CAST(q.score_u6 AS DOUBLE)
+         |    / 1000000.0))), 6) AS prob_6
+         |FROM pregate p
+         |JOIN qscored q USING (doc_id)
+         |JOIN documents d USING (doc_id)
+         |JOIN scored s USING (doc_id)
+         |WHERE q.score_u6 > 0
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** The refresh-equivalence oracle, parameterized by the total
     * holdout size: from-scratch curation where the bench sample is

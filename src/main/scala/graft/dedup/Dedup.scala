@@ -1438,8 +1438,10 @@ object Dedup {
     * 64-char prefix — a paragraph IS short) → the standard 4×4 LSH
     * banding → bucket-joined candidate pairs → exact-Jaccard
     * verification at ≥0.9 (integer cross-multiplication) → each
-    * verified duplicate mapped back to (doc, span) with its EARLIEST
-    * verified partner as the keeper. Returns one row per REMOVED
+    * verified duplicate mapped back to (doc, span) with its earliest
+    * verified partner resolved to a SURVIVING keeper
+    * ([[resolveKeepers]] — ≥0.9 Jaccard is non-transitive, so the raw
+    * min-partner can itself be removed). Returns one row per REMOVED
     * paragraph: (doc_id, para_idx, start_tok, n_tok, keep_doc,
     * keep_para) — the span table dd23/dd24-style removal rewrites
     * from. Factored over the frame so the spec can plant a duplicated
@@ -1478,7 +1480,7 @@ object Dedup {
           col("a.pkey") < col("b.pkey"))
       .select(col("a.pkey").as("pa"), col("b.pkey").as("pb"))
       .distinct()
-    val removed = pairs
+    val removed = resolveKeepers(pairs
       .join(hs.select(col("pkey").as("pa"), col("hs").as("hs_a")), Seq("pa"))
       .join(hs.select(col("pkey").as("pb"), col("hs").as("hs_b")), Seq("pb"))
       .withColumn("n_inter",
@@ -1487,7 +1489,7 @@ object Dedup {
         (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("n_inter"))
       .filter(col("n_inter") * 10L >= col("n_union") * 9L)
       .groupBy(col("pb").as("pkey"))
-      .agg(min("pa").as("keeper"))
+      .agg(min("pa").as("keeper")))
     removed.join(paras, Seq("pkey"))
       .select(col("doc_id"), col("para_idx"), col("start_tok"),
         col("n_tok"),
@@ -1495,6 +1497,36 @@ object Dedup {
           .as("keep_doc"),
         pmod(col("keeper"), lit(ParaKeyBase)).as("keep_para"))
       .orderBy("doc_id", "para_idx")
+  }
+
+  /** Resolve keeper chains to a SURVIVING root: min-partner keepers
+    * can themselves be removed when ≥0.9 Jaccard is non-transitive
+    * (A~B, B~C, A≁C leaves C pointing at the removed B — round-13
+    * advisor), so a consumer rewriting spans from the table would
+    * drop content with no surviving copy. Keepers strictly decrease
+    * along a chain (min(pa) < pb by the pair ordering), so the chains
+    * form a DAG and pointer-doubling (k ← k∘k each round) reaches the
+    * chain's surviving end in O(log longest-chain) rounds — dd07's
+    * reachability discipline applied to the removal table, which is
+    * candidate-sized, never corpus-sized. */
+  private[graft] def resolveKeepers(removed0: DataFrame): DataFrame = {
+    var rem = removed0.localCheckpoint()
+    var changed = true
+    while (changed) {
+      val jumped = rem.alias("r")
+        .join(rem.select(col("pkey").as("keeper"),
+            col("keeper").as("k2")).alias("j"),
+          Seq("keeper"), "left")
+        .select(col("pkey"),
+          coalesce(col("k2"), col("keeper")).as("keeper"))
+        .localCheckpoint()
+      changed = jumped.alias("a")
+        .join(rem.alias("b"), Seq("pkey"))
+        .filter(col("a.keeper") =!= col("b.keeper"))
+        .limit(1).count() > 0
+      rem = jumped
+    }
+    rem
   }
 
   /** dd07/dd16 shared chain: MinHash bands → candidate pairs →
@@ -1647,7 +1679,7 @@ object Dedup {
          |  SELECT DISTINCT a.pkey AS pa, b.pkey AS pb
          |  FROM pbands a JOIN pbands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.pkey < b.pkey
-         |), rem AS (
+         |), rem0 AS (
          |  SELECT pb AS pkey, min(pa) AS keeper FROM (
          |    SELECT c.pa, c.pb,
          |      CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS ni,
@@ -1658,6 +1690,18 @@ object Dedup {
          |    JOIN ph y ON y.pkey = c.pb)
          |  WHERE ni * 10 >= nu * 9
          |  GROUP BY pb
+         |), remr AS (
+         |  -- keeper chains resolved to a SURVIVING root: keepers
+         |  -- strictly decrease, so min over the reachable set is the
+         |  -- chain's end — the one pointer with no rem0 entry
+         |  WITH RECURSIVE rr(pkey, keeper) AS (
+         |    SELECT pkey, keeper FROM rem0
+         |    UNION
+         |    SELECT rr.pkey, n.keeper FROM rr JOIN rem0 n
+         |      ON rr.keeper = n.pkey
+         |  ) SELECT pkey, keeper FROM rr
+         |), rem AS (
+         |  SELECT pkey, min(keeper) AS keeper FROM remr GROUP BY pkey
          |)
          |SELECT p.doc_id, p.para_idx, p.start_tok, p.n_tok,
          |  r.keeper // $ParaKeyBase AS keep_doc,

@@ -267,6 +267,155 @@ object Multimodal {
     PngFeatures(r.doc_id, w, h, w * h, sum)
   }
 
+  // ---- mm18: JPEG, the LOSSY real-world container ------------------
+
+  /** mm18's pinned encode quality: ImageIO's JPEG writer default is
+    * writer-defined, so the quality is set EXPLICITLY — half of the
+    * determinism contract a lossy container needs in place of mm16's
+    * bit-exactness (round-13 verdict ask #5). */
+  private[graft] val JpegQuality = 0.92f
+
+  /** mm18's pixel generator — SMOOTH and CHROMA-NEUTRAL by design,
+    * unlike [[pixelByte]]: R=G=B = a linear two-axis luma ramp plus a
+    * per-doc DC offset (no mod wraps, no clipping: 96+96+63 ≤ 255).
+    * The mm02/mm16 sawtooth (mod-256 wrap every ~12 px) is
+    * adversarial for a DCT codec — measured max |err| 249 at any
+    * sane quality, i.e. no per-channel tolerance law can hold on
+    * it — and RGB gradients lose another 70 levels to 4:2:0 chroma
+    * subsampling on these tiny images; a lossy container's contract
+    * is only meaningful on signal statistics the codec was built
+    * for. Deterministic, doc-dependent, closed-form for the spec. */
+  def jpegPixel(docId: Long, w: Int, h: Int, x: Int, y: Int,
+      c: Int): Int =
+    (x * 96) / math.max(w - 1, 1) + (y * 96) / math.max(h - 1, 1) +
+      (docId % 64).toInt
+
+  /** The decode-tolerance law's per-channel bound: every channel of
+    * every decoded pixel must sit within this distance of the
+    * generator source. Measured max |err| = 2 across every image at
+    * both sf0.001 and sf0.01 (Round14OpsSpec re-measures, so a JDK
+    * codec change announces itself); the pinned bound carries 4×
+    * margin. */
+  private[graft] val JpegMaxAbsErr = 8
+
+  def encodeJpeg(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var p = 0
+    while (p < w * h) {
+      val x = p % w
+      val y = p / w
+      data(p * 3) = jpegPixel(docId, w, h, x, y, 2).toByte // B
+      data(p * 3 + 1) = jpegPixel(docId, w, h, x, y, 1).toByte // G
+      data(p * 3 + 2) = jpegPixel(docId, w, h, x, y, 0).toByte // R
+      p += 1
+    }
+    imageIoInMemory
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(JpegQuality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Synthetic JPEG media table — [[mediaPayloads]]' geometry through
+    * the lossy encoder. */
+  def jpegPayloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (w, h) = imgDims(id, text.codePointCount(0, text.length))
+        MediaRecord(id, encodeJpeg(id, w, h))
+      }
+  }
+
+  final case class JpegFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, within_tolerance: Boolean, decode_stable: Boolean)
+
+  /** Decoded (width, height, per-channel R,G,B plane) of a JPEG
+    * payload — throws loudly on a corrupt payload, never garbage. */
+  private def jpegPlane(payload: Array[Byte], docId: Long)
+      : (Int, Int, Array[Int]) = {
+    imageIoInMemory
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"JPEG decode failed for doc $docId")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val p = y * w + x
+        out(p * 3) = (rgb >> 16) & 0xFF
+        out(p * 3 + 1) = (rgb >> 8) & 0xFF
+        out(p * 3 + 2) = rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** The worst per-channel decode error of a payload vs the
+    * generator source — the quantity the tolerance law bounds
+    * (exposed for the spec's measured-max record). */
+  private[graft] def jpegWorstErr(r: MediaRecord): Int = {
+    val (w, h, plane) = jpegPlane(r.payload, r.doc_id)
+    var worst = 0
+    var i = 0
+    while (i < plane.length) {
+      val p = i / 3
+      val e = math.abs(plane(i) -
+        jpegPixel(r.doc_id, w, h, p % w, p / w, i % 3))
+      if (e > worst) worst = e
+      i += 1
+    }
+    worst
+  }
+
+  /** mm18 worker: lossy decode under the DETERMINISM CONTRACT —
+    * where mm16's hash gate pins decoded == generator bit-for-bit
+    * (lossless), a lossy container pins (a) the geometry survives,
+    * (b) every channel of every pixel sits within the spec-pinned
+    * tolerance of the source, and (c) the decode is bytewise STABLE
+    * (two independent decodes of the payload agree exactly — the
+    * JDK-decoder determinism mm17 pinned for WAV, asserted per row
+    * inside the hashed output, not just in a spec). */
+  def decodeJpegFeatures(r: MediaRecord): JpegFeatures = {
+    val (w, h, plane) = jpegPlane(r.payload, r.doc_id)
+    val (_, _, plane2) = jpegPlane(r.payload, r.doc_id)
+    var worst = 0
+    var stable = plane.length == plane2.length
+    var i = 0
+    while (i < plane.length) {
+      val p = i / 3
+      val e = math.abs(plane(i) -
+        jpegPixel(r.doc_id, w, h, p % w, p / w, i % 3))
+      if (e > worst) worst = e
+      if (stable && plane(i) != plane2(i)) stable = false
+      i += 1
+    }
+    JpegFeatures(r.doc_id, w, h, w * h,
+      within_tolerance = worst <= JpegMaxAbsErr, decode_stable = stable)
+  }
+
   final case class ImgAHash(doc_id: Long, width: Int, height: Int,
       ahash_hi: Long, ahash_lo: Long)
 
@@ -894,6 +1043,28 @@ object Multimodal {
       import s.implicits._
       pngPayloads(s, d)
         .mapPartitions(_.map(decodePngFeatures))
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // mm18: the LOSSY real-world container (round-13 verdict ask #5).
+    // A lossy codec can't repeat mm16's bit-exact gate, so the hash
+    // gate pins the DETERMINISM CONTRACT instead: geometry survives
+    // the container (width/height/n_pixels — oracle recomputes the
+    // generator arithmetic), every channel of every decoded pixel
+    // sits within the spec-pinned tolerance of the source
+    // (JpegMaxAbsErr — the law a downstream feature pipeline relies
+    // on), and the decode is bytewise stable across two independent
+    // reads (mm17's JDK-determinism pin, asserted PER ROW inside the
+    // hashed output). The oracle emits the geometry and TRUE for both
+    // verdicts — any image violating the law fails the hash, and a
+    // corrupt payload throws loudly (spec-pinned). Exact decoded
+    // checksums are additionally byte-frozen in Round14OpsSpec so a
+    // JDK codec change announces itself.
+    "mm18_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      jpegPayloads(s, d)
+        .mapPartitions(_.map(decodeJpegFeatures))
         .toDF()
         .orderBy("doc_id")
     }),
@@ -1874,6 +2045,24 @@ object Multimodal {
         |    list_transform(generate_series(0, 3 * width * height - 1),
         |      i -> (doc_id * 31 + i * 7) % 256)),
         |    (a, b) -> a + b) AS checksum
+        |FROM dims ORDER BY doc_id""".stripMargin,
+
+    // mm18: geometry from the generator arithmetic; the tolerance and
+    // stability verdicts are the CONTRACT — the oracle asserts they
+    // hold on every row by emitting TRUE (a lossy decode can't be
+    // recomputed engine-side; the law, not the pixels, is what's
+    // portable).
+    "mm18_jpeg_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    4 + (length(text) % 29) AS width,
+        |    3 + (doc_id % 17) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, width, height,
+        |  width * height AS n_pixels,
+        |  TRUE AS within_tolerance,
+        |  TRUE AS decode_stable
         |FROM dims ORDER BY doc_id""".stripMargin
   )
 }

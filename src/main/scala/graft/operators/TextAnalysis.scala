@@ -538,6 +538,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ta32's train-and-score chain as oracle CTE text (q-prefixed so
+    * it composes inside other oracles without name collisions),
+    * parameterized by the labeled-slice predicate: ta32's oracle
+    * trains on the even half; cu05's artifact-roll oracle on the odd
+    * half — ONE text, so the engines' notion of "the classifier"
+    * cannot drift between the registered queries. Ends with
+    * `qscored(doc_id, n_bigrams, score_u6)` over every doc with ≥ 2
+    * tokens. */
+  private[graft] def qcScoreSqlCtes(trainPred: String): String =
+    s"""qtoks AS (
+       |  SELECT doc_id, lang, $toksSql AS ts FROM documents
+       |), qbg AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(ts[g.i] || ' ' || ts[g.i + 1]), 1, 7))
+       |      ::BIGINT % $HashDim AS b
+       |  FROM qtoks, LATERAL unnest(generate_series(1, len(ts) - 1))
+       |    AS g(i)
+       |  WHERE len(ts) >= 2
+       |), qcnts AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cpos,
+       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cneg
+       |  FROM qbg WHERE $trainPred GROUP BY b
+       |), qspine AS (
+       |  SELECT g.b FROM unnest(generate_series(0, ${HashDim - 1}))
+       |    AS g(b)
+       |), qtot AS (
+       |  SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+       |    CAST(sum(cneg) AS BIGINT) AS tneg FROM qcnts
+       |), qweights AS (
+       |  SELECT s.b,
+       |    CAST(floor((ln(CAST(COALESCE(c.cpos, 0) + 1 AS DOUBLE)
+       |        / CAST(t.tpos + $HashDim AS DOUBLE))
+       |      - ln(CAST(COALESCE(c.cneg, 0) + 1 AS DOUBLE)
+       |        / CAST(t.tneg + $HashDim AS DOUBLE)))
+       |      * 1000000 + 0.5) AS BIGINT) AS w_u6
+       |  FROM qspine s LEFT JOIN qcnts c USING (b) CROSS JOIN qtot t
+       |), qbias AS (
+       |  SELECT CAST(floor(ln(
+       |      CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE)
+       |      / CAST(count(CASE WHEN lang <> 'en' THEN 1 END)
+       |          AS DOUBLE))
+       |    * 1000000 + 0.5) AS BIGINT) AS bias_u6
+       |  FROM documents WHERE $trainPred
+       |), qscored AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(w.w_u6) AS BIGINT) + (SELECT bias_u6 FROM qbias)
+       |      AS score_u6
+       |  FROM qbg g JOIN qweights w USING (b)
+       |  GROUP BY g.doc_id
+       |)""".stripMargin
+
   /** ta32's artifact root, keyed by the data dir. */
   private def qcWeightsRoot(d: String): String =
     graft.io.JsonLines.stagingDir(
@@ -1663,6 +1717,66 @@ object TextAnalysis {
           sum(col("f") * col("n_sym")).as("n_bpe_tokens"),
           count(lit(1)).as("n_word_types"))
         .orderBy("source")
+    }),
+
+    // ta33: TOKENIZER DECODE ROUND-TRIP — the verb that closes the
+    // tokenizer family the way io's round-trips close interchange
+    // (round-13 verdict ask #8): encode(word) through the PUBLISHED
+    // merge artifact becomes a sequence of integer token IDS under an
+    // explicit vocabulary (base symbols = the corpus's distinct
+    // characters; merged symbols = the artifact's rows in publication
+    // order — exactly what a production tokenizer ships), and
+    // detokenize = ids → symbol strings → positional reassembly,
+    // touching ONLY (pos, id) pairs. The oracle recomputes n_sym via
+    // the from-scratch trained chain and asserts decoded == word, so
+    // the hash gate is the theorem decode(encode(x)) = x THROUGH the
+    // id layer — a lossy vocabulary, a wrong id assignment, or an
+    // order-unstable reassembly all fail it.
+    //
+    // Scale: the vocabulary is Heaps-law bounded (symbols, never
+    // corpus rows) — both row_number windows run over that bounded
+    // table and broadcast from it; the per-type reassembly state is
+    // bounded by word length. Nothing corpus-sized sorts.
+    "ta33_bpe_roundtrip" -> ((s, d) => {
+      val sep = BpeSep
+      val root = publishedBpeMerges(s, d)
+      val ver = graft.io.Commit.readMarker(s, s"$root/_MERGES")
+      val base = documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .select(explode(split(col("word"), "")).as("sym"))
+        .filter(length(col("sym")) > 0)
+        .distinct()
+        .withColumn("id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("sym"))
+          .cast("long"))
+      val nBase = base.count()
+      val merged = s.read.parquet(s"$root/$ver")
+        .withColumn("id", (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy("round", "idx")) + nBase).cast("long"))
+        .select(concat(col("lsym"), col("rsym")).as("sym"), col("id"))
+      // a merged symbol's string can arise from two different splits
+      // ("a"+"bc" and "ab"+"c" both spell "abc") — the lookup vocab
+      // keeps the first-published id per spelling, and decode uses
+      // the same table, so the round trip is id-consistent
+      val vocab = base.unionByName(merged)
+        .groupBy("sym").agg(min("id").as("id")).localCheckpoint()
+      val ids = encodeFromArtifact(s, d)
+        .select(translate(col("seq"), sep, "").as("word"),
+          posexplode(split(trim(col("seq"), lit(sep)), s"$sep$sep")))
+        .withColumnRenamed("col", "sym")
+        .filter(length(col("sym")) > 0)
+        .join(broadcast(vocab), Seq("sym"))
+        .select(col("word"), col("pos"), col("id"))
+      ids.join(broadcast(vocab.select(col("id"), col("sym").as("dsym"))),
+          Seq("id"))
+        .groupBy("word")
+        .agg(count(lit(1)).cast("long").as("n_sym"),
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("pos"), col("dsym")))),
+            x => x.getField("dsym"))).as("decoded"))
+        .select("word", "n_sym", "decoded")
+        .orderBy("word")
     }),
 
     "ta19_budget_select" -> ((s, d) => {
@@ -3026,55 +3140,12 @@ object TextAnalysis {
     // Equality proves the published artifact carries exactly the
     // closed-form training's weights.
     "ta32_quality_classifier" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, lang, $toksSql AS ts FROM documents
-         |), bg AS (
-         |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5(ts[g.i] || ' ' || ts[g.i + 1]), 1, 7))
-         |      ::BIGINT % $HashDim AS b
-         |  FROM toks, LATERAL unnest(generate_series(1, len(ts) - 1))
-         |    AS g(i)
-         |  WHERE len(ts) >= 2
-         |), cnts AS (
-         |  SELECT b,
-         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS cpos,
-         |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS cneg
-         |  FROM bg WHERE doc_id % 2 = 0 GROUP BY b
-         |), spine AS (
-         |  SELECT g.b FROM unnest(generate_series(0, ${HashDim - 1}))
-         |    AS g(b)
-         |), tot AS (
-         |  SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
-         |    CAST(sum(cneg) AS BIGINT) AS tneg FROM cnts
-         |), weights AS (
-         |  SELECT s.b,
-         |    CAST(floor((ln(CAST(COALESCE(c.cpos, 0) + 1 AS DOUBLE)
-         |        / CAST(t.tpos + $HashDim AS DOUBLE))
-         |      - ln(CAST(COALESCE(c.cneg, 0) + 1 AS DOUBLE)
-         |        / CAST(t.tneg + $HashDim AS DOUBLE)))
-         |      * 1000000 + 0.5) AS BIGINT) AS w_u6
-         |  FROM spine s LEFT JOIN cnts c USING (b) CROSS JOIN tot t
-         |), bias AS (
-         |  SELECT CAST(floor(ln(
-         |      CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE)
-         |      / CAST(count(CASE WHEN lang <> 'en' THEN 1 END)
-         |          AS DOUBLE))
-         |    * 1000000 + 0.5) AS BIGINT) AS bias_u6
-         |  FROM documents WHERE doc_id % 2 = 0
-         |), scored AS (
-         |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(w.w_u6) AS BIGINT) + (SELECT bias_u6 FROM bias)
-         |      AS score_u6
-         |  FROM bg g JOIN weights w USING (b)
-         |  GROUP BY g.doc_id
-         |)
+      s"""WITH ${qcScoreSqlCtes("doc_id % 2 = 0")}
          |SELECT doc_id, n_bigrams, score_u6,
          |  round(1.0 / (1.0 + exp(-(CAST(score_u6 AS DOUBLE)
          |    / 1000000.0))), 6) AS prob_6,
          |  score_u6 > 0 AS predicted_en
-         |FROM scored ORDER BY doc_id""".stripMargin,
+         |FROM qscored ORDER BY doc_id""".stripMargin,
 
     // ta31: identical hashed-bucket distributions, the same four-term
     // ln() chain in the same order, floor-quantized per bucket before
@@ -3328,6 +3399,29 @@ object TextAnalysis {
          |  CAST(count(*) AS BIGINT) AS n_word_types
          |FROM ws JOIN enc USING (word)
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // ta33: the from-scratch trained chain gives every word type its
+    // symbol count, and decoded is the word ITSELF — the oracle has
+    // no id layer, so Spark's ids → symbols → positional reassembly
+    // must land back on the word exactly for the hashes to meet:
+    // that equality IS decode(encode(x)) = x through the vocabulary.
+    "ta33_bpe_roundtrip" -> {
+      val stages = (1 to BpeBatchRounds).map(bpeBatchStageSql)
+        .mkString(", ")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT regexp_replace(word, '(.)',
+         |    chr(31) || '\\1' || chr(31), 'g') AS seq,
+         |    CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |), $stages
+         |SELECT replace(seq, chr(31), '') AS word,
+         |  CAST(len(string_split(trim(seq, chr(31)),
+         |    chr(31) || chr(31))) AS BIGINT) AS n_sym,
+         |  replace(seq, chr(31), '') AS decoded
+         |FROM w$BpeBatchRounds
+         |ORDER BY word""".stripMargin
     },
 
     "ta19_budget_select" ->

@@ -679,6 +679,17 @@ object Similarity {
     // lifecycle twice in one JVM.) This is the manifest discipline
     // every table format keeps: compaction changes FILES, never the
     // applied-commit log.
+    //
+    // For a VERSIONED root the authoritative log lives at the ROOT —
+    // a wave is ingested once per INDEX, not once per version: the
+    // _VERSION pointer moves under a replayed ingest job, and a
+    // version-local log would let a pre-swap wave re-deliver its
+    // rows into the freshly retrained version (caught by ss37's
+    // lifecycle-replay spec: the replayed build wave re-appended the
+    // whole corpus into v2). The version dir's own log still guards
+    // the fold-absorption crash window within a version, so both are
+    // consulted.
+    if (waveApplied(readAppliedLog(s, root), waveId)) return
     if (waveApplied(readAppliedLog(s, dir), waveId)) return
     if (cur.split(",").contains(seg)) return
     if (wave.isEmpty) return
@@ -704,8 +715,9 @@ object Similarity {
     // the harmless same-content overwrite above (the segment-name
     // check still catches it pre-fold); after a fold the log — which
     // the fold itself also unions absorbed wave ids into — remembers
-    // the wave
-    recordAppliedWaves(s, dir, Seq(waveId))
+    // the wave. Recorded at the ROOT (survives version swaps); the
+    // version dir's own log is maintained by fold/compact absorption.
+    recordAppliedWaves(s, root, Seq(waveId))
   }
 
   // ---- ss32–ss34: drift-triggered retrain + versioned reindex swap --

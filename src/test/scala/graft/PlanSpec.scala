@@ -410,6 +410,46 @@ class PlanSpec extends AnyFunSuite {
       s"ta32: scoring does not read the published artifact:\n$p")
   }
 
+  test("ss36/ss37 serve only the retrained version's files; ss38's " +
+    "scale path has NO Window anywhere; cu05's regate plan has zero " +
+    "training aggregates and broadcasts the rolled artifact") {
+    // ss36: the post-swap-appended root serves v2's base + wave
+    // segments and never touches v1 (truncation-safe fragments)
+    val p36 = plan("ss36_postswap_append")
+    assert("/v2/seg".r.findAllMatchIn(p36).length == 2,
+      s"ss36 must scan exactly v2's full segment + the wave:\n$p36")
+    assert(!p36.contains("/v1/"),
+      s"ss36 still scans v1 files after the swap:\n$p36")
+    // ss37: the full lifecycle's serve reads only v2 paths (segment
+    // count varies if maintenance folded the post-swap root)
+    val p37 = plan("ss37_index_full_lifecycle")
+    assert(p37.contains("/v2/seg"),
+      s"ss37 does not scan the retrained version:\n$p37")
+    assert(!p37.contains("/v1/"),
+      s"ss37's serve still reads v1 files:\n$p37")
+    // ss38: the whole point of the scale path — no per-query
+    // corpus-partition sort anywhere in the plan
+    val p38 = plan("ss38_sampled_recall_audit")
+    assert(!p38.contains("Window"),
+      s"ss38's scale path still plans a Window sort:\n$p38")
+    // cu05: the recuration consumes the ROLLED artifact — broadcast
+    // of weights_v2, zero training aggregates in the scoring plan
+    val cuRoot = graft.io.JsonLines.stagingDir("curation_modelgate")
+    val docs = Tables.documents(spark, d)
+    SparkEntry.queries("cu05_artifact_gate_recuration")(spark, d)
+      .collect() // ensure the pipeline ran and the artifact rolled
+    val scores = graft.apps.CurationIncremental
+      .modelGateScores(spark, docs, cuRoot)
+    val opt = scores.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("cpos") && !opt.contains("tpos"),
+      s"cu05: training aggregates leaked into the regate plan:\n$opt")
+    val pc = scores.queryExecution.executedPlan.toString
+    assert(pc.contains("BroadcastExchange"),
+      s"cu05: the weight artifact is not broadcast:\n$pc")
+    assert(pc.contains("weights_v2"),
+      s"cu05: the regate does not read the ROLLED artifact:\n$pc")
+  }
+
   test("ss32/ss33 serve exactly their version's files: post-swap " +
     "reads only v2's segment, the held-open pre-swap root reads only " +
     "v1's segments") {

@@ -49,9 +49,12 @@ def main():
     # get their own field below so the info isn't lost. Round 8's
     # artifact briefly counted the two e2e rows in q_sum; this restores
     # the original definition for round-over-round comparability.
+    # calib_cpu is the host-speed meter (round 14+), never a query
     q_sum = round(sum(v for k, v in medians.items()
-                      if not k.startswith("pipeline_")), 3)
-    n_q = sum(1 for k in medians if not k.startswith("pipeline_"))
+                      if not k.startswith("pipeline_")
+                      and k != "calib_cpu"), 3)
+    n_q = sum(1 for k in medians if not k.startswith("pipeline_")
+              and k != "calib_cpu")
     pipelines = {k: v for k, v in medians.items()
                  if k.startswith("pipeline_")
                  and not re.match(r"pipeline_.*_s\d+_", k)}
@@ -84,8 +87,16 @@ def main():
                 return float("inf")
             return round(cur / old, 3)
 
+        # host normalization (round-13 verdict ask #7): the fixed
+        # CPU-bound calibration row moves only with the host, so
+        # dividing wall-clock ratios by its ratio removes documented
+        # hypervisor drift from the criterion. Absent in pre-round-14
+        # artifacts -> normalization fields are simply omitted.
+        calib_ratio = None
+        if medians.get("calib_cpu") and pq.get("calib_cpu"):
+            calib_ratio = round(medians["calib_cpu"] / pq["calib_cpu"], 3)
         for k, v in medians.items():
-            if k not in pq or pq[k] <= 0:
+            if k == "calib_cpu" or k not in pq or pq[k] <= 0:
                 continue
             r = v / pq[k]
             if 1 / 1.2 < r < 1.2:
@@ -103,6 +114,8 @@ def main():
                 # they're wins to verify, flagged for visibility only)
                 "host_suspect": bool(r > 1.2 and flat),
             }
+            if calib_ratio:
+                movers[k]["norm_ratio"] = round(r / calib_ratio, 3)
     artifact = {
         "round": int(rnd),
         "config": "Spark 4.1.2 local[32] shuffle=32 AQE noop-sink",
@@ -119,10 +132,18 @@ def main():
         "per_query_median_gc_ms": gc_med,
         "per_query_median_peak_task_mem_mb": mem_med,
     }
+    if "calib_cpu" in medians:
+        artifact["calib_cpu_median_sec"] = medians["calib_cpu"]
     if prev is not None:
         artifact["movers_vs_prev"] = movers
         artifact["host_suspect"] = sorted(
             k for k, m in movers.items() if m["host_suspect"])
+        if medians.get("calib_cpu") and prev.get("calib_cpu_median_sec"):
+            cr = round(
+                medians["calib_cpu"] / prev["calib_cpu_median_sec"], 3)
+            artifact["calib_ratio_vs_prev"] = cr
+            artifact["sum_of_medians_normalized_sec"] = round(
+                q_sum / cr, 3)
     json.dump(artifact, open(out, "w"), indent=1)
     print(f"{out}: {n_q} queries, sum-of-medians {q_sum}s, "
           f"totals {totals}")
