@@ -354,9 +354,18 @@ object Bench {
     val calib = {
       val t0 = System.nanoTime()
       val ok = windowed("calib_cpu") {
-        spark.range(0L, 400000000L, 1L, 32)
-          .selectExpr("sum(xxhash64(id, id + 7, id * 31))").collect()
-        true
+        // modulo keeps the 400M-term sum inside a long under ANSI
+        // (raw xxhash64 sums overflow); the work measured is the
+        // hash, not the sum
+        try {
+          spark.range(0L, 1600000000L, 1L, 32)
+            .selectExpr("sum(xxhash64(id, id + 7, id * 31) % 1000000)")
+            .collect()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] calib_cpu failed: ${e.getMessage}")
+          false
+        }
       }
       Seq("calib_cpu" ->
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
