@@ -15,7 +15,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * keys; ties break by id ascending, matching every ranked serve in
   * the engine (`ORDER BY key, id`). */
 class TopKMinAgg(k: Int)
-    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[Long]] {
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   def zero: Seq[(Long, Long)] = Nil
   def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
     if (b.size < k) (b :+ a).sorted
@@ -24,7 +24,7 @@ class TopKMinAgg(k: Int)
   def merge(b1: Seq[(Long, Long)],
       b2: Seq[(Long, Long)]): Seq[(Long, Long)] =
     (b1 ++ b2).sorted.take(k)
-  def finish(b: Seq[(Long, Long)]): Seq[Long] = b.map(_._2)
+  def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
   def bufferEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
-  def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
 }

@@ -1287,6 +1287,85 @@ object EventStream {
     // geometry join + keys-sized argmin/argmax, nothing corpus-
     // sized); segment-count read amplification is ss28's compaction
     // job, unchanged; the stream never rewrites published files.
+    // st28: STREAMING POST-SWAP APPEND — ss36's version-aware wave
+    // driven per microbatch, completing the batch/stream matrix for
+    // the retrained-index regime (st26 streams into the FROZEN
+    // geometry; this streams into the SERVED retrained version):
+    // after the drift-retrain-swap commits on this root, three
+    // microbatches of new-encoder documents land through the
+    // version-aware appendIndexWave, each freezing on v2's PUBLISHED
+    // geometry read back from the artifact. The oracle is ss36's
+    // VERBATIM — the final served state must be identical whether
+    // the post-swap traffic arrived as one batch or N microbatches
+    // (the merge law), and every wave row must carry v2 codes (the
+    // wrong-geometry failure ss36 guards). Replay of the last wave
+    // is a root-level applied-log skip — the cross-version replay
+    // guard the ss37 spec forced into the design.
+    //
+    // Scale: per microbatch, |wave| rows against two broadcast
+    // geometry pages; the served base never moves; stream state is
+    // the marker set.
+    "st28_stream_postswap_append" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val sim = graft.similarity.Similarity
+      val root = sim.retrainRoot(d, "s")
+      require(sim.retrainIfDrifted(s, d, root),
+        "the drifted fixture must fire the retrain verdict and commit")
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_postswap_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(tmp), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val (wave, maxId) = sim.postSwapWave(ss, d)
+      val w = wave.localCheckpoint()
+      // three log-structured microbatches: contiguous slices of the
+      // post-swap id range, the monotone-ingest reality
+      val (b0, b1) = (maxId + 1L + (maxId + 1L) / 3,
+        maxId + 1L + 2L * (maxId + 1L) / 3)
+      Seq(w.filter(col("vec_id") < b0),
+          w.filter(col("vec_id") >= b0 && col("vec_id") < b1),
+          w.filter(col("vec_id") >= b1))
+        .foreach(_.coalesce(1).write.mode("append").parquet(s"$tmp/src"))
+      var batches = 0
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(w.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            sim.appendIndexWave(ss, d, root, df, id)
+            batches += 1
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 3,
+        s"expected three post-swap waves, got $batches")
+      // crash-recovery replay of the last landed wave, id from the
+      // SERVED version's own marker (st26's discipline)
+      val ver = graft.io.Commit.readMarker(s, s"$root/_VERSION")
+      val lastWave = graft.io.Commit
+        .readMarker(s, s"$root/$ver/_INDEX").split(",")
+        .filter(_.startsWith("seg_w")).map(_.stripPrefix("seg_w").toLong)
+        .max
+      sim.appendIndexWave(ss, d, root, w.filter(col("vec_id") >= b1),
+        lastWave)
+      val (_, cutoff) = sim.driftedEmbeddings(s, d)
+      sim.readServedIndex(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"),
+          (col("vec_id") > maxId).as("is_wave"))
+        .orderBy("vec_id", "m")
+    }),
+
     "st26_stream_index_append" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val sim = graft.similarity.Similarity
@@ -1716,6 +1795,13 @@ object EventStream {
     // under frozen geometry loses nothing.
     "st26_stream_index_append" ->
       graft.similarity.Similarity.fromScratchIndexSql,
+
+    // st28: ss36's oracle VERBATIM — the final served state must be
+    // identical whether the post-swap wave arrived as one batch or
+    // three microbatches, every wave row under the RETRAINED
+    // geometry.
+    "st28_stream_postswap_append" ->
+      graft.similarity.Similarity.postSwapOracleSql("TRUE"),
 
     // st27: ss30's from-scratch SURVIVOR oracle VERBATIM — identical
     // output through three streamed tombstone waves proves the

@@ -427,11 +427,16 @@ class PlanSpec extends AnyFunSuite {
       s"ss37 does not scan the retrained version:\n$p37")
     assert(!p37.contains("/v1/"),
       s"ss37's serve still reads v1 files:\n$p37")
-    // ss38: the whole point of the scale path — no per-query
-    // corpus-partition sort anywhere in the plan
+    // ss38/ss39: the whole point of the scale path — no per-query
+    // corpus-partition sort anywhere in either plan
     val p38 = plan("ss38_sampled_recall_audit")
     assert(!p38.contains("Window"),
       s"ss38's scale path still plans a Window sort:\n$p38")
+    val p39 = plan("ss39_bounded_knn")
+    assert(!p39.contains("Window"),
+      s"ss39's bounded serve still plans a Window sort:\n$p39")
+    assert(p39.contains("TopKMinAgg") || p39.contains("topkminagg"),
+      s"ss39 does not rank through the k-heap aggregate:\n$p39")
     // cu05: the recuration consumes the ROLLED artifact — broadcast
     // of weights_v2, zero training aggregates in the scoring plan
     val cuRoot = graft.io.JsonLines.stagingDir("curation_modelgate")

@@ -227,14 +227,29 @@ class Round14OpsSpec extends AnyFunSuite {
     val df = rows.toDF("g", "key", "id").dropDuplicates("g", "key", "id")
     val topk = udaf(new graft.functions.TopKMinAgg(7),
       org.apache.spark.sql.Encoders.product[(Long, Long)])
-    val got = df.groupBy("g").agg(topk(col("key"), col("id")).as("ids"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val got = df.groupBy("g").agg(topk(col("key"), col("id")).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))).toList).toMap
     val want = df.collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1)
-      .map { case (g, xs) =>
-        g -> xs.map(_._2).sorted.take(7).map(_._2).toList }
+      .map { case (g, xs) => g -> xs.map(_._2).sorted.take(7).toList }
     assert(got == want)
+  }
+
+  test("st28 streamed post-swap appends ≡ ss36's one-batch wave " +
+    "row-for-row, and ss39's bounded serve ≡ ss01's exact serve " +
+    "including ranks and cosines") {
+    val st = q("st28_stream_postswap_append").collect().map(_.toSeq).toSet
+    val ss = q("ss36_postswap_append").collect().map(_.toSeq).toSet
+    assert(st == ss,
+      "N microbatches of post-swap traffic served differently from " +
+        "one batch")
+    val bounded = q("ss39_bounded_knn").collect().map(_.toSeq).toSeq
+    val exact = q("ss01_knn_brute").collect().map(_.toSeq).toSeq
+    assert(bounded == exact,
+      "the k-heap path diverged from the exact row_number serve")
   }
 
   test("dd25 keeper chains resolve to a SURVIVING root (round-13 " +
