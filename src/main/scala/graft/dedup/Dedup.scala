@@ -110,6 +110,36 @@ object Dedup {
   // within each IVF cell
   private[graft] val SemTau = 0.3
 
+  /** dd19/dd26's shared SemDeDup pass over an arbitrary cell
+    * assignment frame (vec_id, cell): compare pairs ONLY within a
+    * cell, mark every vector with a higher-similarity-than-τ neighbor
+    * of smaller id (the non-transitive keep-first rule). Factored so
+    * the from-scratch clustering (dd19) and the maintained-index
+    * artifact (dd26) dedup through literally the same code — the two
+    * queries' hash equality under one oracle is then purely a theorem
+    * about where the assignment came from. */
+  private def semDedupOver(s: SparkSession, d: String,
+      assigned: DataFrame): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
+    val m = assigned.join(e, Seq("vec_id"))
+    val a = m.select(col("cell"), col("vec_id").as("keep_id"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val b = m.select(col("cell"), col("vec_id"),
+      col("embedding").as("be"), col("nrm").as("bn"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("keep_id") < col("vec_id"))
+      .withColumn("cos", round(
+        dot(s, col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= SemTau)
+      .select("vec_id").distinct()
+    assigned
+      .join(dups.withColumn("dup_", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_").isNotNull.as("is_semdup"))
+      .orderBy("vec_id")
+  }
+
   private[graft] val NumBands = 4
   private[graft] val RowsPerBand = 4
 
@@ -844,26 +874,37 @@ object Dedup {
     // 100 TB the cell count grows with the corpus (k ∝ n / target
     // cell size), keeping |cell| constant — the pair join stays
     // linear-ish in n while an unscoped pair join would be n².
-    "dd19_semdedup" -> ((s, d) => {
-      val (assigned, _) = graft.similarity.Similarity.ivfCells(s, d)
-      val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(dot(s, col("embedding"), col("embedding"))).as("nrm"))
-      val m = assigned.join(e, Seq("vec_id"))
-      val a = m.select(col("cell"), col("vec_id").as("keep_id"),
-        col("embedding").as("ae"), col("nrm").as("an"))
-      val b = m.select(col("cell"), col("vec_id"),
-        col("embedding").as("be"), col("nrm").as("bn"))
-      val dups = a.join(b, Seq("cell"))
-        .filter(col("keep_id") < col("vec_id"))
-        .withColumn("cos", round(
-          dot(s, col("ae"), col("be")) / (col("an") * col("bn")), 6))
-        .filter(col("cos") >= SemTau)
-        .select("vec_id").distinct()
-      assigned
-        .join(dups.withColumn("dup_", lit(1)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell"),
-          col("dup_").isNotNull.as("is_semdup"))
-        .orderBy("vec_id")
+    "dd19_semdedup" -> ((s, d) =>
+      semDedupOver(s, d,
+        graft.similarity.Similarity.ivfCells(s, d)._1)),
+
+    // dd26: SemDeDup SERVED FROM THE MAINTAINED INDEX — dd19's
+    // cluster-scoped semantic dedup with the cell partition read back
+    // from the PUBLISHED IVF index artifact (ss26's root: base segment
+    // + appended delta segments behind the marker) instead of being
+    // recomputed from the raw corpus. This is the production
+    // composition the index lifecycle exists for: the artifact that
+    // already serves ANN probes (ss08), drift monitoring (ss27), and
+    // compaction/GC (ss28/ss29) gains a SECOND CONSUMER FAMILY — the
+    // curation pipeline's semantic-dedup pass reuses the maintained
+    // cell assignment rather than re-clustering the corpus per run
+    // (SemDeDup's clustering step is the expensive half at 100 TB; an
+    // index you maintain incrementally amortizes it across every
+    // consumer). The oracle is dd19's VERBATIM — hash equality is the
+    // theorem stored-assignment ≡ from-scratch-assignment composed
+    // over the whole dedup pass, which holds because per-wave encoding
+    // under frozen geometry is bit-identical to the batch assignment
+    // (ss26's law, consumed here rather than re-proven).
+    //
+    // Scale: reading (vec_id, cell) pairs from the index is an
+    // 8 B/row columnar scan with the embedding payload joined once;
+    // the pair work stays Σ|cell|² exactly as dd19 — nothing about
+    // the dedup changes, only WHERE the clustering came from.
+    "dd26_semdedup_from_index" -> ((s, d) => {
+      val sim = graft.similarity.Similarity
+      val (root, _) = sim.publishedIvfIndex(s, d)
+      semDedupOver(s, d,
+        sim.readIvfIndex(s, root).select("vec_id", "cell").distinct())
     }),
 
     // dd06: embedding-cosine near-dup pairs on a FIXED-SIZE sampled
@@ -1574,6 +1615,28 @@ object Dedup {
 
   private def dotSql(x: String, y: String) = dotProductSql(x, y)
 
+  /** dd19/dd26's shared oracle: the full SemDeDup recomputation —
+    * from-scratch IVF cell assignment, within-cell pairs, keep-first
+    * verdict. dd26's hash equality under this SAME text is the
+    * stored-assignment ≡ from-scratch theorem at the dedup layer. */
+  private def semDedupOracleSql: String =
+    s"""WITH ${graft.similarity.Similarity.ivfSqlCtes}, pairs AS (
+       |  SELECT bb.vec_id,
+       |    round(${dotSql("ea.embedding", "eb.embedding")} /
+       |      (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+       |       sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cos
+       |  FROM ivf_assigned ab
+       |  JOIN ivf_assigned bb ON ab.cell = bb.cell
+       |   AND ab.vec_id < bb.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = ab.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = bb.vec_id
+       |), dups AS (
+       |  SELECT DISTINCT vec_id FROM pairs WHERE cos >= $SemTau
+       |)
+       |SELECT v.vec_id, v.cell, (d.vec_id IS NOT NULL) AS is_semdup
+       |FROM ivf_assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       """SELECT md5(substr(text, 1, 64)) AS content_key, count(*) AS n_docs,
@@ -2034,23 +2097,12 @@ object Dedup {
          |WHERE cos >= 0.2
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "dd19_semdedup" ->
-      s"""WITH ${graft.similarity.Similarity.ivfSqlCtes}, pairs AS (
-         |  SELECT bb.vec_id,
-         |    round(${dotSql("ea.embedding", "eb.embedding")} /
-         |      (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
-         |       sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cos
-         |  FROM ivf_assigned ab
-         |  JOIN ivf_assigned bb ON ab.cell = bb.cell
-         |   AND ab.vec_id < bb.vec_id
-         |  JOIN embeddings ea ON ea.vec_id = ab.vec_id
-         |  JOIN embeddings eb ON eb.vec_id = bb.vec_id
-         |), dups AS (
-         |  SELECT DISTINCT vec_id FROM pairs WHERE cos >= $SemTau
-         |)
-         |SELECT v.vec_id, v.cell, (d.vec_id IS NOT NULL) AS is_semdup
-         |FROM ivf_assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
-         |ORDER BY v.vec_id""".stripMargin,
+    "dd19_semdedup" -> semDedupOracleSql,
+
+    // dd26: dd19's oracle VERBATIM — the stored index's cell
+    // assignment must dedup identically to the from-scratch one
+    // (ss26's append ≡ from-scratch law, consumed by a second family).
+    "dd26_semdedup_from_index" -> semDedupOracleSql,
 
     "dd15_dup_spans" ->
       s"""WITH spans AS (

@@ -1366,6 +1366,128 @@ object EventStream {
         .orderBy("vec_id", "m")
     }),
 
+    // st29: STREAMING DRIFT-TRIGGERED RETRAIN — the last cell of the
+    // batch/stream matrix: not just the WAVES but the MONITOR and the
+    // TRIGGER are stream-driven end-to-end. st26 streamed appends into
+    // a frozen geometry, st27 streamed deletes, st28 streamed
+    // post-swap waves into an ALREADY-retrained version — here the
+    // whole regime change happens inside one stream: a versioned root
+    // is born with v1's geometry and no segments; the undrifted base
+    // corpus lands as wave 0 and the monitor (ss27's indexDriftReadout
+    // — literally the factored verdict math) stays QUIET; the
+    // new-encoder delta lands as wave 1 and the verdict FIRES on the
+    // monitor's next readout, which triggers the batch retrain verb
+    // (ss32's retrainIfDrifted — maintenance is a batch job a
+    // streaming monitor dispatches, the production shape: Structured
+    // Streaming's foreachBatch IS the hook where continuous ingestion
+    // hands off to heavyweight maintenance); the swap commits
+    // mid-stream, and waves 2–3 (post-swap new-encoder traffic) land
+    // through the version-aware append, each freezing on v2's
+    // PUBLISHED geometry — nothing about the append call changes, the
+    // _VERSION pointer the retrain rolled is the only steering. The
+    // final served state must be IDENTICAL to ss36's batch chain
+    // (retrain, swap, one batch append) — the oracle is ss36's
+    // VERBATIM, so one hash gate pins the whole stream-driven
+    // lifecycle ≡ batch lifecycle theorem. requires make the story
+    // honest: the monitor must have been quiet on the base wave,
+    // wave 1 must be the trigger, and the swap must have been
+    // committed by the monitor (the root is deleted first — nothing
+    // is pre-arranged).
+    //
+    // Scale: the per-batch monitor readout is an integer aggregate
+    // over the index CODES (8 B/vector, never the raw embeddings) —
+    // the cost monitoring always pays; the retrain is the one
+    // corpus-sized verb and fires exactly once, behind the verdict;
+    // waves move |wave| rows under two broadcast geometry pages.
+    "st29_stream_drift_retrain" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val sim = graft.similarity.Similarity
+      val root = sim.retrainRoot(d, "t")
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_stream_drift_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+        .toString
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      // fresh root AND stream per run: this query IS the from-scratch
+      // story — the verdict must fire in THIS stream, not be
+      // inherited from a previous run's committed swap
+      fs.delete(new Path(root), true)
+      fs.delete(new Path(tmp), true)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      sim.publishV1Root(ss, d, root)
+      val (drifted0, cutoff) = sim.driftedEmbeddings(ss, d)
+      val drifted = drifted0.localCheckpoint()
+      val (wave0, maxId) = sim.postSwapWave(ss, d)
+      val w = wave0.localCheckpoint()
+      // four log-structured microbatches: the undrifted base, the
+      // new-encoder delta (the drift event), then two post-swap waves
+      val mid = maxId + 1L + (maxId + 1L) / 2L
+      Seq(drifted.filter(col("vec_id") < cutoff),
+          drifted.filter(col("vec_id") >= cutoff),
+          w.filter(col("vec_id") < mid),
+          w.filter(col("vec_id") >= mid))
+        .foreach(_.coalesce(1).write.mode("append").parquet(s"$tmp/src"))
+      var batches = 0
+      var quietReadouts = 0
+      var triggeredAt = -1L
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      try {
+        q = ss.readStream.schema(drifted.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch((df: DataFrame, id: Long) => {
+            sim.appendIndexWave(ss, d, root, df, id)
+            batches += 1
+            // the MONITOR: after every landed wave, ss27's readout
+            // over the served v1; the first flagged cell dispatches
+            // the retrain verb. Post-swap the monitor stands down —
+            // v2 serves and the verdict's baseline is a new regime.
+            if (graft.io.Commit.readMarker(ss, s"$root/_VERSION")
+                == "v1") {
+              val flagged = !sim.indexDriftReadout(
+                  sim.readIvfIndex(ss, s"$root/v1"), cutoff)
+                .filter(col("fill_skew") || col("err_drift")).isEmpty
+              if (flagged) {
+                require(sim.retrainIfDrifted(ss, d, root),
+                  "the monitor's verdict fired but the retrain verb " +
+                    "did not commit")
+                triggeredAt = id
+              } else quietReadouts += 1
+            }
+            ()
+          })
+          .start()
+        q.processAllAvailable()
+      } finally {
+        if (q != null) try q.stop() catch { case _: Exception => }
+      }
+      require(batches >= 4,
+        s"expected four microbatch waves, got $batches")
+      require(quietReadouts >= 1,
+        "the monitor must stay quiet on the undrifted base wave")
+      require(triggeredAt == 1L,
+        s"the delta wave (batch 1) must be the trigger, got $triggeredAt")
+      require(graft.io.Commit.readMarker(s, s"$root/_VERSION") == "v2",
+        "the stream-dispatched retrain did not swap to v2")
+      // crash-recovery replay of the last post-swap wave: a root-level
+      // applied-log skip (st26's discipline, waveId from the SERVED
+      // version's own marker)
+      val lastWave = graft.io.Commit
+        .readMarker(s, s"$root/v2/_INDEX").split(",")
+        .filter(_.startsWith("seg_w")).map(_.stripPrefix("seg_w").toLong)
+        .max
+      sim.appendIndexWave(ss, d, root, w.filter(col("vec_id") >= mid),
+        lastWave)
+      sim.readServedIndex(s, root)
+        .select(col("vec_id"), col("cell"), col("m"), col("code"),
+          (col("vec_id") >= cutoff).as("is_delta"),
+          (col("vec_id") > maxId).as("is_wave"))
+        .orderBy("vec_id", "m")
+    }),
+
     "st26_stream_index_append" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val sim = graft.similarity.Similarity
@@ -1801,6 +1923,14 @@ object EventStream {
     // three microbatches, every wave row under the RETRAINED
     // geometry.
     "st28_stream_postswap_append" ->
+      graft.similarity.Similarity.postSwapOracleSql("TRUE"),
+
+    // st29: ss36's oracle VERBATIM — the stream-driven lifecycle
+    // (monitor quiet on base, verdict fires on the delta wave, retrain
+    // dispatched from foreachBatch, post-swap waves freeze on v2's
+    // published geometry) must serve the identical final state as the
+    // batch retrain-then-append chain.
+    "st29_stream_drift_retrain" ->
       graft.similarity.Similarity.postSwapOracleSql("TRUE"),
 
     // st27: ss30's from-scratch SURVIVOR oracle VERBATIM — identical

@@ -473,6 +473,24 @@ class PlanSpec extends AnyFunSuite {
       s"ss33 reads the staged-but-uncommitted v2:\n$p33")
   }
 
+  test("dd26 reads the cell assignment FROM the index artifact — no " +
+    "re-clustering pass — while dd19 computes it from scratch") {
+    // dd19's from-scratch assignment shows up as the 8-centroid
+    // broadcast cross join (BroadcastNestedLoopJoin Cross); dd26 must
+    // have NO such node — its assignment is a parquet scan of the
+    // published index root (path fragment survives plan truncation)
+    val p26 = plan("dd26_semdedup_from_index")
+    assert(p26.contains("ivf_index_incr"),
+      s"dd26 does not scan the published index artifact:\n$p26")
+    assert(!p26.contains("BroadcastNestedLoopJoin"),
+      s"dd26 re-clusters (centroid cross join) instead of reading " +
+        s"the artifact:\n$p26")
+    val p19 = plan("dd19_semdedup")
+    assert(p19.contains("BroadcastNestedLoopJoin"),
+      s"dd19's from-scratch contrast lost its centroid cross join " +
+        s"(update this lock):\n$p19")
+  }
+
   test("st27 serves through ONE broadcast anti-join over the " +
     "accumulated tombstone list; ss35's post-fold serve has no " +
     "anti-join at all") {

@@ -252,6 +252,30 @@ class Round14OpsSpec extends AnyFunSuite {
       "the k-heap path diverged from the exact row_number serve")
   }
 
+  test("st29 stream-driven drift-retrain ≡ ss36's batch chain " +
+    "row-for-row: the monitor fires on the delta wave, the retrain " +
+    "commits mid-stream, and post-swap waves freeze on v2") {
+    val st = q("st29_stream_drift_retrain").collect().map(_.toSeq).toSet
+    val ss = q("ss36_postswap_append").collect().map(_.toSeq).toSet
+    assert(st == ss,
+      "the stream-dispatched retrain lifecycle served differently " +
+        "from the batch retrain-then-append chain")
+  }
+
+  test("dd26 semantic dedup from the maintained index ≡ dd19's " +
+    "from-scratch clustering row-for-row, with a real dup signal") {
+    val fromIndex = q("dd26_semdedup_from_index").collect()
+      .map(_.toSeq).toSeq
+    val fromScratch = q("dd19_semdedup").collect().map(_.toSeq).toSeq
+    assert(fromIndex == fromScratch,
+      "the stored cell assignment deduped differently from the " +
+        "from-scratch one")
+    val nDup = fromIndex.count(r => r(2).asInstanceOf[Boolean])
+    assert(nDup > 0 && nDup < fromIndex.size,
+      s"expected a non-trivial semdup verdict split, got $nDup of " +
+        s"${fromIndex.size}")
+  }
+
   test("dd25 keeper chains resolve to a SURVIVING root (round-13 " +
     "advisor): pointer doubling on a deep chain, and a planted " +
     "non-transitive A~B~C points C at the surviving A, never the " +
