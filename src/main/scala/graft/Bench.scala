@@ -164,35 +164,35 @@ object Bench {
       stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
   }
 
-  /** The full ANN-index lifecycle (build → append → delete →
-    * fold/compact → GC → serve, apps/IndexLifecycle — the code ss35's
-    * oracle gates) as a stage-attributed bench entry on a FRESH root
-    * per run, so every stage measures real verb work rather than
-    * marker skips. Same contract as the other pipelines: skipped
-    * under a query filter, -1 on failure. */
-  private def indexLifecycleEntry(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, only: Option[Set[String]],
-      mark: String => Unit): Seq[(String, Double)] = {
-    val name = "pipeline_index_e2e"
+  /** Shared frame for the fresh-root index-lifecycle bench entries:
+    * delete the root, run the lifecycle with stage attribution, serve
+    * to the noop sink under its own stage label — the two entries
+    * differ ONLY in which verb chain runs and what its serve stage is
+    * called, so the boilerplate (tmp root, try/catch, -1-on-failure,
+    * stage rounding) lives once. Same contract as the other
+    * pipelines: skipped under a query filter, -1 on failure. */
+  private def indexPipelineEntry(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, only: Option[Set[String]], mark: String => Unit,
+      name: String, tmpName: String, serveStage: String,
+      run: (String, (String, Double) => Unit)
+        => org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
     if (only.isDefined) return Nil
     val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val t0 = System.nanoTime()
     val ok =
       try {
         val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_bench_idxlife")
-          .toString
+          System.getProperty("java.io.tmpdir"), tmpName).toString
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val served = graft.apps.IndexLifecycle.run(spark, sfDir, root,
-          onStage = (n, s) => {
-            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
-          })
-        val t6 = System.nanoTime()
+        val served = run(root, (n, s) => {
+          stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
+        })
+        val ts = System.nanoTime()
         served.write.format("noop").mode("overwrite").save()
-        stages += (s"${name}_s6_serve" -> (System.nanoTime() - t6) / 1e9)
-        mark(s"${name}_s6_serve")
+        stages += (s"${name}_$serveStage" -> (System.nanoTime() - ts) / 1e9)
+        mark(s"${name}_$serveStage")
         true
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -202,44 +202,31 @@ object Bench {
       stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
   }
 
+  /** The full ANN-index lifecycle (build → append → delete →
+    * fold/compact → GC → serve, apps/IndexLifecycle — the code ss35's
+    * oracle gates) on a FRESH root per run, so every stage measures
+    * real verb work rather than marker skips. */
+  private def indexLifecycleEntry(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, only: Option[Set[String]],
+      mark: String => Unit): Seq[(String, Double)] =
+    indexPipelineEntry(spark, sfDir, only, mark, "pipeline_index_e2e",
+      "graft_bench_idxlife", "s6_serve",
+      (root, f) => graft.apps.IndexLifecycle.run(spark, sfDir, root,
+        onStage = f))
+
   /** The FULL index lifecycle including the corpus-sized verb
     * (round-13 verdict ask #2): publish v1 geometry → build → append
     * → delete → fold → GC → drift-triggered retrain + versioned swap
     * → post-swap append under the retrained geometry → serve. Fresh
-    * root per run (same contract as pipeline_index_e2e) so s7's
-    * retrain measures the real Lloyd loop + re-encode, not a marker
-    * skip. */
+    * root per run so s7's retrain measures the real Lloyd loop +
+    * re-encode, not a marker skip. */
   private def indexFullEntry(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, only: Option[Set[String]],
-      mark: String => Unit): Seq[(String, Double)] = {
-    val name = "pipeline_index_full"
-    if (only.isDefined) return Nil
-    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val t0 = System.nanoTime()
-    val ok =
-      try {
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft_bench_idxfull")
-          .toString
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(root), true)
-        val served = graft.apps.IndexLifecycle.runFull(spark, sfDir, root,
-          onStage = (n, s) => {
-            stages += (s"${name}_$n" -> s); mark(s"${name}_$n")
-          })
-        val t9 = System.nanoTime()
-        served.write.format("noop").mode("overwrite").save()
-        stages += (s"${name}_s9_serve" -> (System.nanoTime() - t9) / 1e9)
-        mark(s"${name}_s9_serve")
-        true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        false
-      }
-    Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)) ++
-      stages.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
-  }
+      mark: String => Unit): Seq[(String, Double)] =
+    indexPipelineEntry(spark, sfDir, only, mark, "pipeline_index_full",
+      "graft_bench_idxfull", "s9_serve",
+      (root, f) => graft.apps.IndexLifecycle.runFull(spark, sfDir, root,
+        onStage = f))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

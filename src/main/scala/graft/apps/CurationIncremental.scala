@@ -103,20 +103,51 @@ object CurationIncremental {
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
     stageDone("s1_base_tokenize")
 
-    // exact first-wins + the key bank (ALL digests ever seen)
+    val (scored, finalIds) = dedupGateDecon(spark, root, docs, toks,
+      gateCond, publishBanks = true, stageDone)
+
+    curatedRows(docs, finalIds, scored)
+      .write.mode("overwrite").parquet(s"$root/snap0")
+    Commit.writeMarker(spark, s"$root/_SNAPSHOT", "snap0")
+    stageDone("s6_base_publish")
+  }
+
+  /** The gate-independent SPINE shared by cu01's hand-rule curation
+    * and cu05's artifact-gated one: exact first-wins dedup, band-bank
+    * near-dup drop, the scored/repetition frames, the pinned holdout,
+    * and decontamination — everything whose verdict cannot depend on
+    * which quality gate is in force. `gate` is the ONLY varying
+    * verdict (the hand rule incl. quality_score for cu01; structural-
+    * only for cu05, whose trained artifact replaces the rule
+    * downstream); `publishBanks` is cu01's (applyDelta rolls the key
+    * and band banks forward; cu05's pregate table never does). Stage
+    * callbacks fire under cu01's historical names so bench stage rows
+    * stay comparable round-over-round. Returns (scored frame,
+    * survivor ids after gate + holdout + decon). Factored so the two
+    * pipelines' equivalence theorems hold by SHARED CODE, not by two
+    * copies kept manually in sync. */
+  private def dedupGateDecon(spark: SparkSession, root: String,
+      docs: DataFrame, toks: DataFrame, gate: Column,
+      publishBanks: Boolean,
+      stageDone: String => Unit): (DataFrame, DataFrame) = {
+    // exact first-wins (+ the key bank: ALL digests ever seen)
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
     val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
       .select("doc_id").localCheckpoint()
-    keyed.select("content_key").distinct()
-      .write.mode("overwrite").parquet(s"$root/keys/v0")
-    Commit.writeMarker(spark, s"$root/_KEYS", "keys/v0")
+    if (publishBanks) {
+      keyed.select("content_key").distinct()
+        .write.mode("overwrite").parquet(s"$root/keys/v0")
+      Commit.writeMarker(spark, s"$root/_KEYS", "keys/v0")
+    }
     stageDone("s2_base_exact_keys")
 
     // band bank over exact keepers; first-wins near-dup drop
-    Dedup.bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
-      .write.mode("overwrite").parquet(s"$root/bank/v0")
-    Commit.writeMarker(spark, s"$root/_BANK", "bank/v0")
-    val bank = spark.read.parquet(s"$root/bank/v0")
+    val sigs = Dedup.bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
+    val bank = if (publishBanks) {
+      sigs.write.mode("overwrite").parquet(s"$root/bank/v0")
+      Commit.writeMarker(spark, s"$root/_BANK", "bank/v0")
+      spark.read.parquet(s"$root/bank/v0")
+    } else sigs.localCheckpoint()
     val dropped = bank.join(
         bank.select(col("doc_id").as("other"), col("band"), col("bkey")),
         Seq("band", "bkey"))
@@ -131,7 +162,7 @@ object CurationIncremental {
       .join(scored, Seq("doc_id"))
       .join(TextAnalysis.repetitionScoredT(toks)
         .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
-      .filter(gateCond)
+      .filter(gate)
       .select("doc_id").localCheckpoint()
     stageDone("s4_base_gates")
 
@@ -146,11 +177,7 @@ object CurationIncremental {
       .join(TextAnalysis.contaminatedIdsT(candToks, bench),
         Seq("doc_id"), "left_anti")
     stageDone("s5_base_decon")
-
-    curatedRows(docs, finalIds, scored)
-      .write.mode("overwrite").parquet(s"$root/snap0")
-    Commit.writeMarker(spark, s"$root/_SNAPSHOT", "snap0")
-    stageDone("s6_base_publish")
+    (scored, finalIds)
   }
 
   /** Apply one delta batch against the published state at `root`:
@@ -402,36 +429,13 @@ object CurationIncremental {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     val docs = docs0.localCheckpoint()
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
-    val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
-    val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
-      .select("doc_id").localCheckpoint()
-    val bank = Dedup.bandedSigsOf(docs.join(keep1, Seq("doc_id"), "left_semi"))
-      .localCheckpoint()
-    val dropped = bank.join(
-        bank.select(col("doc_id").as("other"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("other") < col("doc_id"))
-      .select("doc_id").distinct()
-    val keep2 = keep1.join(dropped, Seq("doc_id"), "left_anti")
-    val scored = TextAnalysis.scoredT(toks).localCheckpoint()
-    // structural gates only — the trained artifact replaces the
-    // quality RULE, so quality_score never gates here
-    val structural = keep2
-      .join(scored, Seq("doc_id"))
-      .join(TextAnalysis.repetitionScoredT(toks)
-        .select("doc_id", "dup_bigram_frac"), Seq("doc_id"))
-      .filter(col("predicted_lang").isin(Langs: _*) &&
-        col("dup_bigram_frac") <= MaxDupBigramFrac)
-      .select("doc_id")
-    TextAnalysis.benchSample(docs, BenchN).select("doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/bench")
-    Commit.writeMarker(spark, s"$root/_BENCH", "bench")
-    val bench = spark.read.parquet(s"$root/bench")
-    val candToks = toks.join(structural, Seq("doc_id"), "left_semi")
-    val pregateIds = structural
-      .join(bench.select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(TextAnalysis.contaminatedIdsT(candToks, bench),
-        Seq("doc_id"), "left_anti")
+    // the shared spine with STRUCTURAL gates only — the trained
+    // artifact replaces the quality RULE, so quality_score never
+    // gates here (the pregate verdicts must be gate-independent)
+    val (scored, pregateIds) = dedupGateDecon(spark, root, docs, toks,
+      col("predicted_lang").isin(Langs: _*) &&
+        col("dup_bigram_frac") <= MaxDupBigramFrac,
+      publishBanks = false, _ => ())
     pregateIds
       .join(docs.select("doc_id", "lang", "source"), Seq("doc_id"))
       .join(scored.select("doc_id", "n_tokens"), Seq("doc_id"))

@@ -17,9 +17,21 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKMinAgg(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   def zero: Seq[(Long, Long)] = Nil
+  /** O(k) ordered insert into the already-sorted buffer — `reduce`
+    * rejects non-qualifying rows in O(1) on the `b.last` check (the
+    * overwhelmingly common case over a corpus-sized scan), so only
+    * rows that enter the running top-K pay the insertion; a full
+    * re-sort per accepted row would spend O(k log k) comparisons
+    * plus an extra pass for nothing on a buffer that is sorted by
+    * construction. */
+  private def insert(b: Seq[(Long, Long)],
+      a: (Long, Long)): Seq[(Long, Long)] = {
+    val i = b.indexWhere(e => Ordering[(Long, Long)].lt(a, e))
+    if (i < 0) b :+ a else (b.take(i) :+ a) ++ b.drop(i)
+  }
   def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
-    if (b.size < k) (b :+ a).sorted
-    else if (Ordering[(Long, Long)].lt(a, b.last)) (b.init :+ a).sorted
+    if (b.size < k) insert(b, a)
+    else if (Ordering[(Long, Long)].lt(a, b.last)) insert(b.init, a)
     else b
   def merge(b1: Seq[(Long, Long)],
       b2: Seq[(Long, Long)]): Seq[(Long, Long)] =

@@ -1352,12 +1352,18 @@ object EventStream {
       // crash-recovery replay of the last landed wave, id from the
       // SERVED version's own marker (st26's discipline)
       val ver = graft.io.Commit.readMarker(s, s"$root/_VERSION")
-      val lastWave = graft.io.Commit
+      val waveIds = graft.io.Commit
         .readMarker(s, s"$root/$ver/_INDEX").split(",")
         .filter(_.startsWith("seg_w")).map(_.stripPrefix("seg_w").toLong)
-        .max
+      // a bare .max on an empty list would crash with an opaque
+      // 'empty.max' — name the real problem (no streamed wave landed
+      // in the served version, e.g. an empty slice or a fold that
+      // already absorbed the segments) instead
+      require(waveIds.nonEmpty,
+        s"no seg_w wave in $root/$ver/_INDEX to replay — the streamed " +
+          "post-swap waves did not land in the served version")
       sim.appendIndexWave(ss, d, root, w.filter(col("vec_id") >= b1),
-        lastWave)
+        waveIds.max)
       val (_, cutoff) = sim.driftedEmbeddings(s, d)
       sim.readServedIndex(s, root)
         .select(col("vec_id"), col("cell"), col("m"), col("code"),
@@ -1475,12 +1481,14 @@ object EventStream {
       // crash-recovery replay of the last post-swap wave: a root-level
       // applied-log skip (st26's discipline, waveId from the SERVED
       // version's own marker)
-      val lastWave = graft.io.Commit
+      val waveIds = graft.io.Commit
         .readMarker(s, s"$root/v2/_INDEX").split(",")
         .filter(_.startsWith("seg_w")).map(_.stripPrefix("seg_w").toLong)
-        .max
+      require(waveIds.nonEmpty,
+        s"no seg_w wave in $root/v2/_INDEX to replay — the post-trigger " +
+          "waves did not land in the retrained version")
       sim.appendIndexWave(ss, d, root, w.filter(col("vec_id") >= mid),
-        lastWave)
+        waveIds.max)
       sim.readServedIndex(s, root)
         .select(col("vec_id"), col("cell"), col("m"), col("code"),
           (col("vec_id") >= cutoff).as("is_delta"),
