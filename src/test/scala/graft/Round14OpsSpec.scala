@@ -262,6 +262,40 @@ class Round14OpsSpec extends AnyFunSuite {
         "from the batch retrain-then-append chain")
   }
 
+  test("st29's monitor never false-positives: undrifted waves landing " +
+    "on a fresh versioned root leave every readout quiet and the " +
+    "version pointer at v1") {
+    import org.apache.hadoop.fs.Path
+    val root = sim.retrainRoot(d, "q")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    sim.publishV1Root(spark, d, root)
+    val (drifted0, cutoff) = sim.driftedEmbeddings(spark, d)
+    // below the cutoff the "drifted" frame is the plain double cast —
+    // two undrifted waves, the regime st29's quietReadouts require
+    // rests on (a false-positive here would fire a pointless
+    // corpus-sized retrain on every quiet day)
+    val base = drifted0.filter(col("vec_id") < cutoff).localCheckpoint()
+    val mid = cutoff / 2
+    Seq(base.filter(col("vec_id") < mid),
+        base.filter(col("vec_id") >= mid)).zipWithIndex.foreach {
+      case (wave, i) =>
+        sim.appendIndexWave(spark, d, root, wave, i.toLong)
+        val flagged = sim.indexDriftReadout(
+            sim.readIvfIndex(spark, s"$root/v1"), cutoff)
+          .filter(col("fill_skew") || col("err_drift"))
+        assert(flagged.isEmpty,
+          s"monitor flagged an undrifted wave $i: " +
+            flagged.collect().mkString(", "))
+    }
+    assert(marker(s"$root/_VERSION") == "v1",
+      "an undrifted stream moved the version pointer")
+    assert(sim.readIvfIndex(spark, s"$root/v1")
+      .select("vec_id").distinct().count() == cutoff,
+      "the two undrifted waves did not land losslessly")
+  }
+
   test("dd26 semantic dedup from the maintained index ≡ dd19's " +
     "from-scratch clustering row-for-row, with a real dup signal") {
     val fromIndex = q("dd26_semdedup_from_index").collect()
