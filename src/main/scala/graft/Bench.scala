@@ -172,7 +172,7 @@ object Bench {
     * stage rounding) lives once. Same contract as the other
     * pipelines: skipped under a query filter, -1 on failure. */
   private def indexPipelineEntry(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, only: Option[Set[String]], mark: String => Unit,
+      only: Option[Set[String]], mark: String => Unit,
       name: String, tmpName: String, serveStage: String,
       run: (String, (String, Double) => Unit)
         => org.apache.spark.sql.DataFrame): Seq[(String, Double)] = {
@@ -209,7 +209,7 @@ object Bench {
   private def indexLifecycleEntry(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, only: Option[Set[String]],
       mark: String => Unit): Seq[(String, Double)] =
-    indexPipelineEntry(spark, sfDir, only, mark, "pipeline_index_e2e",
+    indexPipelineEntry(spark, only, mark, "pipeline_index_e2e",
       "graft_bench_idxlife", "s6_serve",
       (root, f) => graft.apps.IndexLifecycle.run(spark, sfDir, root,
         onStage = f))
@@ -223,7 +223,7 @@ object Bench {
   private def indexFullEntry(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, only: Option[Set[String]],
       mark: String => Unit): Seq[(String, Double)] =
-    indexPipelineEntry(spark, sfDir, only, mark, "pipeline_index_full",
+    indexPipelineEntry(spark, only, mark, "pipeline_index_full",
       "graft_bench_idxfull", "s9_serve",
       (root, f) => graft.apps.IndexLifecycle.runFull(spark, sfDir, root,
         onStage = f))

@@ -1428,15 +1428,33 @@ object EventStream {
       val (wave0, maxId) = sim.postSwapWave(ss, d)
       val w = wave0.localCheckpoint()
       // four log-structured microbatches: the undrifted base, the
-      // new-encoder delta (the drift event), then two post-swap waves
+      // new-encoder delta (the drift event), then two post-swap waves.
+      // Unlike st26–st28, whose final state is wave-order-independent,
+      // this query's requires AND its final hash are order-sensitive
+      // (a post-swap wave delivered before the swap would freeze on
+      // v1's geometry) — so the source files get DETERMINISTIC order:
+      // each wave is one explicitly named file with an explicit,
+      // strictly increasing mtime, making FileStreamSource's
+      // (mtime, path) ordering unambiguous on any filesystem
+      // (round-14 advisor: coarse-timestamp mtime ties fell back to
+      // path order over randomized part-file names).
       val mid = maxId + 1L + (maxId + 1L) / 2L
+      fs.mkdirs(new Path(s"$tmp/src"))
       Seq(drifted.filter(col("vec_id") < cutoff),
           drifted.filter(col("vec_id") >= cutoff),
           w.filter(col("vec_id") < mid),
           w.filter(col("vec_id") >= mid))
-        .foreach(_.coalesce(1).write.mode("append").parquet(s"$tmp/src"))
+        .zipWithIndex.foreach { case (wv, i) =>
+          val stageDir = s"$tmp/stage$i"
+          wv.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = fs.listStatus(new Path(stageDir)).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).head
+          val dst = new Path(s"$tmp/src/wave$i.parquet")
+          require(fs.rename(part, dst), s"staging rename of wave $i failed")
+          fs.setTimes(dst, 1000L * (i + 1), -1L)
+        }
       var batches = 0
-      var quietReadouts = 0
+      var quietOnBase = false
       var triggeredAt = -1L
       var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
@@ -1461,7 +1479,15 @@ object EventStream {
                   "the monitor's verdict fired but the retrain verb " +
                     "did not commit")
                 triggeredAt = id
-              } else quietReadouts += 1
+              } else if (!df.isEmpty &&
+                  df.agg(max("vec_id")).head().getLong(0) < cutoff) {
+                // the quiet readout is only evidence when the batch
+                // that produced it was the UNDRIFTED BASE wave (all
+                // ids below the cutoff) — a quiet readout over a
+                // delta-only index would be vacuous (n_base = 0
+                // makes err_drift trivially false; round-14 advisor)
+                quietOnBase = true
+              }
             }
             ()
           })
@@ -1472,8 +1498,9 @@ object EventStream {
       }
       require(batches >= 4,
         s"expected four microbatch waves, got $batches")
-      require(quietReadouts >= 1,
-        "the monitor must stay quiet on the undrifted base wave")
+      require(quietOnBase,
+        "the monitor must stay quiet on the undrifted base wave " +
+          "(a quiet readout over any other batch does not count)")
       require(triggeredAt == 1L,
         s"the delta wave (batch 1) must be the trigger, got $triggeredAt")
       require(graft.io.Commit.readMarker(s, s"$root/_VERSION") == "v2",
