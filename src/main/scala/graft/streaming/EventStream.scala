@@ -1465,14 +1465,20 @@ object EventStream {
           .foreachBatch((df: DataFrame, id: Long) => {
             sim.appendIndexWave(ss, d, root, df, id)
             batches += 1
-            // the MONITOR: after every landed wave, ss27's readout
-            // over the served v1; the first flagged cell dispatches
-            // the retrain verb. Post-swap the monitor stands down —
-            // v2 serves and the verdict's baseline is a new regime.
+            // the MONITOR — INCREMENTAL (round-15, closing the
+            // round-14 verdict's one scale-weak shape): after every
+            // landed wave, fold THAT WAVE's page-sized per-cell
+            // stats into v1's merged artifact and derive ss27's
+            // verdict from the artifact alone (ss40's oracle pins
+            // merged ≡ from-scratch hash-exactly) — per-batch cost
+            // is wave-sized + a cells-sized artifact read, never an
+            // index rescan. The first flagged cell dispatches the
+            // retrain verb. Post-swap the monitor stands down — v2
+            // serves and the verdict's baseline is a new regime.
             if (graft.io.Commit.readMarker(ss, s"$root/_VERSION")
                 == "v1") {
-              val flagged = !sim.indexDriftReadout(
-                  sim.readIvfIndex(ss, s"$root/v1"), cutoff)
+              sim.foldWaveDriftStats(ss, s"$root/v1", cutoff, id)
+              val flagged = !sim.incrDriftReadout(ss, s"$root/v1")
                 .filter(col("fill_skew") || col("err_drift")).isEmpty
               if (flagged) {
                 require(sim.retrainIfDrifted(ss, d, root),
