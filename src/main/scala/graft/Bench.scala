@@ -217,14 +217,14 @@ object Bench {
   /** The FULL index lifecycle including the corpus-sized verb
     * (round-13 verdict ask #2): publish v1 geometry → build → append
     * → delete → fold → GC → drift-triggered retrain + versioned swap
-    * → post-swap append under the retrained geometry → serve. Fresh
-    * root per run so s7's retrain measures the real Lloyd loop +
-    * re-encode, not a marker skip. */
+    * → post-swap append under the retrained geometry →
+    * retired-version GC → serve. Fresh root per run so s7's retrain
+    * measures the real Lloyd loop + re-encode, not a marker skip. */
   private def indexFullEntry(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, only: Option[Set[String]],
       mark: String => Unit): Seq[(String, Double)] =
     indexPipelineEntry(spark, only, mark, "pipeline_index_full",
-      "graft_bench_idxfull", "s9_serve",
+      "graft_bench_idxfull", "s10_serve",
       (root, f) => graft.apps.IndexLifecycle.runFull(spark, sfDir, root,
         onStage = f))
 

@@ -83,8 +83,10 @@ object IndexLifecycle {
     * intentionally corpus-sized verb (re-encode the survivors under
     * retrained geometry), which is exactly why it sits behind a drift
     * verdict and a two-phase pointer swap; s8 moves |wave| rows under
-    * two broadcast geometry pages. Nothing corpus-sized moves twice,
-    * and v1 serves untouched until the pointer rolls. */
+    * two broadcast geometry pages; s9 retires the stranded v1 (grace
+    * mark, then collect — moves no data, deletes one dead corpus
+    * copy). Nothing corpus-sized moves twice, and v1 serves untouched
+    * until the pointer rolls. */
   def runFull(s: SparkSession, d: String, root: String,
       onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val sim = graft.similarity.Similarity
@@ -95,7 +97,13 @@ object IndexLifecycle {
       r
     }
     val (drifted, cutoff) = sim.driftedEmbeddings(s, d)
-    stage("s1_publish_v1") { sim.publishV1Root(s, d, root) }
+    // s1 births the versioned root; a root that already carries the
+    // pointer skips (replaying s1 after s9's version GC would
+    // resurrect v1's geometry as fresh dead weight)
+    stage("s1_publish_v1") {
+      if (!graft.io.Commit.exists(s, s"$root/_VERSION"))
+        sim.publishV1Root(s, d, root)
+    }
     stage("s2_build") {
       sim.appendIndexWave(s, d, root,
         drifted.filter(col("vec_id") < cutoff), 0L)
@@ -104,14 +112,19 @@ object IndexLifecycle {
       sim.appendIndexWave(s, d, root,
         drifted.filter(col("vec_id") >= cutoff), 1L)
     }
+    // s4–s6 maintain v1 WHILE IT SERVES; once the swap committed and
+    // s9's GC collected it, a replay finds no v1 index and the
+    // maintenance verbs are honest no-ops (maintaining a retired
+    // version is not a thing)
     val v1 = s"$root/v1"
+    def v1Live = graft.io.Commit.exists(s, s"$v1/_INDEX")
     stage("s4_delete") {
-      sim.writeTombstones(s, v1,
+      if (v1Live) sim.writeTombstones(s, v1,
         drifted.filter(col("vec_id") % sim.TombMod === sim.TombRem)
           .select("vec_id"))
     }
-    stage("s5_fold") { sim.foldTombstones(s, v1) }
-    stage("s6_gc") { sim.gcIvfIndex(s, v1) }
+    stage("s5_fold") { if (v1Live) sim.foldTombstones(s, v1) }
+    stage("s6_gc") { if (v1Live) sim.gcIvfIndex(s, v1) }
     stage("s7_retrain_swap") {
       require(sim.retrainIfDrifted(s, d, root),
         "the drifted lifecycle must fire the retrain verdict and " +
@@ -120,6 +133,15 @@ object IndexLifecycle {
     stage("s8_postswap_append") {
       val (wave, _) = sim.postSwapWave(s, d)
       sim.appendIndexWave(s, d, root, wave, 2L)
+    }
+    // retire the version the swap stranded: pass 1 grace-marks v1,
+    // pass 2 collects it (production spaces the passes by the
+    // retention window; the grace mechanics are the contract —
+    // ss41 gates the serve unchanged, Round15OpsSpec pins the
+    // never-races-completeSwap and rollback-unmark windows)
+    stage("s9_gc_versions") {
+      sim.gcRetiredVersions(s, root)
+      sim.gcRetiredVersions(s, root)
     }
     sim.readServedIndexLive(s, root)
   }

@@ -82,4 +82,59 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(marker(s"$verDir/_DRIFT") == m,
       "a wave id under the high-water mark re-folded")
   }
+
+  test("retired-version GC: never collects the target of a live _SWAP " +
+    "intent (never races completeSwap), grace-marks before deleting, " +
+    "unmarks a version the pointer rolled back to, and replay after " +
+    "deletion is a no-op") {
+    import org.apache.hadoop.fs.Path
+    val root = tmp("graft_vergc")
+    val fs = graft.io.Commit.fileSystem(spark)
+    def touch(ver: String): Unit = {
+      fs.mkdirs(new Path(s"$root/$ver"))
+      graft.io.Commit.writeMarker(spark, s"$root/$ver/_INDEX", "seg_x")
+    }
+    touch("v1"); touch("v2")
+    graft.io.Commit.writeMarker(spark, s"$root/_VERSION", "v1")
+    graft.io.Commit.writeMarker(spark, s"$root/_SWAP", "v2")
+    // crash window held open: intent written, pointer not rolled —
+    // BOTH versions are live (v2 is a commit in flight), so two full
+    // passes must neither mark nor delete anything
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "serving", "v2" -> "swap_target"))
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "serving", "v2" -> "swap_target"))
+    assert(fs.exists(new Path(s"$root/v2")),
+      "GC collected the target of a live swap intent")
+    // the swap commits; v1 is now dead weight — but pass 1 only
+    // grace-marks it (auditable, nothing deleted)
+    sim.completeSwap(spark, root)
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "marked", "v2" -> "serving"))
+    assert(fs.exists(new Path(s"$root/v1")),
+      "the grace pass deleted instead of marking")
+    // rollback window: the pointer moves BACK to v1 between passes —
+    // the marked version is live again, so GC unmarks and keeps it
+    graft.io.Commit.writeMarker(spark, s"$root/_VERSION", "v1")
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "unmarked", "v2" -> "marked"))
+    assert(fs.exists(new Path(s"$root/v1")),
+      "GC collected a version the pointer rolled back to")
+    // roll forward again and run the two passes to completion: v1 is
+    // re-marked, then collected; v2 serves untouched throughout
+    graft.io.Commit.writeMarker(spark, s"$root/_VERSION", "v2")
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "marked", "v2" -> "unmarked"))
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v1" -> "deleted", "v2" -> "serving"))
+    assert(!fs.exists(new Path(s"$root/v1")),
+      "the marked dead version was not collected")
+    assert(!fs.exists(new Path(s"$root/_RETIRED_v1")),
+      "the grace mark outlived the collection")
+    // replay-is-no-op: the collected version is gone from the listing
+    assert(sim.gcRetiredVersions(spark, root)
+      == Seq("v2" -> "serving"))
+    assert(fs.exists(new Path(s"$root/v2/_INDEX")),
+      "the serving version was disturbed by GC")
+  }
 }
