@@ -210,7 +210,7 @@ object Bench {
       sfDir: String, only: Option[Set[String]],
       mark: String => Unit): Seq[(String, Double)] =
     indexPipelineEntry(spark, only, mark, "pipeline_index_e2e",
-      "graft_bench_idxlife", "s6_serve",
+      "graft_bench_idxlife", "s7_serve",
       (root, f) => graft.apps.IndexLifecycle.run(spark, sfDir, root,
         onStage = f))
 

@@ -465,6 +465,16 @@ object Similarity {
       ids: DataFrame, waveId: Long): Unit = {
     val marker = s"$root/_TOMB"
     val tomb = s"tomb_w$waveId"
+    // replay detection consults the tombstone waves' OWN bounded log,
+    // not just the marker's file names: compactTombstones (and a
+    // fold's snapshot clear) rewrite the `_TOMB` list, so a name
+    // check alone forgets absorbed waves and a replayed delete wave
+    // would re-append its ids — harmless to the anti-join's SET but
+    // unbounded dead metadata, exactly the manifest lesson
+    // appendIndexWave learned from fold (round-15, wiring
+    // compactTombstones into the paths that run).
+    if (waveApplied(readWaveLog(s, s"$root/_TOMB_APPLIED"), waveId))
+      return
     val cur = if (graft.io.Commit.exists(s, marker))
       graft.io.Commit.readMarker(s, marker) else ""
     if (cur.split(",").contains(tomb)) return
@@ -473,7 +483,16 @@ object Similarity {
       .parquet(s"$root/$tomb")
     graft.io.Commit.writeMarker(s, marker,
       if (cur.isEmpty || cur == "none") tomb else s"$cur,$tomb")
+    // the log rolls LAST — a crash before this line replays as the
+    // same-content overwrite above, caught by the name check
+    recordWaveLog(s, s"$root/_TOMB_APPLIED", Seq(waveId))
   }
+
+  /** Compaction policy for a long-lived streaming delete regime: once
+    * the `_TOMB` list exceeds this many entries, the delete sink
+    * compacts it to one merged file (st27 wires this; a fold still
+    * absorbs the whole list into the data on its own schedule). */
+  private[graft] val TombMaxEntries = 2
 
   /** Fold the tombstones into the data: rewrite the live rows as ONE
     * cell-partitioned segment, swap the segment marker, clear the
@@ -598,12 +617,14 @@ object Similarity {
     * below the high-water mark is applied by construction. */
   private[graft] val AppliedWaveWindow = 64L
 
-  /** Parse the bounded applied-wave log: (high-water mark, explicit
-    * recent ids). Ids ≤ the mark are applied; the legacy plain-set
-    * encoding reads as mark −1 + the set. */
-  private[graft] def readAppliedLog(s: SparkSession, root: String)
+  /** Parse a bounded applied-wave log at an explicit marker path —
+    * the hw-plus-recent-window encoding shared by the segment-append
+    * log (`_APPLIED`) and the tombstone-wave log (`_TOMB_APPLIED`,
+    * round-15: compaction rewrites the `_TOMB` file list, so replay
+    * detection needs a log the compaction never touches — the same
+    * manifest discipline appendIndexWave learned from fold). */
+  private[graft] def readWaveLog(s: SparkSession, path: String)
       : (Long, Set[Long]) = {
-    val path = s"$root/_APPLIED"
     if (!graft.io.Commit.exists(s, path)) return (-1L, Set.empty)
     val txt = graft.io.Commit.readMarker(s, path)
     if (txt.startsWith("hw=")) {
@@ -616,6 +637,10 @@ object Similarity {
       (-1L, txt.split(",").filter(_.nonEmpty)
         .map(_.stripPrefix("w").toLong).toSet)
   }
+
+  /** The segment-append log at its canonical root marker. */
+  private[graft] def readAppliedLog(s: SparkSession, root: String)
+      : (Long, Set[Long]) = readWaveLog(s, s"$root/_APPLIED")
 
   private[graft] def waveApplied(log: (Long, Set[Long]),
       waveId: Long): Boolean =
@@ -631,14 +656,20 @@ object Similarity {
     * recorded was an EMPTY wave at first delivery, and an empty wave
     * replays empty — treating it as applied changes nothing. */
   private[graft] def recordAppliedWaves(s: SparkSession, root: String,
+      waveIds: Seq[Long]): Unit =
+    recordWaveLog(s, s"$root/_APPLIED", waveIds)
+
+  /** Record wave ids in a bounded log at an explicit marker path —
+    * the write half of [[readWaveLog]]. */
+  private[graft] def recordWaveLog(s: SparkSession, path: String,
       waveIds: Seq[Long]): Unit = {
     if (waveIds.isEmpty) return
-    val (hw0, recent0) = readAppliedLog(s, root)
+    val (hw0, recent0) = readWaveLog(s, path)
     val all = recent0 ++ waveIds.filter(_ > hw0)
     val newMax = if (all.isEmpty) hw0 else math.max(hw0, all.max)
     val hw = math.max(hw0, newMax - AppliedWaveWindow)
     val keep = all.filter(_ > hw).toSeq.sorted
-    graft.io.Commit.writeMarker(s, s"$root/_APPLIED",
+    graft.io.Commit.writeMarker(s, path,
       s"hw=$hw;" + keep.map("w" + _).mkString(","))
   }
 

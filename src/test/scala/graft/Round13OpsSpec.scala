@@ -59,13 +59,19 @@ class Round13OpsSpec extends AnyFunSuite {
     "like one batch") {
     val st = idxRows(q("st27_stream_index_delete"))
     assert(st == idxRows(q("ss30_index_delete")))
-    // and the marker really accumulated a multi-file wave list (the
-    // equality above would hold vacuously through a single file)
-    val root = graft.similarity.Similarity.ivfIndexRoot(d) + "_sdel"
+    // and three waves really landed (the equality above would hold
+    // vacuously through a single file) — read off the waves' own
+    // bounded log, since the sink's mid-stream compaction (round 15)
+    // has already absorbed the per-wave file names into a merged file
+    val sim = graft.similarity.Similarity
+    val root = sim.ivfIndexRoot(d) + "_sdel"
+    val log = sim.readWaveLog(spark, s"$root/_TOMB_APPLIED")
+    assert(Seq(0L, 1L, 2L).forall(w => sim.waveApplied(log, w)),
+      s"expected three streamed tombstone waves in the log, got $log")
     val tombs = graft.io.Commit.readMarker(spark, s"$root/_TOMB")
       .split(",").toSeq
-    assert(tombs.count(_.startsWith("tomb_w")) >= 3,
-      s"expected three streamed tombstone files, got $tombs")
+    assert(tombs.length <= sim.TombMaxEntries,
+      s"the sink's compaction left an over-long list: $tombs")
   }
 
   test("appendTombstoneWave: empty waves never touch the marker, " +

@@ -83,6 +83,25 @@ class Round15OpsSpec extends AnyFunSuite {
       "a wave id under the high-water mark re-folded")
   }
 
+  test("a delete wave replayed AFTER compaction absorbed its file " +
+    "skips on the tombstone log — before round 15 it re-appended " +
+    "(the name-based check forgot absorbed waves)") {
+    import spark.implicits._
+    val root = tmp("graft_tombreplay")
+    sim.appendTombstoneWave(spark, root, Seq(1L, 2L).toDF("vec_id"), 0L)
+    sim.appendTombstoneWave(spark, root, Seq(9L).toDF("vec_id"), 1L)
+    sim.compactTombstones(spark, root)
+    assert(marker(s"$root/_TOMB") == "tomb_merged1")
+    // the replay: tomb_w1 is gone from the marker, so the old name
+    // check would land it again as dead metadata
+    sim.appendTombstoneWave(spark, root, Seq(9L).toDF("vec_id"), 1L)
+    assert(marker(s"$root/_TOMB") == "tomb_merged1",
+      "a compaction-absorbed wave re-appended on replay")
+    // a genuinely NEW wave still lands beside the merged file
+    sim.appendTombstoneWave(spark, root, Seq(23L).toDF("vec_id"), 2L)
+    assert(marker(s"$root/_TOMB") == "tomb_merged1,tomb_w2")
+  }
+
   test("retired-version GC: never collects the target of a live _SWAP " +
     "intent (never races completeSwap), grace-marks before deleting, " +
     "unmarks a version the pointer rolled back to, and replay after " +
