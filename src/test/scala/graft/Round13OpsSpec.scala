@@ -279,7 +279,20 @@ class Round13OpsSpec extends AnyFunSuite {
     "live rows unchanged through the fold, marker cleared to none") {
     val sim = graft.similarity.Similarity
     q("st27_stream_index_delete").collect() // ensure the lifecycle ran
-    val root = sim.ivfIndexRoot(d) + "_sdel"
+    // fold a COPY of st27's root: folding the shared root in place
+    // would leave _TOMB at "none" for every later consumer in this
+    // JVM (the replay log makes st27's rerun a true no-op since
+    // round 15, so nothing re-creates the tombstone list), and
+    // PlanSpec's st27 anti-join lock would plan against a folded
+    // index depending on suite order
+    val shared = sim.ivfIndexRoot(d) + "_sdel"
+    val root = shared + "_foldcopy"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(shared), fs,
+      new org.apache.hadoop.fs.Path(root), false, conf)
     val pre = idxRows(sim.readIvfIndexLive(spark, root)
       .select(col("vec_id"), col("cell"), col("m"), col("code"),
         lit(false).as("x")))
