@@ -2307,15 +2307,24 @@ object TextAnalysis {
     * share one trainer). */
   private[graft] def pqTrainOn(subs0: DataFrame, cb0: DataFrame)
       : (DataFrame, Seq[DataFrame]) = {
-    val subs = subs0.localCheckpoint()
+    import graft.functions.Timing.t
+    val subs = t("pqTrain.ckpt_subs")(subs0.localCheckpoint())
     var cb = cb0
     val asgs = Seq.newBuilder[DataFrame]
-    for (_ <- 0 until PqTrainSteps) {
-      val asg = pqAssignTo(subs, cb).localCheckpoint()
+    for (i <- 0 until PqTrainSteps) {
+      val asg = t(s"pqTrain.assign$i")(pqAssignTo(subs, cb).localCheckpoint())
       asgs += asg
-      cb = pqRecenter(subs, asg, cb).localCheckpoint()
+      cb = t(s"pqTrain.recenter$i")(pqRecenter(subs, asg, cb).localCheckpoint())
     }
-    asgs += pqAssignTo(subs, cb).localCheckpoint() // final SSE pass
+    // the final SSE pass stays LAZY: it is the last step (nothing
+    // iterates on it, so there is no lineage to truncate) and its only
+    // consumer is em06's one aggregation — an eager localCheckpoint
+    // here ran a full corpus-sized assignment whose result every
+    // OTHER caller (ss32's retrain trains the codebook and discards
+    // the curve) threw away (guide §1.2: don't compute what you
+    // throw away). Subs is checkpointed above, so the lazy plan is
+    // one join+agg over materialized partitions either way.
+    asgs += pqAssignTo(subs, cb)
     (cb, asgs.result())
   }
 

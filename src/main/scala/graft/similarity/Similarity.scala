@@ -1021,20 +1021,22 @@ object Similarity {
     * verdict then reads. Idempotent. Returns the cutoff. */
   private[graft] def publishDriftedV1(s: SparkSession, d: String,
       root: String, scale: Double = 3.0d): Long = {
+    import graft.functions.Timing.t
     val (drifted0, cutoff) = driftedEmbeddings(s, d, scale)
     val marker = s"$root/v1/_INDEX"
     if (!graft.io.Commit.exists(s, marker)) {
-      val drifted = drifted0.localCheckpoint()
+      val drifted = t("pubV1.ckpt")(drifted0.localCheckpoint())
       val cents = geomCents(drifted)
       val cb = geomSeedCodebook(drifted)
-      publishVersionGeometry(s, root, "v1", cents, cb)
+      t("pubV1.geom")(publishVersionGeometry(s, root, "v1", cents, cb))
       def seg(vs: DataFrame, path: String): Unit =
         encodeUnderGeometry(vs, cents, cb)
           .write.mode("overwrite").partitionBy("cell").parquet(path)
-      seg(drifted.filter(col("vec_id") < cutoff), s"$root/v1/seg_base")
+      t("pubV1.seg_base")(
+        seg(drifted.filter(col("vec_id") < cutoff), s"$root/v1/seg_base"))
       graft.io.Commit.writeMarker(s, marker, "seg_base")
-      seg(drifted.filter(col("vec_id") >= cutoff),
-        s"$root/v1/seg_delta1")
+      t("pubV1.seg_delta")(seg(drifted.filter(col("vec_id") >= cutoff),
+        s"$root/v1/seg_delta1"))
       graft.io.Commit.writeMarker(s, marker, "seg_base,seg_delta1")
     } else if (!graft.io.Commit.exists(s, s"$root/v1/_GEOM")) {
       val drifted = drifted0.localCheckpoint()
@@ -1070,13 +1072,15 @@ object Similarity {
     * Idempotent. */
   private[graft] def stageRetrainedV2(s: SparkSession, d: String,
       root: String, scale: Double = 3.0d): Unit = {
+    import graft.functions.Timing.t
     val marker = s"$root/v2/_INDEX"
     if (graft.io.Commit.exists(s, marker)) return
     val (drifted0, _) = driftedEmbeddings(s, d, scale)
-    val drifted = drifted0.localCheckpoint()
+    val drifted = t("stageV2.ckpt_drifted")(drifted0.localCheckpoint())
     val asg = readIvfIndex(s, s"$root/v1")
       .select("vec_id", "cell").distinct()
-    val members = asg.select("vec_id").distinct().localCheckpoint()
+    val members =
+      t("stageV2.members")(asg.select("vec_id").distinct().localCheckpoint())
     val live = drifted.join(members, Seq("vec_id"))
     val cellMeans = drifted.join(asg, Seq("vec_id"))
       .select(col("cell"), posexplode(col("embedding")))
@@ -1091,7 +1095,7 @@ object Similarity {
             col("n")))),
           x => x.getField("sum_u6").cast("double") /
             (x.getField("n") * lit(1e6))).as("cent"))
-    val newCents = geomCents(drifted)
+    val newCents = t("stageV2.newCents")(geomCents(drifted)
       .select(col("cent_id"), col("cent").as("prev_cent"))
       .join(cellMeans.select(col("cell").as("cent_id"), col("cent")),
         Seq("cent_id"), "left")
@@ -1099,14 +1103,17 @@ object Similarity {
         coalesce(col("cent"), col("prev_cent")).as("cent"))
       .select(col("cent_id"), col("cent"),
         sqrt(ddot(col("cent"), col("cent"))).as("cn"))
-      .localCheckpoint()
-    val (cbT, _) = graft.operators.TextAnalysis.pqTrainOn(
-      geomSubvectors(live), geomSeedCodebook(drifted))
-    val cb = cbT.select("m", "cid", "center").localCheckpoint()
-    publishVersionGeometry(s, root, "v2", newCents, cb)
-    encodeUnderGeometry(live, newCents, cb)
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$root/v2/seg_full")
+      .localCheckpoint())
+    val (cbT, _) = t("stageV2.pqTrain")(graft.operators.TextAnalysis
+      .pqTrainOn(geomSubvectors(live), geomSeedCodebook(drifted)))
+    val cb = t("stageV2.ckpt_cb")(
+      cbT.select("m", "cid", "center").localCheckpoint())
+    t("stageV2.publishGeom")(publishVersionGeometry(s, root, "v2", newCents, cb))
+    t("stageV2.encode_write") {
+      encodeUnderGeometry(live, newCents, cb)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/v2/seg_full")
+    }
     graft.io.Commit.writeMarker(s, marker, "seg_full")
   }
 
@@ -1125,10 +1132,11 @@ object Similarity {
     * objective moves 20%+ and is Lloyd-guaranteed; the swap gate
     * therefore accepts on the objective and records the recall. */
   private[graft] def retrainRecallAudit(s: SparkSession, d: String,
-      root: String): DataFrame = {
+      root: String, sseOf: Map[String, Long] = Map.empty): DataFrame = {
     import graft.operators.TextAnalysis.pqDist2
+    import graft.functions.Timing.t
     val (drifted0, _) = driftedEmbeddings(s, d)
-    val drifted = drifted0.localCheckpoint()
+    val drifted = t("audit.ckpt_drifted")(drifted0.localCheckpoint())
     val e = drifted.select(col("vec_id"), col("embedding"),
       sqrt(ddot(col("embedding"), col("embedding"))).as("nrm"))
     val qv = e.filter(col("vec_id") < NumQueries)
@@ -1142,7 +1150,7 @@ object Similarity {
       .select("vec_id").distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    val truth = e.join(members, Seq("vec_id"))
+    val truth0 = e.join(members, Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("nrm").as("nn"))
       .crossJoin(broadcast(qv))
@@ -1152,9 +1160,9 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id")
-      .localCheckpoint()
-    val qsubs = geomSubvectors(
-      drifted.filter(col("vec_id") < NumQueries)).localCheckpoint()
+    val truth = t("audit.truth")(truth0.localCheckpoint())
+    val qsubs = t("audit.qsubs")(geomSubvectors(
+      drifted.filter(col("vec_id") < NumQueries)).localCheckpoint())
     def versionRecall(ver: String, cb: DataFrame): DataFrame = {
       val idx = readIvfIndex(s, s"$root/$ver")
       val lut = qsubs.join(broadcast(cb), Seq("m"))
@@ -1179,10 +1187,20 @@ object Similarity {
             col("neighbor_id") === col("a_neighbor"), "left")
         .groupBy(truth("query_id").as("query_id"))
         .agg(count(lit(1)).as("k"), count(col("a_neighbor")).as("n_found"))
-      val sse = idx.agg(sum("d2_u6").as("sse_all"))
-      rec.crossJoin(broadcast(sse))
-        .select(lit(ver).as("version"), col("query_id"), col("k"),
-          col("n_found"), col("sse_all"))
+      // the swap gate already aggregated each version's total
+      // quantization error to decide acceptance (retrainIfDrifted's
+      // sse1/sse2 reads) — re-scanning both indexes here for the same
+      // long was two corpus-sized aggregates per retrain for a value
+      // the caller holds (guide §1.2). A caller-supplied total rides
+      // in as a literal; the from-scratch aggregate stays for any
+      // caller that has none.
+      val withSse = sseOf.get(ver) match {
+        case Some(v) => rec.withColumn("sse_all", lit(v))
+        case None => rec.crossJoin(broadcast(
+          idx.agg(sum("d2_u6").as("sse_all"))))
+      }
+      withSse.select(lit(ver).as("version"), col("query_id"), col("k"),
+        col("n_found"), col("sse_all"))
     }
     val oldCb = geomSeedCodebook(drifted)
     val newCb = s.read.parquet(s"$root/v2/geom_codebook")
@@ -1377,16 +1395,17 @@ object Similarity {
     if (graft.io.Commit.exists(s, s"$root/_VERSION") &&
         graft.io.Commit.readMarker(s, s"$root/_VERSION") == "v2")
       return true // already retrained and swapped
-    val cutoff = publishDriftedV1(s, d, root, scale)
+    import graft.functions.Timing.t
+    val cutoff = t("retrain.publishV1")(publishDriftedV1(s, d, root, scale))
     val verdict = indexDriftReadout(
         readIvfIndex(s, s"$root/v1"), cutoff)
       .filter(col("fill_skew") || col("err_drift"))
-    if (verdict.isEmpty) return false
-    stageRetrainedV2(s, d, root, scale)
-    val sse1 = readIvfIndex(s, s"$root/v1")
-      .agg(sum("d2_u6")).head().getLong(0)
-    val sse2 = readIvfIndex(s, s"$root/v2")
-      .agg(sum("d2_u6")).head().getLong(0)
+    if (t("retrain.verdict")(verdict.isEmpty)) return false
+    t("retrain.stageV2")(stageRetrainedV2(s, d, root, scale))
+    val sse1 = t("retrain.sse1")(readIvfIndex(s, s"$root/v1")
+      .agg(sum("d2_u6")).head().getLong(0))
+    val sse2 = t("retrain.sse2")(readIvfIndex(s, s"$root/v2")
+      .agg(sum("d2_u6")).head().getLong(0))
     if (sse2 > sse1) {
       // the gate REFUSES the swap instead of throwing (round-13
       // advisor): no intent is ever written, _VERSION stays at v1 and
@@ -1401,8 +1420,11 @@ object Similarity {
       return false
     }
     if (!graft.io.Commit.exists(s, s"$root/v2/_AUDIT")) {
-      retrainRecallAudit(s, d, root).coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/v2/audit")
+      t("retrain.audit") {
+        retrainRecallAudit(s, d, root,
+            sseOf = Map("v1" -> sse1, "v2" -> sse2)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/v2/audit")
+      }
       graft.io.Commit.writeMarker(s, s"$root/v2/_AUDIT", "audit")
     }
     graft.io.Commit.writeMarker(s, s"$root/_SWAP", "v2")
@@ -2349,6 +2371,56 @@ object Similarity {
           (col("vec_id") >= cutoff).as("is_delta"),
           (col("vec_id") > maxId).as("is_wave"))
         .orderBy("vec_id", "m")
+    }),
+
+    // ss42: THE SERVED IVF-PQ THROUGH THE BOUNDED K-HEAP — ss39's
+    // treatment generalized to the production ADC serve (round-14
+    // verdict, Next #4): ss09's pruned-index probe answered with
+    // TopKMinAgg instead of a rank window, so no operator anywhere in
+    // the plan sorts a candidate partition (the row_number form
+    // already compiles to a map-side-bounded WindowGroupLimit on
+    // Spark 3.5+ — see plans/r15 — but the partial still pays a local
+    // sort of every scored candidate per task; the k-heap pays O(1)
+    // per rejected row). The neighbor's cell rides INSIDE the heap id
+    // (id = neighbor·IvfCents + cell — exact for cell < IvfCents and
+    // order-preserving in neighbor, so the tie-break is unchanged)
+    // and is decoded on the K output rows, sparing the re-join a
+    // second probe of the index. The oracle is ss09's VERBATIM —
+    // hash equality is the theorem bounded-serve ≡ windowed-serve on
+    // the full ranked output; ss08/ss09 stay registered as the exact
+    // twins that gate it.
+    //
+    // Scale: candidates = members of nprobe cells (pruned read, as
+    // ss09); the ADC sum's shuffle is the serve's true floor and is
+    // unchanged; past it, every partial state is ≤ TopK rows.
+    "ss42_bounded_adc_serve" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKMinAgg(TopK),
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+      val (idx, probes, _) = pqCellIndex(s, d)
+      val cand = idx.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell"), col("m"), col("code"))
+      val lut = pqLut(s, d)
+        .select(col("query_id").as("lq"), col("m").as("lm"),
+          col("cid"), col("ld2_u6"))
+      cand
+        .join(broadcast(lut),
+          col("query_id") === col("lq") && col("m") === col("lm") &&
+            col("code") === col("cid"))
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(sum("ld2_u6").as("adc_u6"))
+        .groupBy("query_id")
+        .agg(topk(col("adc_u6"),
+          col("neighbor_id") * IvfCents + col("cell")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          // integer `div`, not double `/`: the decode must stay exact
+          // for ids far past 2^53 (real vec_ids), not just the fixture
+          expr(s"col._2 div $IvfCents").as("neighbor_id"),
+          pmod(col("col._2"), lit(IvfCents.toLong)).as("cell"),
+          col("col._1").as("adc_u6"))
+        .orderBy("query_id", "rank")
     }),
 
     // em07: RESIDUAL PQ encoding — the refinement production IVF-PQ
@@ -4169,6 +4241,9 @@ object Similarity {
     // divergence between inline geometry and the served layout is a
     // hash mismatch on one of the two.
     "ss09_knn_ivfpq_served" -> ivfPqServeSql,
+    // ss42 is gated by ss09's oracle VERBATIM: the bounded k-heap
+    // serve must reproduce the windowed serve's full ranked output
+    "ss42_bounded_adc_serve" -> ivfPqServeSql,
     "ss08_knn_ivfpq" -> ivfPqServeSql,
 
     "ss12_range_search" ->

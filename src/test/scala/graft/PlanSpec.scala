@@ -437,6 +437,16 @@ class PlanSpec extends AnyFunSuite {
       s"ss39's bounded serve still plans a Window sort:\n$p39")
     assert(p39.contains("TopKMinAgg") || p39.contains("topkminagg"),
       s"ss39 does not rank through the k-heap aggregate:\n$p39")
+    // ss42: the PRODUCTION ADC serve through the same bounded path
+    // (round-14 verdict, Next #4) — pruned cell read, no Window over
+    // the scored candidates, ranked by the k-heap aggregate
+    val p42 = plan("ss42_bounded_adc_serve")
+    assert(!p42.contains("Window"),
+      s"ss42's bounded ADC serve still plans a Window sort:\n$p42")
+    assert(p42.contains("TopKMinAgg") || p42.contains("topkminagg"),
+      s"ss42 does not rank through the k-heap aggregate:\n$p42")
+    assert(p42.contains("PartitionFilters"),
+      s"ss42 lost ss09's pruned cell read:\n$p42")
     // cu05: the recuration consumes the ROLLED artifact — broadcast
     // of weights_v2, zero training aggregates in the scoring plan
     val cuRoot = graft.io.JsonLines.stagingDir("curation_modelgate")
