@@ -720,7 +720,8 @@ object JsonLines {
             lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
               .cast("string"), 20, "0").as("repr")))).as("cr"))
         .select(col("part"), col("cr.column_name"), col("cr.repr"))
-        .localCheckpoint() // feeds the scalar buffers AND registers
+      // not checkpointed — io22's reasoning: the unpivot recomputes
+      // cheaper than its 3×-table materialization reads back
       val scalarParts = rows.groupBy("part", "column_name")
         .agg(count(lit(1)).as("nr"), count(col("repr")).as("nn"),
           min("repr").as("mn"), max("repr").as("mx"))
@@ -801,7 +802,13 @@ object JsonLines {
             lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
               .cast("string"), 20, "0").as("repr")))).as("cr"))
         .select(col("cr.column_name"), col("cr.repr"))
-        .localCheckpoint() // feeds the scalar aggregate AND the NDV
+      // NOT checkpointed: the unpivot is cheap per-row expression work
+      // over a columnar scan, and materializing it is |columns|× the
+      // table — at 100 TB a 7×-corpus localCheckpoint on executor
+      // storage is the scale failure; two pushdown scans that
+      // recompute the projection are the honest floor (measured
+      // 7.7 → 6.9 s cold at sf0.1 — the NDV distinct dominates
+      // locally either way)
       val sc = rows.groupBy("column_name")
         .agg(count(lit(1)).as("n_rows"),
           (count(lit(1)) - count(col("repr"))).as("n_nulls"),

@@ -2312,7 +2312,13 @@ object TextAnalysis {
     var cb = cb0
     val asgs = Seq.newBuilder[DataFrame]
     for (i <- 0 until PqTrainSteps) {
-      val asg = t(s"pqTrain.assign$i")(pqAssignTo(subs, cb).localCheckpoint())
+      // assignments stay LAZY: each is consumed once by its recenter
+      // (whose plan embeds it once — no lineage blowup, the ckpt'd
+      // codebook is the loop-carried frame) and once by em06's curve,
+      // which recomputes a join+agg over the checkpointed subs — an
+      // eager checkpoint here charged every retrain a corpus-sized
+      // materialization job per step to spare em06 one cheap pass
+      val asg = pqAssignTo(subs, cb)
       asgs += asg
       cb = t(s"pqTrain.recenter$i")(pqRecenter(subs, asg, cb).localCheckpoint())
     }

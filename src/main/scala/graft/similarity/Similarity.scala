@@ -1163,49 +1163,79 @@ object Similarity {
     val truth = t("audit.truth")(truth0.localCheckpoint())
     val qsubs = t("audit.qsubs")(geomSubvectors(
       drifted.filter(col("vec_id") < NumQueries)).localCheckpoint())
-    def versionRecall(ver: String, cb: DataFrame): DataFrame = {
+    // BOTH versions ride ONE pass: codes and LUT rows are tagged with
+    // their version and unioned before the scoring join, so the ADC
+    // aggregate, the rank, and the recall join each run once keyed by
+    // (version, query) instead of twice per retrain — per-(version,
+    // query) groups never interact, so the fused pass is row-identical
+    // to the two per-version passes it replaced (the union-tag
+    // argument every dd-bank merge in this repo rests on).
+    def versionSide(ver: String, cb: DataFrame) = {
       val idx = readIvfIndex(s, s"$root/$ver")
       val lut = qsubs.join(broadcast(cb), Seq("m"))
-        .select(col("vec_id").as("query_id"), col("m"), col("cid"),
+        .select(lit(ver).as("version"),
+          col("vec_id").as("query_id"), col("m"), col("cid"),
           floor(pqDist2(col("subv"), col("center")) * 1e6 + 0.5)
             .cast("long").as("ld2_u6"))
-      val codes = idx.select(col("vec_id").as("neighbor_id"),
-        col("m"), col("code"))
-      val top = codes
-        .join(broadcast(lut),
-          codes("m") === lut("m") && codes("code") === lut("cid"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(sum("ld2_u6").as("adc_u6"))
-        .withColumn("rank", row_number().over(Window
-          .partitionBy("query_id")
-          .orderBy(col("adc_u6").asc, col("neighbor_id").asc)))
-        .filter(col("rank") <= TopK)
-        .select(col("query_id"), col("neighbor_id").as("a_neighbor"))
-      val rec = truth.join(top,
-          truth("query_id") === top("query_id") &&
-            col("neighbor_id") === col("a_neighbor"), "left")
-        .groupBy(truth("query_id").as("query_id"))
-        .agg(count(lit(1)).as("k"), count(col("a_neighbor")).as("n_found"))
-      // the swap gate already aggregated each version's total
-      // quantization error to decide acceptance (retrainIfDrifted's
-      // sse1/sse2 reads) — re-scanning both indexes here for the same
-      // long was two corpus-sized aggregates per retrain for a value
-      // the caller holds (guide §1.2). A caller-supplied total rides
-      // in as a literal; the from-scratch aggregate stays for any
-      // caller that has none.
-      val withSse = sseOf.get(ver) match {
-        case Some(v) => rec.withColumn("sse_all", lit(v))
-        case None => rec.crossJoin(broadcast(
-          idx.agg(sum("d2_u6").as("sse_all"))))
-      }
-      withSse.select(lit(ver).as("version"), col("query_id"), col("k"),
-        col("n_found"), col("sse_all"))
+      val codes = idx.select(lit(ver).as("version"),
+        col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      (codes, lut)
     }
     val oldCb = geomSeedCodebook(drifted)
     val newCb = s.read.parquet(s"$root/v2/geom_codebook")
       .select("m", "cid", "center")
-    versionRecall("v1", oldCb).unionByName(versionRecall("v2", newCb))
+    val (c1, l1) = versionSide("v1", oldCb)
+    val (c2, l2) = versionSide("v2", newCb)
+    val codes = c1.unionByName(c2)
+    val lut = l1.unionByName(l2)
+      .withColumnsRenamed(Map("version" -> "lv", "m" -> "lm"))
+    val top = codes
+      .join(broadcast(lut),
+        codes("version") === col("lv") && codes("m") === col("lm") &&
+          codes("code") === col("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("version", "query_id", "neighbor_id")
+      .agg(sum("ld2_u6").as("adc_u6"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy("version", "query_id")
+        .orderBy(col("adc_u6").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= TopK)
+      .select(col("version"), col("query_id"),
+        col("neighbor_id").as("a_neighbor"))
+    // truth is version-independent (ground truth is exact cosine over
+    // the v1 membership) — cross it with the two-version spine so a
+    // query with NO approximate hits still reports its k per version
+    val verSpine = s.createDataFrame(
+      Seq(Tuple1("v1"), Tuple1("v2"))).toDF("version")
+    val truthV = truth.crossJoin(broadcast(verSpine))
+    val rec = truthV.join(top,
+        truthV("version") === top("version") &&
+          truthV("query_id") === top("query_id") &&
+          col("neighbor_id") === col("a_neighbor"), "left")
+      .groupBy(truthV("version").as("version"),
+        truthV("query_id").as("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("a_neighbor")).as("n_found"))
+    // the swap gate already aggregated each version's total
+    // quantization error to decide acceptance (retrainIfDrifted's
+    // sse1/sse2 reads) — re-scanning both indexes here for the same
+    // long was two corpus-sized aggregates per retrain for a value
+    // the caller holds (guide §1.2). Caller-supplied totals ride in
+    // as literals; the from-scratch aggregate stays for any caller
+    // that has none.
+    val withSse =
+      if (Seq("v1", "v2").forall(sseOf.contains))
+        rec.withColumn("sse_all",
+          when(col("version") === "v1", lit(sseOf("v1")))
+            .otherwise(lit(sseOf("v2"))))
+      else {
+        val sses = Seq("v1", "v2").map { ver =>
+          readIvfIndex(s, s"$root/$ver")
+            .agg(lit(ver).as("version"), sum("d2_u6").as("sse_all"))
+        }.reduce(_ unionByName _)
+        rec.join(broadcast(sses), Seq("version"))
+      }
+    withSse.select(col("version"), col("query_id"), col("k"),
+      col("n_found"), col("sse_all"))
       .orderBy("version", "query_id")
   }
 
@@ -1495,14 +1525,22 @@ object Similarity {
         u6(dot(s, col("de"), col("se")) / (col("dn") * col("sn")))
           .as("sim_u6"))
       .localCheckpoint()
-    // greedy selection, K unrolled steps (step 1 = pure relevance)
-    val wSel = Window.partitionBy("query_id")
-      .orderBy(col("mmr_u6").desc, col("neighbor_id").asc)
-    var selected = cand
-      .withColumn("mmr_u6", col("rel_u6"))
-      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
-        lit(1).as("sel_rank"))
+    // greedy selection, K unrolled steps (step 1 = pure relevance).
+    // Each step's winner is a per-query ARGMAX — max(struct) with the
+    // negated id as the tie-break (mmr desc, neighbor asc — the same
+    // lexicographic order the previous row_number window used, so the
+    // pick is identical row for row), computed as a partial-combining
+    // aggregate instead of a sort+window over every remaining
+    // candidate: the shuffle carries one row per (query, map
+    // partition) and no task ever sorts a candidate list.
+    def argmaxPick(scored: DataFrame, rank: Int): DataFrame = scored
+      .groupBy("query_id")
+      .agg(max(struct(col("mmr_u6"),
+        (-col("neighbor_id")).as("nn"))).as("best"))
+      .select(col("query_id"), (-col("best.nn")).as("neighbor_id"),
+        col("best.mmr_u6").as("mmr_u6"), lit(rank).as("sel_rank"))
+    var selected = argmaxPick(
+      cand.withColumn("mmr_u6", col("rel_u6")), 1)
     var remaining = cand.join(selected.select("query_id", "neighbor_id"),
       Seq("query_id", "neighbor_id"), "left_anti")
     for (t <- 2 to MmrK) {
@@ -1511,11 +1549,9 @@ object Similarity {
           col("neighbor_id").as("s_id")), Seq("query_id", "s_id"))
         .groupBy("query_id", "d_id").agg(max("sim_u6").as("max_sim"))
         .withColumnRenamed("d_id", "neighbor_id")
-      val pick = remaining.join(ms, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr_u6", col("rel_u6") - col("max_sim"))
-        .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), col("mmr_u6"),
-          lit(t).as("sel_rank"))
+      val pick = argmaxPick(
+        remaining.join(ms, Seq("query_id", "neighbor_id"))
+          .withColumn("mmr_u6", col("rel_u6") - col("max_sim")), t)
       // truncate lineage each step: without this the K-step loop
       // compounds into one deep plan (every step re-embeds all prior
       // steps' joins/windows) and Catalyst planning + stage count

@@ -701,31 +701,50 @@ object EventStream {
             lpad(floor(col("l_quantity") * 1e6 + 0.5).cast("long")
               .cast("string"), 20, "0").as("repr")))).as("cr"))
         .select(col("cr.column_name"), col("cr.repr"))
-      val sc = runTableStream(s, d, "lineitem", liSchema,
-        "st_stats_scalars", "complete") { df =>
-        unpivot(df).groupBy("column_name")
-          .agg(count(lit(1)).as("n_rows"),
-            (count(lit(1)) - count(col("repr"))).as("n_nulls"),
-            min("repr").as("min_repr"), max("repr").as("max_repr"))
-      }
-      val regsRaw = runTableStream(s, d, "lineitem", liSchema,
-        "st_stats_regs", "complete") { df =>
+      // ONE stream maintains the FULL per-(column, bucket) buffer —
+      // counts, min/max reprs, and the register max together (every
+      // component mergeable by its own law); the previous shape ran
+      // two complete-mode streams over the same staged table, so the
+      // table was staged, streamed and expression-evaluated TWICE for
+      // one stats readout (at scale: two full passes where one
+      // suffices; locally the second, JIT-warmed stream hid behind
+      // the first — wall ~flat, passes halved). The per-column
+      // scalars then MERGE across buckets on the driver — ≤
+      // |columns|·(m+1) bounded rows, and the merge is exactly the
+      // law the query exists to prove (counts add, min/max combine,
+      // registers max).
+      val buf = graft.functions.Timing.t("st23.stream")(
+        runTableStream(s, d, "lineitem", liSchema,
+        "st_stats_buf", "complete") { df =>
         unpivot(df)
-          .select(col("column_name"), md5(col("repr")).as("hx"))
-          .select(col("column_name"),
+          .select(col("column_name"), col("repr"),
+            md5(col("repr")).as("hx"))
+          .select(col("column_name"), col("repr"),
             (conv(substring(col("hx"), 1, 7), 16, 10).cast("long") % m)
               .as("bucket"),
             conv(substring(col("hx"), 8, 8), 16, 10).cast("long")
               .as("w"))
           .withColumn("rho", expr(rhoCase))
-          .groupBy("column_name", "bucket").agg(max("rho").as("mj"))
-      }
-      val scalars = sc.collect().map(r => (r.getString(0), r.getLong(1),
-          r.getLong(2), r.getString(3), r.getString(4))).toSeq
-        .toDF("column_name", "n_rows", "n_nulls", "min_repr", "max_repr")
-      val regs = regsRaw.collect().map(r => (r.getString(0),
-          r.getLong(1), r.getInt(2))).toSeq
-        .toDF("column_name", "bucket", "mj")
+          .groupBy("column_name", "bucket")
+          .agg(count(lit(1)).as("nr"), count(col("repr")).as("nn"),
+            min("repr").as("mn"), max("repr").as("mx"),
+            max("rho").as("mj"))
+      })
+      val bufRows = graft.functions.Timing.t("st23.collect")(
+        buf.collect()).map(r => (r.getString(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)),
+        r.getInt(6)))
+      val scalars = bufRows.groupBy(_._1).toSeq.map { case (c, g) =>
+        (c, g.map(_._3).sum, g.map(x => x._3 - x._4).sum,
+          g.flatMap(_._5).min, g.flatMap(_._6).max)
+      }.toDF("column_name", "n_rows", "n_nulls", "min_repr", "max_repr")
+      // a null repr hashes to a null bucket (encoded -1) — those rows
+      // carry null counts for the scalars and never enter a register,
+      // exactly as the two-stream shape behaved (the spine join
+      // dropped the null bucket)
+      val regs = bufRows.filter(_._2 >= 0L).map(x => (x._1, x._2, x._7))
+        .toSeq.toDF("column_name", "bucket", "mj")
       val spine = scalars.select(col("column_name"),
         explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
       val hll = spine.join(regs, Seq("column_name", "bucket"), "left")

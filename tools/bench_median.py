@@ -20,6 +20,7 @@ change its own work profile — the round-11 series adjudication
 (slow windows with flat gc/mem = host contention), automated.
 """
 import json
+import os
 import re
 import statistics
 import sys
@@ -134,6 +135,30 @@ def main():
     }
     if "calib_cpu" in medians:
         artifact["calib_cpu_median_sec"] = medians["calib_cpu"]
+    # like-for-like criterion output (round-14 verdict, Next #6): the
+    # raw s/query number measures surface COMPOSITION once the surface
+    # grows past the round-1 set — intentionally corpus-sized lifecycle
+    # verbs inflate the average without any query getting slower. The
+    # 68 original round-1 queries measured against their round-1 times
+    # (the driver's own BENCH_r01.json capture, whose tail holds the
+    # full parseable run) is the code-speed number; the judge had to
+    # recompute it by hand in round 14 (0.77x).
+    try:
+        r1tail = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "BENCH_r01.json")))["tail"]
+        r1 = json.loads(re.search(r'\{"metric".*', r1tail)
+                        .group(0).split("\n")[0])["queries"]
+        shared = [k for k in r1 if k in medians and r1[k] > 0]
+        if shared:
+            base = round(sum(r1[k] for k in shared), 3)
+            cur = round(sum(medians[k] for k in shared), 3)
+            artifact["round1_subset_n"] = len(shared)
+            artifact["round1_subset_baseline_sec"] = base
+            artifact["round1_subset_sum_sec"] = cur
+            artifact["round1_subset_ratio"] = round(cur / base, 3)
+    except (OSError, AttributeError, KeyError, ValueError):
+        pass  # pre-round-1 artifact absent: field simply omitted
     if prev is not None:
         artifact["movers_vs_prev"] = movers
         artifact["host_suspect"] = sorted(
