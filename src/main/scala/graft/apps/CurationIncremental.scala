@@ -99,7 +99,13 @@ object CurationIncremental {
     val fs = Commit.fileSystem(spark)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
 
-    val docs = baseDocs.localCheckpoint()
+    // docs is a pushdown filter over the parquet table — its four
+    // consumers re-scan cheaper than a corpus-text materialization
+    // reads back (and at 100 TB checkpointing the raw text onto
+    // executor storage is the failure mode, not the optimization);
+    // toks stays checkpointed: three text-heavy consumers share one
+    // tokenize pass
+    val docs = baseDocs
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
     stageDone("s1_base_tokenize")
 
@@ -200,7 +206,10 @@ object CurationIncremental {
     val bank = readVersioned(spark, root, "_BANK")
     val bench = readVersioned(spark, root, "_BENCH")
 
-    val docs = deltaDocs.localCheckpoint()
+    // delta slice and its md5 keys recompute from the pushdown scan
+    // cheaper than they materialize (curateBase's reasoning); toks
+    // stays checkpointed for its three text consumers
+    val docs = deltaDocs
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
     stageDone("s7_delta_tokenize")
 
@@ -208,7 +217,6 @@ object CurationIncremental {
     // key bank (dd09's novelty check — one digest-keyed join, the
     // corpus text never moves)
     val keyed = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
-      .localCheckpoint()
     val keep1 = keyed.groupBy("content_key").agg(min("doc_id").as("doc_id"))
       .join(keys, Seq("content_key"), "left_anti")
       .select("doc_id").localCheckpoint()
@@ -316,7 +324,10 @@ object CurationIncremental {
       .join(oldBench.select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id", "text")
       .localCheckpoint() // feeds the gram explode AND the id delete
-    val snap = published(spark, root).localCheckpoint()
+    // published() is already a parquet read — checkpointing it only
+    // copied parquet into the block manager once per wave; both
+    // consumers re-read the snapshot file directly
+    val snap = published(spark, root)
     stageDone("s12_refresh_sample")
 
     // one decon pass: text re-read ONLY for surviving snapshot ids,
@@ -427,7 +438,8 @@ object CurationIncremental {
       root: String): Unit = {
     val fs = Commit.fileSystem(spark)
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
-    val docs = docs0.localCheckpoint()
+    // raw-text checkpoint dropped (curateBase's reasoning)
+    val docs = docs0
     val toks = TextAnalysis.tokenized(docs).localCheckpoint()
     // the shared spine with STRUCTURAL gates only — the trained
     // artifact replaces the quality RULE, so quality_score never
