@@ -57,14 +57,27 @@ object VirusPipeline {
       val now = System.nanoTime(); onStage(name, (now - mark) / 1e9)
       mark = now
     }
-    // stage 1 — feature selection (FeatureSelectionCloud)
-    val calls = ApiLogReader.read(spark, apiLogsDir).cache()
-    val totals = ApiLogReader.totals(spark, apiLogsDir, "virus")
-    val ranked = FeatureSelection.infoGainRanked(calls, "virus", totals)
+    // stage 1 — feature selection (FeatureSelectionCloud). ONE text
+    // scan feeds totals AND calls (the old shape scanned the raw
+    // corpus once per consumer), and the per-sample dedup runs ONCE,
+    // shared by ranking and vectorization through the OfDistinct
+    // variants (vp04/vp05's proven sharing) — at 100 TB that is one
+    // corpus pass and one corpus-wide shuffle removed from stage 1.
+    val raw = ApiLogReader.readRaw(spark, apiLogsDir).cache()
+    val totals = ApiLogReader.totalsOf(raw, "virus")
+    val distinct = FeatureSelection.distinctCalls(
+      ApiLogReader.callsOf(raw)).cache()
+    val ranked = FeatureSelection.infoGainRankedOfDistinct(
+      distinct, "virus", totals)
     val top = FeatureSelection.topFeatures(ranked, topN).cache()
-    val vec = FeatureSelection.vectorize(calls, top, "virus").cache()
+    val vec = FeatureSelection.vectorizeOfDistinct(distinct, top, "virus")
+      .cache()
     val nFeatures = top.count().toInt
     vec.count() // boundary: stage-2 reads the populated cache
+    // top/vec are materialized; nothing downstream re-reads the raw
+    // scan or the dedup'd calls — release both before clustering
+    raw.unpersist(false)
+    distinct.unpersist(false)
     stageDone("s1_features")
 
     // stage 2 — clustering (KmeansVirus): sparse vectors per sample

@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object ApiLogReader {
 
-  /** calls(sample_id, cls, token); cls = parent-directory class
-    * ("virus"/"clean"). */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  /** One corpus text scan, UNFILTERED: every line becomes a row even
+    * when its token normalizes to empty. [[callsOf]] and [[totalsOf]]
+    * derive both stage-1 inputs from this single frame, so a caller
+    * that caches it (the pipeline) pays ONE pass over the raw corpus
+    * instead of one per consumer. */
+  def readRaw(spark: SparkSession, dir: String): DataFrame =
     spark.read.textFile(s"$dir/*_LOGS_CONVERTED/*.txt").toDF("line")
       .select(
         // sample_id keeps the class directory: the same basename exists
@@ -36,22 +39,32 @@ object ApiLogReader {
         when(input_file_name().contains("virus_LOGS_CONVERTED"), "virus")
           .otherwise("clean").as("cls"),
         normalizeToken(col("line")).as("token"))
-      .filter(length(col("token")) > 0)
+
+  /** The calls view of [[readRaw]]: lines that normalize to empty are
+    * dropped (P2). */
+  def callsOf(raw: DataFrame): DataFrame =
+    raw.filter(length(col("token")) > 0)
+
+  /** calls(sample_id, cls, token); cls = parent-directory class
+    * ("virus"/"clean"). */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    callsOf(readRaw(spark, dir))
 
   /** Single-row totals (p = #positive-class files, t = #all files) —
     * counts FILES (including token-less ones), matching the
     * reference's listing-based counts (A3,
     * `FeatureSelectionCloud.scala:122-123`). Spark-native: distinct
     * file names from the same scan, before empty-line filtering. */
-  def totals(spark: SparkSession, dir: String, posCls: String): DataFrame = {
-    val files = spark.read.textFile(s"$dir/*_LOGS_CONVERTED/*.txt").toDF("line")
-      .select(
-        input_file_name().as("f"),
-        when(input_file_name().contains("virus_LOGS_CONVERTED"), "virus")
-          .otherwise("clean").as("cls"))
-      .distinct()
-    files.agg(
+  def totals(spark: SparkSession, dir: String, posCls: String): DataFrame =
+    totalsOf(readRaw(spark, dir), posCls)
+
+  /** [[totals]] over an already-read [[readRaw]] frame — `sample_id`
+    * is `classdir/basename`, a bijection of the file path within the
+    * corpus, so distinct sample_ids count exactly the files the old
+    * per-path distinct counted (and, like it, sees token-less files
+    * because the frame is pre-filter). */
+  def totalsOf(raw: DataFrame, posCls: String): DataFrame =
+    raw.select("sample_id", "cls").distinct().agg(
       sum(when(col("cls") === posCls, 1L).otherwise(0L)).as("p"),
       count(lit(1)).as("t"))
-  }
 }

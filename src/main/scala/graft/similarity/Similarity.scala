@@ -1018,14 +1018,23 @@ object Similarity {
     * (old) geometry, base + delta segments behind v1's own _INDEX
     * marker, v1's geometry artifact beside them, and the root's
     * _VERSION pointer at "v1" — the state of the world the drift
-    * verdict then reads. Idempotent. Returns the cutoff. */
+    * verdict then reads. Idempotent. Returns the cutoff.
+    *
+    * `pre` lets a chain driver ([[retrainIfDrifted]]) hand every verb
+    * of one retrain the SAME materialized drifted frame + cutoff:
+    * without it each verb re-derives the corpus fixture (an eager
+    * max(vec_id) pass) and re-materializes its own localCheckpoint —
+    * three corpus materializations per retrain where one suffices.
+    * Standalone calls (pre = None) behave exactly as before. */
   private[graft] def publishDriftedV1(s: SparkSession, d: String,
-      root: String, scale: Double = 3.0d): Long = {
+      root: String, scale: Double = 3.0d,
+      pre: Option[(DataFrame, Long)] = None): Long = {
     import graft.functions.Timing.t
-    val (drifted0, cutoff) = driftedEmbeddings(s, d, scale)
+    val (drifted0, cutoff) = pre.getOrElse(driftedEmbeddings(s, d, scale))
     val marker = s"$root/v1/_INDEX"
     if (!graft.io.Commit.exists(s, marker)) {
-      val drifted = t("pubV1.ckpt")(drifted0.localCheckpoint())
+      val drifted = if (pre.isDefined) drifted0
+        else t("pubV1.ckpt")(drifted0.localCheckpoint())
       val cents = geomCents(drifted)
       val cb = geomSeedCodebook(drifted)
       t("pubV1.geom")(publishVersionGeometry(s, root, "v1", cents, cb))
@@ -1071,12 +1080,15 @@ object Similarity {
     * unfiltered: they are artifacts of the old version, not members.
     * Idempotent. */
   private[graft] def stageRetrainedV2(s: SparkSession, d: String,
-      root: String, scale: Double = 3.0d): Unit = {
+      root: String, scale: Double = 3.0d,
+      pre: Option[(DataFrame, Long)] = None): Unit = {
     import graft.functions.Timing.t
     val marker = s"$root/v2/_INDEX"
     if (graft.io.Commit.exists(s, marker)) return
-    val (drifted0, _) = driftedEmbeddings(s, d, scale)
-    val drifted = t("stageV2.ckpt_drifted")(drifted0.localCheckpoint())
+    val drifted = pre.map(_._1).getOrElse {
+      val (drifted0, _) = driftedEmbeddings(s, d, scale)
+      t("stageV2.ckpt_drifted")(drifted0.localCheckpoint())
+    }
     val asg = readIvfIndex(s, s"$root/v1")
       .select("vec_id", "cell").distinct()
     val members =
@@ -1132,11 +1144,14 @@ object Similarity {
     * objective moves 20%+ and is Lloyd-guaranteed; the swap gate
     * therefore accepts on the objective and records the recall. */
   private[graft] def retrainRecallAudit(s: SparkSession, d: String,
-      root: String, sseOf: Map[String, Long] = Map.empty): DataFrame = {
+      root: String, sseOf: Map[String, Long] = Map.empty,
+      pre: Option[(DataFrame, Long)] = None): DataFrame = {
     import graft.operators.TextAnalysis.pqDist2
     import graft.functions.Timing.t
-    val (drifted0, _) = driftedEmbeddings(s, d)
-    val drifted = t("audit.ckpt_drifted")(drifted0.localCheckpoint())
+    val drifted = pre.map(_._1).getOrElse {
+      val (drifted0, _) = driftedEmbeddings(s, d)
+      t("audit.ckpt_drifted")(drifted0.localCheckpoint())
+    }
     val e = drifted.select(col("vec_id"), col("embedding"),
       sqrt(ddot(col("embedding"), col("embedding"))).as("nrm"))
     val qv = e.filter(col("vec_id") < NumQueries)
@@ -1426,12 +1441,23 @@ object Similarity {
         graft.io.Commit.readMarker(s, s"$root/_VERSION") == "v2")
       return true // already retrained and swapped
     import graft.functions.Timing.t
-    val cutoff = t("retrain.publishV1")(publishDriftedV1(s, d, root, scale))
+    // ONE corpus fixture for the whole chain: every verb below reads
+    // the same materialized drifted frame + cutoff instead of each
+    // re-deriving (an eager max(vec_id) pass) and re-checkpointing
+    // its own copy — at corpus scale that is one materialization per
+    // retrain instead of three. Row-identical: the verbs consume the
+    // identical frame they previously rebuilt.
+    val pre = t("retrain.ckpt_drifted") {
+      val (drifted0, cutoff0) = driftedEmbeddings(s, d, scale)
+      Some((drifted0.localCheckpoint(), cutoff0))
+    }
+    val cutoff = t("retrain.publishV1")(
+      publishDriftedV1(s, d, root, scale, pre))
     val verdict = indexDriftReadout(
         readIvfIndex(s, s"$root/v1"), cutoff)
       .filter(col("fill_skew") || col("err_drift"))
     if (t("retrain.verdict")(verdict.isEmpty)) return false
-    t("retrain.stageV2")(stageRetrainedV2(s, d, root, scale))
+    t("retrain.stageV2")(stageRetrainedV2(s, d, root, scale, pre))
     val sse1 = t("retrain.sse1")(readIvfIndex(s, s"$root/v1")
       .agg(sum("d2_u6")).head().getLong(0))
     val sse2 = t("retrain.sse2")(readIvfIndex(s, s"$root/v2")
@@ -1452,7 +1478,7 @@ object Similarity {
     if (!graft.io.Commit.exists(s, s"$root/v2/_AUDIT")) {
       t("retrain.audit") {
         retrainRecallAudit(s, d, root,
-            sseOf = Map("v1" -> sse1, "v2" -> sse2)).coalesce(1)
+            sseOf = Map("v1" -> sse1, "v2" -> sse2), pre = pre).coalesce(1)
           .write.mode("overwrite").parquet(s"$root/v2/audit")
       }
       graft.io.Commit.writeMarker(s, s"$root/v2/_AUDIT", "audit")
@@ -2181,8 +2207,15 @@ object Similarity {
     // (completeSwap), exercised by Round13OpsSpec, never by readers.
     "ss33_preswap_serving" -> ((s, d) => {
       val root = retrainRoot(d, "b")
-      val cutoff = publishDriftedV1(s, d, root)
-      stageRetrainedV2(s, d, root)
+      // one materialized corpus fixture for both staging verbs (the
+      // retrainIfDrifted chain's sharing, applied to this two-verb
+      // chain)
+      val pre = Some(locally {
+        val (drifted0, cutoff0) = driftedEmbeddings(s, d)
+        (drifted0.localCheckpoint(), cutoff0)
+      })
+      val cutoff = publishDriftedV1(s, d, root, pre = pre)
+      stageRetrainedV2(s, d, root, pre = pre)
       graft.io.Commit.writeMarker(s, s"$root/_SWAP", "v2")
       require(graft.io.Commit.readMarker(s, s"$root/_VERSION") == "v1",
         "an uncommitted swap moved the serve pointer")
