@@ -8,6 +8,16 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Explain <sfDir> [query ...]
   */
 object Explain {
+
+  /** Internal (non-registered) plan surfaces whose shape is still
+    * scale-critical: stages that a checkpoint erases from their
+    * query's own executed plan. Named here so their formatted plans
+    * can be dumped and committed like any registered query's. */
+  private val internal
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("ss18_candidates" ->
+      ((s, d) => graft.similarity.Similarity.ss18Candidates(s, d)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
@@ -55,7 +65,8 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>
       println(s"\n########## $n ##########")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      internal.getOrElse(n, SparkEntry.queries(n))(spark, sfDir)
+        .explain("formatted")
     }
     spark.stop()
   }

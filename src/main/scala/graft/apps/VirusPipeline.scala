@@ -82,6 +82,10 @@ object VirusPipeline {
 
     // stage 2 — clustering (KmeansVirus): sparse vectors per sample
     val samples = assemble(vec, nFeatures).cache()
+    // materialize BEFORE the concurrent fits (kmeansCostSweep's
+    // discipline): otherwise all `runs` threads race to fill the same
+    // cache partitions and serialize on the block locks
+    samples.count()
     // L1 setRuns parity: the reference trains with `setRuns(10)`
     // (`KmeansVirus.scala:183-186`) — best-of-`runs` seeded fits
     // keeping min WSSSE is the Spark 2+ equivalent

@@ -1615,11 +1615,18 @@ object Similarity {
           col("code") === col("cid"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum("ld2_u6").as("adc_u6"))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc_u6").asc, col("neighbor_id").asc)
-    val shortlist = adc.withColumn("crank", row_number().over(wAdc))
-      .filter(col("crank") <= MmrC)
-      .select("query_id", "neighbor_id")
+    // C-cut through the bounded k-heap (ss42's treatment): the
+    // row_number form compiles to a WindowGroupLimit whose partial
+    // still SORTS every scored candidate per task; TopKMinAgg keeps
+    // ≤ C rows per partial state with O(1) rejects. Same cut, same
+    // (adc_u6 asc, neighbor_id asc) tie law — the heap orders by
+    // exactly that pair, so the selected set is row-identical.
+    val topc = udaf(new graft.functions.TopKMinAgg(MmrC),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+    val shortlist = adc.groupBy("query_id")
+      .agg(topc(col("adc_u6"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("kv"))
+      .select(col("query_id"), col("kv._2").as("neighbor_id"))
     // exact-cosine relevance fetched for the C shortlist rows only;
     // the shortlist (≤ C·|queries| rows) broadcasts onto the
     // embeddings scan, so the corpus side streams — no exchange

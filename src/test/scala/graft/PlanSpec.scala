@@ -336,6 +336,13 @@ class PlanSpec extends AnyFunSuite {
       s"ss18: no corpus-wide exchange may precede the shortlist:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"ss18: serving must never plan a cartesian:\n$p")
+    // the C-cut rides the bounded k-heap: no operator may sort a
+    // per-query candidate partition (ss42's lock, applied to the
+    // shortlist build)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ("),
+      s"ss18: the shortlist cut must not rank through a window:\n$p")
+    assert(p.contains("TopKMinAgg") || p.contains("topkminagg"),
+      s"ss18: expected the bounded k-heap aggregate in the plan:\n$p")
   }
 
   test("io13 z-order read prunes shards AND pushes both box predicates") {
